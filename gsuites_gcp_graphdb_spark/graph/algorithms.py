@@ -1,0 +1,185 @@
+"""Iterative graph analytics — Pregel-style DataFrame fixpoints.
+
+PySpark exposes no GraphX binding, so GraphX semantics (message
+passing to fixpoint) are reproduced as join-aggregate rounds over the
+``edges`` DataFrame with lineage truncation per round
+(``localCheckpoint``), which is also how GraphFrames implements them
+(SURVEY.md §4.3, §7).
+
+This covers the reference's unbounded-traversal capability: nested
+group membership is expanded by recursive descent in the crawler
+(``go getGroupMembers`` on member groups, main.go:328-348) and
+queried as multi-hop ``out()`` chains (README.md:15-32) — here it is
+breadth-first frontier expansion.
+
+Scale notes (100 TB):
+- every round is one shuffle (frontier ⨝ edges on src) + one distinct;
+  the frontier is usually tiny vs. edges, so AQE plans it broadcast —
+  effectively a map-side hash probe per round;
+- ``localCheckpoint`` per round keeps the plan O(1) instead of O(2^k);
+- rounds are bounded by graph diameter; group-nesting depth is small
+  in practice (the reference's README flow is depth 4);
+- high-degree hubs (allUsers-style vertices, SURVEY.md §4.4) inflate a
+  round's output; the per-round distinct caps re-expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .traversal import Graph
+
+DEFAULT_MAX_ITER = 50
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage so iterative plans don't grow exponentially."""
+    return df.localCheckpoint(eager=True)
+
+
+def reachable_from(
+    g: Graph,
+    source_ids: DataFrame,
+    edge_label: str | None = "in",
+    max_iter: int = DEFAULT_MAX_ITER,
+    include_sources: bool = False,
+) -> DataFrame:
+    """All vertex ids reachable from ``source_ids`` (one column ``id``)
+    following out-edges — BFS to fixpoint.
+
+    The "does user U (transitively) have role R / project P" question
+    (README.md:15-32) is `reachable_from(g, {U})`.
+    """
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst")
+
+    frontier = _truncate(source_ids.select("id").dropDuplicates())
+    visited = frontier
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(visited, ["id"], "left_anti")
+        )
+        nxt = _truncate(nxt)
+        if not nxt.take(1):
+            break
+        visited = _truncate(visited.unionByName(nxt))
+        frontier = nxt
+    if include_sources:
+        return visited
+    return visited.join(source_ids.select("id"), ["id"], "left_anti")
+
+
+def reaching_to(
+    g: Graph,
+    target_ids: DataFrame,
+    edge_label: str | None = "in",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """All vertex ids that can reach ``target_ids`` — the audit query
+    "which principals can touch X" — reverse BFS (follow in-edges)."""
+    rev = Graph(
+        g.vertices,
+        g.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "label",
+            "weight",
+        ),
+    )
+    return reachable_from(rev, target_ids, edge_label, max_iter)
+
+
+def k_hop(
+    g: Graph,
+    source_ids: DataFrame,
+    k: int,
+    edge_label: str | None = "in",
+) -> DataFrame:
+    """Exactly-k-hop frontier (bag-collapsed): chained joins, no loop
+    state — the SQL-expressible bounded form of A17 (SURVEY.md §2A)."""
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst")
+    cur = source_ids.select("id").dropDuplicates()
+    for _ in range(k):
+        cur = (
+            cur.join(edges, cur.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+        )
+    return cur
+
+
+def connected_components(
+    g: Graph, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """Undirected connected components via hash-min label propagation:
+    every vertex adopts the min component id among itself and its
+    neighbours until fixpoint. Returns (id, component) where component
+    is the min vertex id of the component.
+
+    One shuffle per round (groupBy id); converges in O(diameter)
+    rounds. For 100 TB graphs with giant diameters the large-star/
+    small-star variant halves rounds, but IAM-style graphs are
+    shallow, so plain hash-min is the simpler, equally-fast choice.
+    """
+    both = (
+        g.edges.select("src", "dst")
+        .unionByName(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+    )
+    both = _truncate(both)
+    comp = g.vertices.select("id", F.col("id").alias("component"))
+    comp = _truncate(comp)
+    for _ in range(max_iter):
+        neighbour_min = (
+            comp.join(both, comp.id == both.src)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("n_component"))
+        )
+        new_comp = (
+            comp.join(neighbour_min, ["id"], "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_component", "component")
+                ).alias("component"),
+            )
+        )
+        new_comp = _truncate(new_comp)
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), ["id"])
+            .filter(F.col("n.component") != F.col("o.component"))
+            .take(1)
+        )
+        comp = new_comp
+        if not changed:
+            break
+    return comp
+
+
+def degrees(g: Graph) -> DataFrame:
+    """(id, in_degree, out_degree) — hub detection for skew planning."""
+    outd = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = g.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        g.vertices.select("id")
+        .join(outd, ["id"], "left_outer")
+        .join(ind, ["id"], "left_outer")
+        .fillna(0, ["in_degree", "out_degree"])
+    )

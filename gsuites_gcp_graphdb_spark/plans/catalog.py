@@ -1,0 +1,220 @@
+"""The named-query catalog: Spark query + DuckDB oracle SQL pairs.
+
+Contract (BASELINE.md t2): for every name, the Spark callable
+(spark, sf_dir) -> DataFrame and the oracle SQL over the raw fixture
+views must agree on row count, schema, and order-insensitive value
+hash. Discipline that makes this hold:
+
+- identical column names (alias everything, both sides);
+- integers cast to BIGINT on both sides (Spark count() is already
+  bigint; DuckDB len()/row_number() need casts);
+- float aggregates are computed exactly (decimal) then cast/rounded
+  identically, or folded in identical sequential order;
+- deterministic parameter selection inside the query (min of a key),
+  never literals that depend on scale factor;
+- ORDER BY never relied on for equality (driver hash is
+  order-insensitive) but LIMIT boundaries are made deterministic with
+  total tiebreaks.
+
+The SQL strings assume DuckDB has views named region nation customer
+supplier part orders lineitem events documents embeddings over the
+same parquet files (driver pre-registers these).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import graph_queries as gq
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only
+
+
+# SQL fragment: the user->role edge derivation (FIXTURES.md §2), shared
+# by several oracles. DISTINCT because edges are a set.
+_USER_ROLE = """
+    SELECT DISTINCT c_name, p_brand
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+"""
+
+CATALOG: dict[str, QueryDef] = {
+    "g_count_by_label": QueryDef(
+        gq.count_by_label,
+        """
+        SELECT label, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'user' AS label, count(DISTINCT c_name) AS n FROM customer
+          UNION ALL
+          SELECT 'group',
+                 (SELECT count(DISTINCT n_name) FROM nation)
+               + (SELECT count(DISTINCT r_name) FROM region)
+          UNION ALL
+          SELECT 'serviceAccount', count(DISTINCT s_name) FROM supplier
+          UNION ALL
+          SELECT 'role', count(DISTINCT p_brand) FROM part
+          UNION ALL
+          SELECT 'permission', count(DISTINCT p_type) FROM part
+          UNION ALL
+          SELECT 'project', count(DISTINCT p_name) FROM part
+        )
+        """,
+    ),
+    "g_edge_count": QueryDef(
+        gq.edge_count,
+        f"""
+        SELECT CAST(
+            (SELECT count(*) FROM (SELECT DISTINCT c_name, n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey))
+          + (SELECT count(*) FROM (SELECT DISTINCT n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey))
+          + (SELECT count(*) FROM (SELECT DISTINCT s_name, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey))
+          + (SELECT count(*) FROM ({_USER_ROLE}))
+          + (SELECT count(*) FROM (SELECT DISTINCT p_brand, p_name FROM part))
+          + (SELECT count(*) FROM (SELECT DISTINCT p_type, p_brand FROM part))
+          AS BIGINT) AS n_edges
+        """,
+    ),
+    "g_user_by_email": QueryDef(
+        gq.user_by_email,
+        """
+        SELECT 'user' AS label, min(c_name) AS email,
+               CAST(false AS BOOLEAN) AS is_external
+        FROM customer
+        """,
+    ),
+    "g_user_exists": QueryDef(
+        gq.user_exists,
+        """
+        SELECT count(*) > 0 AS found FROM customer
+        WHERE c_name = (SELECT min(c_name) FROM customer)
+        """,
+    ),
+    "g_out_neighbors": QueryDef(
+        gq.out_neighbors,
+        f"""
+        WITH u AS (SELECT min(c_name) AS email FROM customer),
+        grp AS (
+          SELECT DISTINCT 'group' AS label, n_name AS key
+          FROM customer JOIN nation ON c_nationkey = n_nationkey, u
+          WHERE c_name = u.email
+        ),
+        rol AS (
+          SELECT DISTINCT 'role' AS label, ur.p_brand AS key
+          FROM ({_USER_ROLE}) ur, u WHERE ur.c_name = u.email
+        )
+        SELECT label, key FROM grp
+        UNION ALL SELECT label, key FROM rol
+        ORDER BY label, key
+        """,
+    ),
+    "g_members_of_role": QueryDef(
+        gq.members_of_min_role,
+        f"""
+        SELECT DISTINCT c_name AS email FROM ({_USER_ROLE}) ur
+        WHERE ur.p_brand = (SELECT min(p_brand) FROM part)
+        ORDER BY email
+        """,
+    ),
+    "g_two_hop_region": QueryDef(
+        gq.two_hop_users_in_region,
+        """
+        SELECT DISTINCT c_name AS email
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = (SELECT min(r_name) FROM region)
+        ORDER BY email
+        """,
+    ),
+    "g_principals_with_access": QueryDef(
+        gq.principals_with_access,
+        f"""
+        WITH tgt AS (SELECT min(p_name) AS projectid FROM part),
+        roles_on_p AS (
+          SELECT DISTINCT p_brand AS role, tgt.projectid AS projectid
+          FROM part, tgt WHERE p_name = tgt.projectid
+        ),
+        ur AS (SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE}))
+        SELECT ur.email AS email, ur.role AS role, roles_on_p.projectid AS projectid
+        FROM ur JOIN roles_on_p ON ur.role = roles_on_p.role
+        ORDER BY email, role
+        """,
+    ),
+    "g_reachable_from_user": QueryDef(
+        gq.reachable_from_min_user,
+        f"""
+        WITH RECURSIVE
+        edges_nk AS (
+          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT 'group', n_name, 'group', r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+          UNION
+          SELECT 'serviceAccount', s_name, 'group', n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
+          UNION
+          SELECT 'role', p_brand, 'project', p_name FROM part
+          UNION
+          SELECT 'permission', p_type, 'role', p_brand FROM part
+        ),
+        reach(l, k) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer)
+          UNION
+          SELECT e.dl, e.dk FROM reach r JOIN edges_nk e
+            ON e.sl = r.l AND e.sk = r.k
+        )
+        SELECT l AS label, k AS key FROM reach
+        WHERE NOT (l = 'user' AND k = (SELECT min(c_name) FROM customer))
+        ORDER BY label, key
+        """,
+    ),
+    "g_subgraph_role_project": QueryDef(
+        gq.subgraph_role_project,
+        """
+        SELECT label, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'project' AS label, count(DISTINCT p_name) AS n FROM part
+          UNION ALL
+          SELECT 'role', count(DISTINCT p_brand) FROM part
+        ) ORDER BY label
+        """,
+    ),
+    "g_top_roles": QueryDef(
+        gq.top_roles_by_membership,
+        f"""
+        WITH ur AS ({_USER_ROLE}),
+        deg AS (
+          SELECT p_brand AS role, CAST(count(*) AS BIGINT) AS n_members
+          FROM ur GROUP BY p_brand
+        )
+        SELECT rank, role, n_members FROM (
+          SELECT CAST(row_number() OVER (ORDER BY n_members DESC, role)
+                      AS BIGINT) AS rank,
+                 role, n_members
+          FROM deg
+        ) WHERE rank <= 10
+        """,
+    ),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: qd.sql for name, qd in CATALOG.items() if qd.sql is not None
+    }

@@ -1,0 +1,229 @@
+"""Named graph queries over the fixture-derived property graph.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has
+a DuckDB-oracle SQL twin in ``catalog.py`` expressed directly over the
+base tables (FIXTURES.md §2 derivation), so results project natural
+keys (email/name/projectid), never internal hashed ids.
+
+These cover SURVEY.md §2A rows: scans (A1/A2), label/property filters
+(A3-A5), existence (A6), expansion (A12-A16), semi-join (A14), bounded
+and unbounded multi-hop (A17), projection (A18), subgraph (A20), and
+counting (A23).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.algorithms import reachable_from
+from ..graph.build import build_graph
+from ..graph.schema import natural_key_col, vertex_id
+from ..graph.traversal import Graph
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> Graph:
+    v, e = build_graph(spark, sf_dir)
+    return Graph(v, e)
+
+
+def count_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3+A23: vertex census, the README.md:372-381 check."""
+    g = _graph(spark, sf_dir)
+    return (
+        g.V()
+        .toDF()
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A23: edge census."""
+    g = _graph(spark, sf_dir)
+    return g.E().toDF().select(F.lit(1)).agg(
+        F.count("*").cast("bigint").alias("n_edges")
+    )
+
+
+def user_by_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: g.V().hasLabel('user').has('email', X) point lookup
+    (main.go:206). X = lexicographic-min customer name (deterministic
+    across SFs)."""
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    return (
+        users.join(target, ["email"], "left_semi")
+        .select("label", "email", "is_external")
+    )
+
+
+def user_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 hasNext(): existence probe as a count (the batch-checkable
+    form)."""
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    return (
+        users.join(target, ["email"], "left_semi")
+        .agg((F.count("*") > 0).alias("found"))
+    )
+
+
+def out_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A13+A16+A18: out-neighbours of the min-email user with their
+    natural keys — the README.md:335-349 interactive query."""
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    start = g.V().hasLabel("user")
+    start = start._with(start.toDF().join(target, ["email"], "left_semi"))
+    return (
+        start.out("in")
+        .dedup()
+        .toDF()
+        .select("label", natural_key_col().alias("key"))
+        .orderBy("label", "key")
+    )
+
+
+def members_of_min_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 semi-join: principals with an edge into role R — the
+    where(inV().hasId(r)) pattern (main.go:320 et al.), batch form."""
+    g = _graph(spark, sf_dir)
+    roles = g.V().hasLabel("role").toDF()
+    target = roles.agg(F.min("name").alias("name"))
+    role_ids = roles.join(target, ["name"], "left_semi").select("id")
+    members = (
+        g.E()
+        .where_inV_hasId(role_ids)
+        .outV()
+        .dedup()
+        .toDF()
+        .filter(F.col("label") == "user")
+    )
+    return members.select(F.col("email")).orderBy("email")
+
+
+def two_hop_users_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 bounded: users transitively inside the min-name region via
+    nested groups (user -in-> group -in-> group), the nested-group
+    scenario of README.md:15-32."""
+    g = _graph(spark, sf_dir)
+    regions = g.V().hasLabel("group").toDF().filter(F.col("email").rlike("^[A-Z]+$"))
+    # region-derived groups have ALL-CAPS names (AFRICA, AMERICA, ...);
+    # nation-derived are NATION_i. Deterministic pick: min name.
+    target = regions.agg(F.min("email").alias("email"))
+    region_ids = regions.join(target, ["email"], "left_semi").select("id")
+    e = g.edges.select("src", "dst")
+    hop1 = e.join(region_ids, e.dst == region_ids.id, "left_semi").select(
+        F.col("src").alias("id")
+    )
+    hop2 = e.join(hop1, e.dst == hop1.id, "left_semi").select(
+        F.col("src").alias("id")
+    )
+    users = g.vertices.filter(F.col("label") == "user")
+    return (
+        users.join(hop2, ["id"], "left_semi").select("email").orderBy("email")
+    )
+
+
+def principals_with_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP (SURVEY.md §7.2): which users have (indirect)
+    access to project P, and via which role — user -in-> role -in->
+    project, the README.md:15-32 audit scenario. P = min projectid."""
+    g = _graph(spark, sf_dir)
+    projects = g.V().hasLabel("project").toDF()
+    target = projects.agg(F.min("projectid").alias("projectid"))
+    project_v = projects.join(target, ["projectid"], "left_semi").select(
+        "id", "projectid"
+    )
+    e = g.edges.select("src", "dst")
+    # role -in-> project
+    role_edge = e.join(project_v, e.dst == project_v.id).select(
+        F.col("src").alias("role_id"), "projectid"
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("role_id"), F.col("name").alias("role")
+    )
+    role_on_p = role_edge.join(roles, ["role_id"])
+    # user -in-> role
+    user_edge = e.join(
+        role_on_p, e.dst == role_on_p.role_id
+    ).select(F.col("src").alias("user_id"), "role", "projectid")
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("user_id"), "email"
+    )
+    return (
+        user_edge.join(users, ["user_id"])
+        .select("email", "role", "projectid")
+        .dropDuplicates()
+        .orderBy("email", "role")
+    )
+
+
+def reachable_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 unbounded: full reachable set of the min-email user —
+    fixpoint BFS (graph/algorithms.py); oracle is a recursive CTE."""
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    src = users.join(target, ["email"], "left_semi").select("id")
+    reached = reachable_from(g, src, edge_label="in")
+    return (
+        g.vertices.join(reached, ["id"], "left_semi")
+        .select("label", natural_key_col().alias("key"))
+        .orderBy("label", "key")
+    )
+
+
+def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: edge-induced subgraph of role->project edges
+    (subgraph('sg').cap('sg'), README.md:372-381), summarized as a
+    label census (A23-style)."""
+    g = _graph(spark, sf_dir)
+    role_ids = g.vertices.filter(F.col("label") == "role").select("id")
+    proj_ids = g.vertices.filter(F.col("label") == "project").select("id")
+    e = g.edges
+    cond_src = e.join(role_ids, e.src == role_ids.id, "left_semi")
+    sub_e = cond_src.join(proj_ids, cond_src.dst == proj_ids.id, "left_semi")
+    sg = Graph(g.vertices, sub_e)
+    endpoints = (
+        sub_e.select(F.col("src").alias("id"))
+        .unionByName(sub_e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    sub_v = sg.vertices.join(endpoints, ["id"], "left_semi")
+    return (
+        sub_v.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("label")
+    )
+
+
+def top_roles_by_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics (§2C window row): in-degree of role vertices ranked —
+    'top roles by direct principals'. Window function over degree."""
+    from pyspark.sql.window import Window
+
+    g = _graph(spark, sf_dir)
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    e = g.edges
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    ue = e.join(users, e.src == users.uid, "left_semi")
+    deg = (
+        ue.join(roles, ue.dst == roles.rid)
+        .groupBy("role")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+    )
+    w = Window.orderBy(F.col("n_members").desc(), F.col("role"))
+    return (
+        deg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "role", "n_members")
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tested on ``local[$SPARK_GRAFT_CPUS]`` but configured the way a
+1000-executor cluster run would be: AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), generous broadcast
+threshold so dimension tables never shuffle, Arrow enabled for the
+few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "gsuites-gcp-graphdb-spark") -> SparkSession:
+    """Build (or reuse) the session.
+
+    Notes for cluster scale:
+    - ``spark.sql.shuffle.partitions`` is a floor; AQE coalesces small
+      shuffles and splits skewed ones, so on a real cluster this would
+      be set to ~2-3x total cores and left to AQE.
+    - ``autoBroadcastJoinThreshold`` = 64 MiB: region/nation/part-sized
+      dimension tables broadcast even at large SF; fact-fact joins
+      still sort-merge.
+    - ``files.maxPartitionBytes`` = 128 MiB keeps scan partitions
+      memory-safe at 100 TB inputs.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,172 @@
+"""Graph core: schema, deterministic ids, build, upsert idempotence,
+golden mini-graph traversals (FIXTURES.md §3, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.graph.build import build_graph
+from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+from gsuites_gcp_graphdb_spark.graph.upsert import (
+    assert_unique_keys,
+    drop_all,
+    graph_diff,
+    upsert_edges,
+    upsert_vertices,
+)
+from gsuites_gcp_graphdb_spark.graph.algorithms import (
+    connected_components,
+    degrees,
+    k_hop,
+    reachable_from,
+    reaching_to,
+)
+
+# Golden mini-graph: the reference README's annotated flow
+# (README.md:15-32): user1 -> subgroup1 -> group_of_groups1 -> role ->
+# project.
+GOLDEN_V = [
+    ("user", "user1@domain.com"),
+    ("group", "subgroup1@domain.com"),
+    ("group", "group_of_groups1@domain.com"),
+    ("role", "roles/appengine.codeViewer"),
+    ("project", "gcp-project-200601"),
+]
+GOLDEN_E = [
+    ("user", "user1@domain.com", "group", "subgroup1@domain.com"),
+    ("group", "subgroup1@domain.com", "group", "group_of_groups1@domain.com"),
+    ("group", "group_of_groups1@domain.com", "role", "roles/appengine.codeViewer"),
+    ("role", "roles/appengine.codeViewer", "project", "gcp-project-200601"),
+]
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    v = vertices_of(spark, GOLDEN_V).cache()
+    e = edges_of(spark, GOLDEN_E).cache()
+    return Graph(v, e)
+
+
+def test_golden_counts(golden):
+    # count-check style of README.md:372-375.
+    assert golden.counts() == (5, 4)
+
+
+def test_deterministic_ids(spark):
+    v1 = vertices_of(spark, GOLDEN_V)
+    v2 = vertices_of(spark, list(reversed(GOLDEN_V)))
+    ids1 = {r.id for r in v1.collect()}
+    ids2 = {r.id for r in v2.collect()}
+    assert ids1 == ids2 and len(ids1) == 5
+
+
+def test_traversal_steps(golden):
+    g = golden
+    # hasLabel + has point lookup (main.go:206 pattern)
+    t = g.V().hasLabel("user").has("email", "user1@domain.com")
+    assert t.hasNext()
+    assert t.count() == 1
+    # out() expansion (README.md:335-349)
+    nbrs = g.V().has("email", "user1@domain.com").out("in").toDF().collect()
+    assert [r.email for r in nbrs] == ["subgroup1@domain.com"]
+    # bounded 4-hop reaches the project
+    four = (
+        g.V().has("email", "user1@domain.com").repeat_out(4, "in").toDF().collect()
+    )
+    assert [r.projectid for r in four] == ["gcp-project-200601"]
+    # valueMap projects sparse properties
+    vm = g.V().hasLabel("project").valueMap().collect()[0]
+    assert vm.value_map == {"projectid": "gcp-project-200601"}
+    # where_inV_hasId semi-join (A14)
+    role_id = g.V().hasLabel("role").id_()
+    members = g.E().where_inV_hasId(role_id).outV().toDF().collect()
+    assert [r.email for r in members] == ["group_of_groups1@domain.com"]
+    # in_() reverse expansion
+    up = g.V().hasLabel("project").in_("in").toDF().collect()
+    assert [r.name for r in up] == ["roles/appengine.codeViewer"]
+
+
+def test_reachability_golden(golden, spark):
+    g = golden
+    src = g.V().has("email", "user1@domain.com").id_()
+    reached = reachable_from(g, src)
+    keys = {
+        r.key
+        for r in g.vertices.join(reached, ["id"], "left_semi")
+        .select(F.coalesce("email", "name", "projectid").alias("key"))
+        .collect()
+    }
+    assert keys == {
+        "subgroup1@domain.com",
+        "group_of_groups1@domain.com",
+        "roles/appengine.codeViewer",
+        "gcp-project-200601",
+    }
+    # reverse: who can reach the project -> everyone else
+    tgt = g.V().hasLabel("project").id_()
+    who = reaching_to(g, tgt)
+    assert who.count() == 4
+    # k_hop exact frontier
+    assert k_hop(g, src, 2).count() == 1
+
+
+def test_upsert_idempotent(golden, spark):
+    """THE invariant (SURVEY.md §2.3): load(load(G,X),X) == load(G,X)."""
+    v, e = golden.vertices, golden.edges
+    v1 = upsert_vertices(v, v)
+    e1 = upsert_edges(e, e)
+    assert v1.count() == 5 and e1.count() == 4
+    v2 = upsert_vertices(v1, v)
+    assert v2.count() == 5
+    assert assert_unique_keys(v2) == 0
+    d = graph_diff(v2, e1, v, e)
+    assert all(df.count() == 0 for df in d.values())
+
+
+def test_upsert_get_or_create(golden, spark):
+    """First writer wins; new keys append (main.go:205-211 semantics)."""
+    extra = vertices_of(
+        spark, [("user", "user2@domain.com"), ("user", "user1@domain.com")]
+    )
+    merged = upsert_vertices(golden.vertices, extra)
+    assert merged.count() == 6
+    assert merged.filter(F.col("email") == "user1@domain.com").count() == 1
+
+
+def test_drop_all(golden):
+    v, e = drop_all(golden.vertices, golden.edges)
+    assert v.count() == 0 and e.count() == 0
+
+
+def test_subgraph(golden):
+    sg = golden.subgraph(F.lit(True))
+    assert sg.counts() == (5, 4)
+    role_id = golden.V().hasLabel("role").next().id
+    sg2 = golden.subgraph(F.col("dst") == role_id)
+    assert sg2.counts() == (2, 1)
+
+
+def test_connected_components_and_degrees(spark, golden):
+    comp = connected_components(golden)
+    assert comp.select("component").distinct().count() == 1
+    two = Graph(
+        vertices_of(spark, GOLDEN_V + [("user", "loner@x.com")]),
+        golden.edges,
+    )
+    assert connected_components(two).select("component").distinct().count() == 2
+    deg = degrees(golden)
+    assert deg.agg(F.sum("out_degree")).collect()[0][0] == 4
+
+
+def test_build_fixture_graph(spark, sf_dir):
+    v, e = build_graph(spark, sf_dir)
+    assert assert_unique_keys(v) == 0
+    by_label = {r.label: r.n for r in v.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert by_label["user"] == 150
+    assert by_label["group"] == 30  # 25 nations + 5 regions
+    assert by_label["serviceAccount"] == 10
+    # idempotence on the real derived graph
+    assert upsert_vertices(v, v).count() == v.count()
+    assert upsert_edges(e, e).count() == e.count()
