@@ -1,0 +1,104 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The headline set covers every operator family: graph build+traversal,
+fixpoint reachability, upsert merge, relational aggregation/joins/
+windows, dedup (exact/LSH fast path/jaccard), similarity top-k,
+text analysis, event windowing. Queries come straight from the t2
+catalog (correctness-gated code paths — no bench-special builds),
+except the two *_fast entries which exercise the xxhash64 scale path
+of the same operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gsuites_gcp_graphdb_spark.operators import dedup as dd  # noqa: E402
+from gsuites_gcp_graphdb_spark.plans import graph_queries as gq  # noqa: E402
+from gsuites_gcp_graphdb_spark.plans.catalog import CATALOG  # noqa: E402
+from gsuites_gcp_graphdb_spark.session import get_spark  # noqa: E402
+from gsuites_gcp_graphdb_spark.sources.fixtures import load_table  # noqa: E402
+
+HEADLINE = [
+    # graph surface
+    "g_count_by_label",
+    "g_edge_count",
+    "g_principals_with_access",
+    "g_reachable_from_user",
+    "g_members_of_role",
+    "g_top_roles",
+    # relational / ETL surface
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_order_per_customer",
+    "etl_role_permission_inversion",
+    # pipeline surface
+    "ns_dedup_exact",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_minhash_lsh",
+    "ns_topk_cosine",
+    "ns_text_token_stats",
+    "ns_events_tumbling",
+    "ns_events_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Materialize the graph once (deployed-system shape); timed as its
+    # own entry so build cost is visible, not smeared into queries.
+    t0 = time.perf_counter()
+    g = gq._graph(spark, sf_dir)
+    g.counts()
+    timings["graph_build"] = round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Scale-path variants (xxhash64 instead of portable md5).
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    dd.minhash_lsh_candidates(docs, use_md5=False).count()
+    timings["ns_dedup_minhash_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dd.simhash_candidates(docs, max_hamming=8).count()
+    timings["ns_dedup_simhash_fast"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

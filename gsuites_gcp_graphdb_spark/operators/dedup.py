@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines (north-star
+surface, SURVEY.md §2C/§7.7): exact, MinHash-LSH, SimHash, and n-gram
+Jaccard. All hot paths are built-in expressions (codegen'd); nothing
+collects to the driver.
+
+Scale design:
+- exact dedup = hash-groupBy — one shuffle, map-side combinable;
+- n-gram Jaccard = inverted-index self-join on shingle (shuffle keyed
+  by shingle, skew-prone on stop-shingles → filter ubiquitous
+  shingles like df-cut in IR); candidate set is linear in the
+  posting-list sizes, never the O(n^2) cross join;
+- MinHash-LSH = signature (narrow) → band explode (x bands) →
+  self-join on band hash: the classic sub-quadratic near-dup path for
+  100 TB corpora;
+- SimHash = 64-bit sketch via per-bit vote aggregation, candidates by
+  chunk-match banding (hamming<=k implies some k+1-chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (
+    band_hashes,
+    minhash_signature_md5,
+    minhash_signature_xxhash,
+    shingles,
+)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_dups, doc_ids).
+    md5 (not raw text) is the group key so the shuffle moves 16-byte
+    keys, not documents."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    w = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__k")
+    )
+    keep = w.groupBy("__k").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [id_col], "left_semi")
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) posting relation + per-doc set size."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    return sh.select(
+        "id",
+        F.size("sh").cast("bigint").alias("set_size"),
+        F.explode("sh").alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index
+    join — (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    The self-join on `shingle` only pairs docs sharing at least one
+    shingle; intersection sizes come from one groupBy. This is the
+    exact (no false positive/negative) counterpart that also serves
+    as the verifier stage after MinHash candidate generation.
+    """
+    posts = shingle_sets(df, id_col, text_col, n)
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    use_md5: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (id_a, id_b), id_a<id_b.
+
+    use_md5=True computes signatures with the portable md5 family
+    (bit-identical in DuckDB → oracle-checkable); use_md5=False uses
+    xxhash64 (the fast path for real corpora).
+    """
+    rows = num_hashes // bands
+    sig_fn = minhash_signature_md5 if use_md5 else minhash_signature_xxhash
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    sig = sh.select("id", *sig_fn(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id", *band_hashes([f"mh_{j}" for j in range(num_hashes)], bands, rows, use_md5)
+    )
+    long = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").cast("string").alias("h")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    Output (id_a, id_b, jaccard) — a subset of ngram_jaccard_pairs
+    (LSH may miss pairs; it never invents them)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, use_md5
+    )
+    posts = shingle_sets(df, id_col, text_col, n)
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.id"))
+        .join(
+            b,
+            (cand.id_b == F.col("b.id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, per-bit +/-1 votes,
+    sign-pack. One shuffle (groupBy id); 64 conditional sums stay in
+    one hash-aggregate.
+
+    Returns (id, simhash bigint)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"v_{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit sketch into max_hamming+1
+    chunks; any pair within distance k must agree on >=1 chunk, so we
+    self-join per chunk (linear-ish) then verify with bit_count(xor).
+    """
+    k = max_hamming + 1
+    width = 64 // k
+    sh = simhash64(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.expr(
+                            f"(simhash >> {c * width}) & {(1 << width) - 1}"
+                        ).alias("v"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.c", "ch.v")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

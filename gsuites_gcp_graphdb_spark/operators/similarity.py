@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Baseline: brute-force cosine top-k — a broadcast of the (tiny) query
+set against the (huge) corpus, no shuffle of the corpus at all, then
+a per-query top-k. Scale path: LSH-bucketed search — corpus grouped
+by a hyperplane sketch; queries probe only their bucket, turning the
+O(|corpus|) scan per query into O(bucket).
+
+Everything is built-in higher-order functions (functions/vectors.py);
+no UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity, dot, hyperplane_sketch
+
+
+def topk_for_vector(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbours of one literal query vector.
+
+    Plan shape: project cos_sim (codegen'd fold over the array) →
+    TakeOrderedAndProject (no full sort, no shuffle of vectors).
+    Ties broken by id so LIMIT is deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        cosine_similarity(F.col(vec_col), q).alias("__exact"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.orderBy(F.col("__exact").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join: for every query vector, its k nearest
+    corpus vectors. Queries are broadcast (they're the small side by
+    construction); the corpus never shuffles. Per-query top-k via
+    window rank — AQE handles the skew-free partition-by-query."""
+    q = queries.select(
+        F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("__exact"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("__exact").desc(), F.col(c_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("__exact", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from a fixed LCG — deterministic
+    across runs/engines without Date/random dependencies."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(num_planes):
+        p = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            p.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(p)
+    return planes
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN: both sides sketched with the same
+    deterministic hyperplanes; candidates = same-bucket pairs; exact
+    cosine only on candidates. The equi-join on `bucket` is an
+    ordinary shuffle/broadcast join Catalyst can optimize — this is
+    the 100 TB ANN path (cost ~ bucket size, not corpus size)."""
+    planes = _deterministic_planes(num_planes, dim)
+    qs = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    cs = corpus.select(
+        F.col(c_id),
+        F.col(vec_col),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = cs.join(F.broadcast(qs), ["bucket"]).select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("__exact"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("__exact").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("__exact", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold)
+    via the LSH bucket join (sub-quadratic); exact threshold check on
+    candidates."""
+    planes = _deterministic_planes(num_planes, dim)
+    s = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_similarity(F.col("a.v"), F.col("b.v")).alias("__exact"),
+    )
+    return (
+        pairs.filter(F.col("__exact") >= threshold)
+        .select("id_a", "id_b", F.round("__exact", 6).alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

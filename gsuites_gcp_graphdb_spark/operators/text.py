@@ -1,0 +1,129 @@
+"""Text analysis operators (north-star surface): language ID, quality
+scoring, token counting, document fingerprinting. All built-in
+expressions — per-row work stays in whole-stage codegen.
+
+Each operator's arithmetic is mirrored exactly in the DuckDB oracle
+(same tokenization, same integer->double divisions, same rounding),
+so t2 hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingles, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# heuristic. Deterministic and mirrored in the oracle SQL.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+}
+
+# A BPE-ish word/number/symbol splitter: runs of letters, runs of
+# digits, or single non-space symbols — the classic pre-tokenizer
+# shape. Same regex (POSIX classes) runs in DuckDB.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
+    return hits / F.size(toks).cast("double")
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language stopword
+    hit ratios; 'und' (undetermined) when the best ratio < 2%.
+    Returns (id, lang_pred, ratio)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    ratios = [
+        F.struct(
+            F.round(_stopword_ratio(toks, words), 6).alias("ratio"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    # array_max over structs compares field-by-field: (ratio, lang) —
+    # ties break toward the lexicographically-max lang; the oracle
+    # mirrors with greatest-of-structs semantics.
+    best = F.array_max(F.array(*ratios))
+    return df.select(
+        F.col(id_col),
+        F.when(best["ratio"] >= 0.02, best["lang"])
+        .otherwise("und")
+        .alias("lang_pred"),
+        best["ratio"].alias("ratio"),
+    )
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, unique
+    ratio. (id, n_ws_tokens, n_bpe_tokens, uniq_ratio)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("uniq_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, alpha ratio -> composite score in [0,1]. The exact recipe
+    is arbitrary (as all quality heuristics are); what matters is
+    it's deterministic, cheap, and columnar."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    mean_wlen = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
+    stop = F.round(
+        _stopword_ratio(F.transform(toks, F.lower), STOPWORDS["en"]), 6
+    )
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    wlen_score = F.when(
+        (mean_wlen >= 3.0) & (mean_wlen <= 8.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_score = F.least(stop * 10.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop.alias("stopword_ratio"),
+        F.round(
+            0.4 * len_score + 0.3 * wlen_score + 0.3 * stop_score, 6
+        ).alias("quality"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Document fingerprints: full-text md5 + winnowing-style minimum
+    shingle hash (the rolling-hash min over n-gram windows — here the
+    lexicographic min of per-shingle md5s, identical cross-engine).
+    (id, fp_md5, fp_min_shingle)."""
+    sh = shingles(F.col(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
+    )

@@ -24,17 +24,11 @@ same parquet files (driver pre-registers these).
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 from . import graph_queries as gq
-
-
-@dataclass(frozen=True)
-class QueryDef:
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None => non-SQL-expressible; driver does rows-only
+from .base import QueryDef
 
 
 # SQL fragment: the user->role edge derivation (FIXTURES.md §2), shared
@@ -208,6 +202,18 @@ CATALOG: dict[str, QueryDef] = {
         """,
     ),
 }
+
+
+def _merge_modules() -> None:
+    from . import pipeline_queries, relational_queries
+
+    for mod in (relational_queries, pipeline_queries):
+        for name, qd in mod.ENTRIES.items():
+            assert name not in CATALOG, f"duplicate query name {name}"
+            CATALOG[name] = qd
+
+
+_merge_modules()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,9 +22,21 @@ from ..graph.schema import natural_key_col, vertex_id
 from ..graph.traversal import Graph
 
 
+# Per-process graph cache: the derived graph is deterministic per
+# sf_dir, so build it once, persist, and let every query reuse it —
+# the deployed-system shape (graph materialized once, queried many
+# times), and what makes a 40-query correctness sweep O(1) builds.
+_GRAPH_CACHE: dict[tuple[int, str], Graph] = {}
+
+
 def _graph(spark: SparkSession, sf_dir: str) -> Graph:
-    v, e = build_graph(spark, sf_dir)
-    return Graph(v, e)
+    key = (id(spark.sparkContext), sf_dir)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        v, e = build_graph(spark, sf_dir)
+        g = Graph(v, e).cache()
+        _GRAPH_CACHE[key] = g
+    return g
 
 
 def count_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,519 @@
+"""North-star pipeline queries (SURVEY.md §2C/§7.7): dedup, similarity
+search, text analysis, multimodal stats, event windowing — each with a
+DuckDB oracle twin generated from the SAME parameters, so the Spark
+and SQL sides can't drift apart.
+
+Cross-engine determinism rules used throughout:
+- hashes are md5 (identical lowercase hex in both engines);
+- float folds are sequential left-to-right with double operands;
+- integer->double divisions use identical operands;
+- rounding applied at the same points;
+- timestamps compared in exact integer microseconds (unix_micros vs
+  epoch_us), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..sources.fixtures import load_table
+from ..streaming import windows as win
+from .base import QueryDef
+
+# Shared parameters (Spark + SQL generated from these).
+SHINGLE_N = 3
+MINHASH_K = 12
+LSH_BANDS = 6
+JACCARD_TAU = 0.5
+FP_N = 5
+TOPK = 10
+SESSION_GAP_MIN = 30
+
+# DuckDB fragment: distinct n-token shingles of `text`.
+_SQL_SHINGLES = f"""list_distinct(list_transform(
+      range(0, greatest(len(string_split(text,' '))-{SHINGLE_N},0)+1),
+      i -> array_to_string(string_split(text,' ')[i+1:i+{SHINGLE_N}], ' ')))"""
+
+_SQL_SHINGLES_FP = f"""list_distinct(list_transform(
+      range(0, greatest(len(string_split(text,' '))-{FP_N},0)+1),
+      i -> array_to_string(string_split(text,' ')[i+1:i+{FP_N}], ' ')))"""
+
+
+# --------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+    )
+    groups = dd.exact_duplicates(docs).agg(
+        F.count("*").cast("bigint").alias("n_dup_groups")
+    )
+    kept = dd.dedup_exact(docs).agg(
+        F.count("*").cast("bigint").alias("n_after_dedup")
+    )
+    return stats.crossJoin(groups).crossJoin(kept)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=JACCARD_TAU
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        docs, n=SHINGLE_N, num_hashes=MINHASH_K, bands=LSH_BANDS, use_md5=True
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
+def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        docs,
+        n=SHINGLE_N,
+        num_hashes=MINHASH_K,
+        bands=LSH_BANDS,
+        threshold=JACCARD_TAU,
+        use_md5=True,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64-based; no portable SQL twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_candidates(docs, max_hamming=8)
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n        ".join(
+        f"""list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS mh_{j}"""
+        for j in range(MINHASH_K)
+    )
+    return f"""
+      WITH shed AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+      ),
+      sig AS (
+        SELECT doc_id,
+        {mins}
+        FROM shed
+      )"""
+
+
+def _sql_bands() -> str:
+    rows = MINHASH_K // LSH_BANDS
+    selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{j}" for j in range(b * rows, (b + 1) * rows)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS h FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_SQL_MINHASH_CAND = (
+    _sql_minhash_sig()
+    + f""",
+      banded AS ({_sql_bands()}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+      )"""
+)
+
+_SQL_JACCARD_PAIRS = f"""
+      shed2 AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+      ),
+      posts AS (
+        SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle FROM shed2
+      ),
+      jac AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(count(*) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - count(*) AS DOUBLE),
+                 6) AS jaccard
+        FROM posts a
+        JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+      )"""
+
+
+# --------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k neighbours of the min-id embedding. Fully
+    declarative: the query vector joins in as a broadcast single row;
+    ranking is TakeOrderedAndProject on the exact score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.agg(F.min("vec_id").alias("qid"))
+    q = emb.join(qrow, emb.vec_id == qrow.qid, "left_semi").select(
+        F.col("embedding").alias("qvec")
+    )
+    from ..functions.vectors import cosine_similarity
+
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        cosine_similarity(F.col("embedding"), F.col("qvec")).alias("__exact"),
+    )
+    return (
+        scored.orderBy(F.col("__exact").desc(), F.col("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", F.round("__exact", 6).alias("cos_sim"))
+    )
+
+
+def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN join for a deterministic 5-query subset
+    (vec_id % 100 == 0): broadcast queries x corpus, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return sim.knn_join(queries, emb, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cos_sim",
+        "rank",
+    )
+
+
+def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed approximate k-NN (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return sim.lsh_bucketed_topk(queries, emb, k=5)
+
+
+# Exact cosine fold — identical operand order to functions/vectors.py.
+_SQL_COS_EXACT = """(
+        list_reduce(list_transform(range(1, len(embedding)+1),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)),
+          (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, len(qvec)+1),
+             i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)),
+             (x, y) -> x + y))))"""
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.language_id(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang_pred", "ratio"
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_stats(docs)
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_score(docs)
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.fingerprints(docs, n=FP_N)
+
+
+def _sql_stop_ratio(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"""round(CAST(len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ({lst}))) AS DOUBLE)
+      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6)"""
+
+
+# --------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata stats over the opaque binary column — the
+    filter/prune path that must never read blob bytes (here it reads
+    octet_length only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    return media.groupBy("media_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: mapInPandas feature extraction (stubbed decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            2,
+        ).alias("feat_sum"),
+    )
+
+
+# --------------------------------------------------------------------
+# Event windows
+# --------------------------------------------------------------------
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.session_counts_batch(
+        load_table(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN
+    )
+
+
+ENTRIES: dict[str, QueryDef] = {
+    "ns_dedup_exact": QueryDef(
+        dedup_exact_stats,
+        """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+          (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents)
+            AS n_unique,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+             SELECT md5(text) FROM documents GROUP BY 1 HAVING count(*) > 1))
+            AS n_dup_groups,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+             SELECT min(doc_id) FROM documents GROUP BY md5(text)))
+            AS n_after_dedup
+        """,
+    ),
+    "ns_dedup_ngram_jaccard": QueryDef(
+        ngram_jaccard,
+        f"""
+        WITH {_SQL_JACCARD_PAIRS.lstrip()}
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               jaccard
+        FROM jac WHERE jaccard >= {JACCARD_TAU}
+        """,
+    ),
+    "ns_dedup_minhash_lsh": QueryDef(
+        minhash_lsh,
+        f"""
+        {_SQL_MINHASH_CAND}
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        FROM cand
+        """,
+    ),
+    "ns_dedup_minhash_verified": QueryDef(
+        minhash_verified,
+        f"""
+        {_SQL_MINHASH_CAND},
+        {_SQL_JACCARD_PAIRS.lstrip().lstrip()}
+        SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+               j.jaccard
+        FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= {JACCARD_TAU}
+        """,
+    ),
+    "ns_dedup_simhash": QueryDef(simhash_pairs, None),
+    "ns_topk_cosine": QueryDef(
+        topk_cosine,
+        f"""
+        WITH q AS (
+          SELECT embedding AS qvec FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        scored AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 {_SQL_COS_EXACT} AS ex
+          FROM embeddings, q
+        )
+        SELECT vec_id, round(ex, 6) AS cos_sim FROM scored
+        ORDER BY ex DESC, vec_id LIMIT {TOPK}
+        """,
+    ),
+    "ns_knn_join": QueryDef(
+        knn_join_sample,
+        f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+          WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+          SELECT q.q_id, CAST(e.vec_id AS BIGINT) AS vec_id,
+                 {_SQL_COS_EXACT} AS ex
+          FROM embeddings e, q
+        )
+        SELECT CAST(q_id AS BIGINT) AS q_id, vec_id,
+               round(ex, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+        """,
+    ),
+    "ns_lsh_ann": QueryDef(lsh_ann, None),
+    "ns_text_langid": QueryDef(
+        lang_id,
+        f"""
+        WITH r AS (
+          SELECT doc_id,
+                 {_sql_stop_ratio(tx.STOPWORDS["de"])} AS r_de,
+                 {_sql_stop_ratio(tx.STOPWORDS["en"])} AS r_en,
+                 {_sql_stop_ratio(tx.STOPWORDS["es"])} AS r_es
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN greatest(r_de, r_en, r_es) < 0.02 THEN 'und'
+               WHEN r_es = greatest(r_de, r_en, r_es) THEN 'es'
+               WHEN r_en = greatest(r_de, r_en, r_es) THEN 'en'
+               ELSE 'de' END AS lang_pred,
+          greatest(r_de, r_en, r_es) AS ratio
+        FROM r
+        """,
+    ),
+    "ns_text_token_stats": QueryDef(
+        token_stats,
+        f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
+               AS BIGINT) AS n_bpe_tokens,
+          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio
+        FROM documents
+        """,
+    ),
+    "ns_text_quality": QueryDef(
+        quality,
+        f"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+            CAST(length(text) AS DOUBLE) AS len_chars,
+            {_sql_stop_ratio(tx.STOPWORDS["en"])} AS stop
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_tok AS BIGINT) AS n_tokens,
+          round((len_chars - (n_tok - 1)) / n_tok, 6) AS mean_word_len,
+          stop AS stopword_ratio,
+          round(0.4 * least(n_tok / 64.0, 1.0)
+              + 0.3 * (CASE WHEN round((len_chars - (n_tok - 1)) / n_tok, 6)
+                         BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+              + 0.3 * least(stop * 10.0, 1.0), 6) AS quality
+        FROM t
+        """,
+    ),
+    "ns_text_fingerprints": QueryDef(
+        fingerprints,
+        f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               md5(text) AS fp_md5,
+               list_min(list_transform({_SQL_SHINGLES_FP}, s -> md5(s)))
+                 AS fp_min_shingle
+        FROM documents
+        """,
+    ),
+    "ns_media_stats": QueryDef(
+        media_stats,
+        """
+        SELECT CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS media_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents GROUP BY 1
+        """,
+    ),
+    "ns_media_features": QueryDef(media_features, None),
+    "ns_events_tumbling": QueryDef(
+        events_tumbling,
+        """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+        """,
+    ),
+    "ns_events_sliding": QueryDef(
+        events_sliding,
+        """
+        WITH b AS (
+          SELECT unnest([
+            time_bucket(INTERVAL '5 minutes', ts),
+            time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+          ]) AS bucket
+          FROM events
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        """,
+    ),
+    "ns_events_sessions": QueryDef(
+        events_sessions,
+        f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+                 THEN 1 ELSE 0 END AS is_break
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(is_break) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM g
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM s GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM per_session GROUP BY user_id
+        """,
+    ),
+}

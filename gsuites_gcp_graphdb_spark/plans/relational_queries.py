@@ -1,0 +1,383 @@
+"""Relational + ETL-dataflow queries (SURVEY.md §2B/§2C): the
+reference's Go-side dataflow operators re-expressed declaratively,
+plus the standard-checklist categories (aggregation, window, rollup,
+set ops, string/date/json functions) the contract exercises.
+
+Money aggregates are computed in DECIMAL (exact, order-independent —
+a float sum would depend on partition order and could never
+hash-match DuckDB), then cast to double at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.fixtures import load_table
+from .base import QueryDef
+
+DEC = "decimal(18,2)"
+DEC_HI = "decimal(38,6)"
+
+
+# --- B1: early filter (ACTIVE-project analog: open orders) -----------
+def filter_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """main.go:722 `LifecycleState == ACTIVE` analog: filter pushed to
+    the scan (check .explain: PushedFilters on o_orderstatus)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# --- B8: role->permission inversion ----------------------------------
+def role_permission_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generateMap (main.go:839-907): roles' included permissions
+    inverted to permission -> sorted role list. The reference builds
+    this with driver-side linear scans + mutex'd maps; here it's one
+    hash aggregate with map-side combine (explode + groupBy +
+    collect_set). Output as csv string for cross-engine hashing."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_type").alias("permission"), F.col("p_brand").alias("role")
+        )
+        .dropDuplicates()
+        .groupBy("permission")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("role")), ",").alias(
+                "roles"
+            ),
+            F.count("*").cast("bigint").alias("n_roles"),
+        )
+    )
+
+
+# --- B4/B6: member-string parsing (total, unlike main.go:563-564) ----
+def member_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `type:email` member-string split (main.go:563: unguarded
+    strings.Split index crash on e.g. 'allUsers'). Our parser is
+    total: memberless pseudo-principals map to ('pseudoGroup', token).
+    Members synthesized deterministically from customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    member = F.when(
+        F.col("c_custkey") % 10 == 0, F.lit("allUsers")
+    ).otherwise(F.concat(F.lit("user:"), F.col("c_name")))
+    parts = F.split(member, ":")
+    return (
+        customer.select(
+            member.alias("member"),
+            F.when(F.size(parts) >= 2, F.element_at(parts, 1))
+            .otherwise(F.lit("pseudoGroup"))
+            .alias("member_type"),
+            F.when(F.size(parts) >= 2, F.element_at(parts, 2))
+            .otherwise(F.element_at(parts, 1))
+            .alias("principal"),
+        )
+        .groupBy("member_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.lit(1))
+            .cast("bigint")
+            .alias("n_total"),
+            F.min("principal").alias("min_principal"),
+        )
+    )
+
+
+# --- §2C aggregation: TPC-H Q1-shaped pricing summary ----------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum((price * (F.lit(1).cast(DEC) - disc)).cast(DEC_HI))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
+                    (price * (F.lit(1).cast(DEC) - disc)).cast(DEC_HI)
+                    * (F.lit(1).cast(DEC) + tax)
+                ).cast(DEC_HI)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# --- §2C sorts/limits: top-k with deterministic tiebreak -------------
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select(
+            "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+        )
+    )
+
+
+# --- §2C window functions --------------------------------------------
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("top_orderkey"),
+            F.col("o_totalprice").cast("double").alias("top_price"),
+        )
+    )
+
+
+# --- §2C grouping sets / rollup --------------------------------------
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "qty")
+    )
+
+
+# --- §2C set ops ------------------------------------------------------
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    have = o.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
+    return (
+        c.select("c_custkey", "c_name")
+        .exceptAll(
+            c.join(have, ["c_custkey"], "left_semi").select(
+                "c_custkey", "c_name"
+            )
+        )
+        .select(F.col("c_name").alias("c_name"))
+    )
+
+
+# --- §2C date functions ----------------------------------------------
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+# --- §2C string functions --------------------------------------------
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.element_at(F.split("p_name", " "), 1).alias("first_word"))
+        .groupBy("first_word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# --- §2C json functions ----------------------------------------------
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.max(k).cast("bigint").alias("k_max"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+# --- joins incl. broadcast + multi-way (§2C joins row) ---------------
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic star join: fact lineitem ⨝ orders ⨝ customer ⨝ nation.
+    nation/customer broadcast under AQE; revenue summed in decimal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast(DEC_HI)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ENTRIES: dict[str, QueryDef] = {
+    "etl_filter_open_orders": QueryDef(
+        filter_open_orders,
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """,
+    ),
+    "etl_role_permission_inversion": QueryDef(
+        role_permission_inversion,
+        """
+        SELECT p_type AS permission,
+               string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS roles,
+               CAST(count(DISTINCT p_brand) AS BIGINT) AS n_roles
+        FROM part GROUP BY p_type
+        """,
+    ),
+    "etl_member_parse": QueryDef(
+        member_parse,
+        """
+        WITH m AS (
+          SELECT CASE WHEN c_custkey % 10 = 0 THEN 'allUsers'
+                      ELSE 'user:' || c_name END AS member
+          FROM customer
+        ),
+        parsed AS (
+          SELECT member,
+                 CASE WHEN len(string_split(member, ':')) >= 2
+                      THEN string_split(member, ':')[1]
+                      ELSE 'pseudoGroup' END AS member_type,
+                 CASE WHEN len(string_split(member, ':')) >= 2
+                      THEN string_split(member, ':')[2]
+                      ELSE string_split(member, ':')[1] END AS principal
+          FROM m
+        )
+        SELECT member_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_total,
+               min(principal) AS min_principal
+        FROM parsed GROUP BY member_type
+        """,
+    ),
+    "rel_pricing_summary": QueryDef(
+        pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,6))
+               * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+               AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+          CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    "rel_top_customers": QueryDef(
+        top_customers,
+        """
+        SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+        """,
+    ),
+    "rel_top_order_per_customer": QueryDef(
+        top_order_per_customer,
+        """
+        SELECT CAST(o_custkey AS BIGINT) AS custkey,
+               CAST(o_orderkey AS BIGINT) AS top_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS top_price
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+        """,
+    ),
+    "rel_rollup_returns": QueryDef(
+        rollup_returns,
+        """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+    ),
+    "rel_customers_without_orders": QueryDef(
+        customers_without_orders,
+        """
+        SELECT c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+    ),
+    "rel_orders_per_month": QueryDef(
+        orders_per_month,
+        """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1
+        """,
+    ),
+    "rel_part_name_tokens": QueryDef(
+        part_name_tokens,
+        """
+        SELECT string_split(p_name, ' ')[1] AS first_word,
+               CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY 1
+        """,
+    ),
+    "rel_event_props_json": QueryDef(
+        event_props_json,
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    ),
+    "rel_revenue_by_nation": QueryDef(
+        revenue_by_nation,
+        """
+        SELECT n_name,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    ),
+}

@@ -1,0 +1,139 @@
+"""Dedup / similarity / text / multimodal operator semantics on tiny
+literal data (oracle parity is covered by tools/selfcheck.py; these
+pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.operators import dedup as dd
+from gsuites_gcp_graphdb_spark.operators import multimodal as mm
+from gsuites_gcp_graphdb_spark.operators import similarity as sim
+from gsuites_gcp_graphdb_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with no overlap here at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "one two"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2 and groups[0].doc_ids == [1, 4]
+    kept = dd.dedup_exact(docs)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 5}
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert 0.5 < pairs[(1, 2)] < 1.0  # near dup (one word differs)
+    assert (1, 3) not in pairs
+    # short doc produces one partial shingle, doesn't crash (totality)
+    assert all(k[0] != 5 and k[1] != 5 for k in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(docs, use_md5=True).collect()
+    }
+    assert (1, 4) in cand  # identical docs always collide
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.2).collect()
+    }
+    assert verified.get((1, 4)) == 1.0
+    # xxhash64 fast path agrees on the sure thing
+    cand_fast = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(docs, use_md5=False).collect()
+    }
+    assert (1, 4) in cand_fast
+
+
+def test_simhash(docs):
+    sh = {r.id: r.simhash for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[4]  # identical text -> identical sketch
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_candidates(docs, max_hamming=16).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+    near = pairs.get((1, 2))
+    assert near is not None and near <= 16
+
+
+def test_similarity_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = sim.topk_for_vector(emb, [1.0, 0.0, 0.0], k=2, exclude_id=0).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    assert top[0].cos_sim > 0.99
+    knn = sim.knn_join(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        emb,
+        k=2,
+    ).collect()
+    assert [r.vec_id for r in knn] == [0, 1]  # self first, then nearest
+    dups = sim.embedding_near_duplicates(emb, threshold=0.99, dim=3).collect()
+    assert {(r.id_a, r.id_b) for r in dups} == set() or all(
+        r.cos_sim >= 0.99 for r in dups
+    )
+
+
+def test_text_ops(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too", "x", "s", 43),
+        (2, "el perro y el gato en la casa de la abuela", "x", "s", 42),
+        (3, "zz yy xx ww vv", "x", "s", 14),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    langs = {r.doc_id: r.lang_pred for r in tx.language_id(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "es" and langs[3] == "und"
+    stats = {r.doc_id: r for r in tx.token_stats(docs).collect()}
+    assert stats[1].n_ws_tokens == 11
+    assert stats[3].uniq_ratio == 1.0
+    q = {r.doc_id: r for r in tx.quality_score(docs).collect()}
+    assert 0.0 <= q[3].quality <= q[1].quality <= 1.0
+    fp = {r.doc_id: r for r in tx.fingerprints(docs).collect()}
+    assert fp[1].fp_md5 != fp[2].fp_md5
+    assert len(fp[1].fp_min_shingle) == 32
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = mm.documents_as_media(docs)
+    assert media.schema["content"].dataType.typeName() == "binary"
+    feats = mm.extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 8
+        # histogram counts first min(256, n_bytes) bytes
+        assert sum(r.features) == min(r.n_bytes, 256)
+    frames = mm.frame_sample(media, stride=64, frame=16).collect()
+    assert all(len(r.frames) >= 1 for r in frames)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...")
