@@ -1,0 +1,117 @@
+"""Graph export sinks (SURVEY.md §2A A21/A22).
+
+- GraphML (A21): the reference exports an extracted subgraph for
+  Cytoscape/Gephi via ``sg.io(IoCore.graphml()).writeGraph(...)``
+  (README.md:383-388). Export is small-data by construction (you
+  extract a subgraph first), so we serialize on the driver after a
+  collect — mirroring the reference, whose subgraph also materializes
+  in driver memory (TinkerGraph). Multi-valued properties are NOT
+  representable in GraphML (README.md:474-482); we enforce the same
+  limitation by only emitting scalar columns.
+- GraphSON-style JSON (A22): distributed ``df.write.json`` of vertex
+  and edge records (adjacency-free, line-delimited) — the
+  multi-valued-capable path (README.md:484-489), safe at any scale.
+- Parquet snapshots: the canonical persisted form (partitioned by
+  label, SURVEY.md §4.4), written/read back by ``save/load``.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .schema import EDGE_SCHEMA, VERTEX_SCHEMA
+from .traversal import Graph
+
+_GRAPHML_KEYS = (
+    ("label", "string"),
+    ("email", "string"),
+    ("name", "string"),
+    ("projectid", "string"),
+    ("is_external", "boolean"),
+)
+
+
+def to_graphml(g: Graph) -> str:
+    """Serialize a (small, pre-extracted) graph to GraphML XML."""
+    header = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+    ]
+    for key, typ in _GRAPHML_KEYS:
+        header.append(
+            f'  <key id="{key}" for="node" attr.name="{key}" '
+            f'attr.type="{typ}"/>'
+        )
+    header.append(
+        '  <key id="weight" for="edge" attr.name="weight" attr.type="int"/>'
+    )
+    header.append('  <graph id="G" edgedefault="directed">')
+    lines = header
+    for row in g.vertices.toLocalIterator():
+        lines.append(f'    <node id="n{row.id}">')
+        for key, _typ in _GRAPHML_KEYS:
+            val = getattr(row, key)
+            if val is not None:
+                lines.append(
+                    f'      <data key="{key}">'
+                    f"{escape(str(val).lower() if isinstance(val, bool) else str(val))}"
+                    f"</data>"
+                )
+        lines.append("    </node>")
+    for i, row in enumerate(g.edges.toLocalIterator()):
+        lines.append(
+            f'    <edge id="e{i}" source="n{row.src}" target="n{row.dst}" '
+            f'label="{escape(row.label)}">'
+        )
+        lines.append(f'      <data key="weight">{row.weight}</data>')
+        lines.append("    </edge>")
+    lines.append("  </graph>")
+    lines.append("</graphml>")
+    return "\n".join(lines)
+
+
+def write_graphml(g: Graph, path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(to_graphml(g))
+
+
+def write_graphson(g: Graph, path: str) -> None:
+    """Distributed JSON export: one record per element, tagged — scales
+    to any graph size (no driver collect)."""
+    v = g.vertices.select(
+        F.lit("vertex").alias("kind"),
+        F.col("id"),
+        F.col("label"),
+        F.to_json(
+            F.struct("email", "name", "projectid", "is_external")
+        ).alias("properties"),
+    )
+    e = g.edges.select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("id"),
+        F.col("label"),
+        F.to_json(F.struct("src", "dst", "weight")).alias("properties"),
+    )
+    v.unionByName(e).write.mode("overwrite").json(path)
+
+
+def save(g: Graph, path: str) -> None:
+    """Parquet snapshot, scale layout: vertices partitioned by label
+    (partition pruning for hasLabel), edges repartitioned by src
+    (expansion joins read co-located data)."""
+    g.vertices.write.mode("overwrite").partitionBy("label").parquet(
+        f"{path}/vertices"
+    )
+    g.edges.repartition("src").write.mode("overwrite").parquet(
+        f"{path}/edges"
+    )
+
+
+def load(spark: SparkSession, path: str) -> Graph:
+    v = spark.read.schema(VERTEX_SCHEMA).parquet(f"{path}/vertices")
+    e = spark.read.schema(EDGE_SCHEMA).parquet(f"{path}/edges")
+    # partitionBy moves `label` to directory keys; restore column order
+    return Graph(v.select(*VERTEX_SCHEMA.fieldNames()), e)

@@ -78,21 +78,38 @@ def drop_all(vertices: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     return vertices.limit(0), edges.limit(0)
 
 
+def _anti(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows of a absent from b — null-safe anti-join on every column.
+
+    Equivalent to except for unique-key rows, but (a) it's the
+    shuffle-on-key plan that scales (except materializes both sides
+    distinct), and (b) it sidesteps a Catalyst internal-attribute bug
+    with exceptAll over deeply self-referencing union/upsert plans.
+    """
+    left = a.alias("l")
+    right = b.alias("r")
+    cond = None
+    for c in a.columns:
+        eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        cond = eq if cond is None else cond & eq
+    return left.join(right, cond, "left_anti")
+
+
 def graph_diff(
     vertices_a: DataFrame,
     edges_a: DataFrame,
     vertices_b: DataFrame,
     edges_b: DataFrame,
 ) -> dict[str, DataFrame]:
-    """Snapshot diff via except (SURVEY.md §2C set-ops row): what A has
-    that B lacks and vice versa — the audit-friendly capability echo of
+    """Snapshot diff (SURVEY.md §2C set-ops row): what A has that B
+    lacks and vice versa — the audit-friendly capability echo of
     idempotence (diff(load(G,X), G) == the genuinely-new rows of X).
     """
     return {
-        "vertices_only_a": vertices_a.exceptAll(vertices_b),
-        "vertices_only_b": vertices_b.exceptAll(vertices_a),
-        "edges_only_a": edges_a.exceptAll(edges_b),
-        "edges_only_b": edges_b.exceptAll(edges_a),
+        "vertices_only_a": _anti(vertices_a, vertices_b),
+        "vertices_only_b": _anti(vertices_b, vertices_a),
+        "edges_only_a": _anti(edges_a, edges_b),
+        "edges_only_b": _anti(edges_b, edges_a),
     }
 
 

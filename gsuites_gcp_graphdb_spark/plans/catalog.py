@@ -185,6 +185,28 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_upsert_merge": QueryDef(
+        gq.upsert_merge_counts,
+        """
+        SELECT label, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'user' AS label,
+                 (SELECT count(DISTINCT c_name) FROM customer)
+               + (SELECT count(DISTINCT s_name) FROM supplier) AS n
+          UNION ALL
+          SELECT 'group',
+                 (SELECT count(DISTINCT n_name) FROM nation)
+               + (SELECT count(DISTINCT r_name) FROM region)
+          UNION ALL
+          SELECT 'serviceAccount', count(DISTINCT s_name) FROM supplier
+          UNION ALL
+          SELECT 'role', count(DISTINCT p_brand) FROM part
+          UNION ALL
+          SELECT 'permission', count(DISTINCT p_type) FROM part
+          UNION ALL
+          SELECT 'project', count(DISTINCT p_name) FROM part
+        )
+        """,
+    ),
     "g_top_roles": QueryDef(
         gq.top_roles_by_membership,
         f"""

@@ -214,6 +214,34 @@ def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A11 (SURVEY.md §2.3 upsert kernel) as a checkable query:
+    merge a batch of user vertices derived from supplier names into
+    the graph — the batch deliberately contains (a) itself twice and
+    (b) every already-present customer-derived user, so the result
+    proves within-batch dedup AND against-graph get-or-create. Final
+    state: label census."""
+    from ..graph.upsert import upsert_vertices
+    from ..sources.fixtures import load_table
+
+    g = _graph(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    batch_new = supplier.select(
+        vertex_id("user", F.col("s_name")).alias("id"),
+        F.lit("user").alias("label"),
+        F.col("s_name").cast("string").alias("email"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("projectid"),
+        F.lit(False).alias("is_external"),
+    )
+    existing_users = g.vertices.filter(F.col("label") == "user")
+    batch = batch_new.unionByName(batch_new).unionByName(existing_users)
+    merged = upsert_vertices(g.vertices, batch)
+    return merged.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
 def top_roles_by_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics (§2C window row): in-degree of role vertices ranked —
     'top roles by direct principals'. Window function over degree."""

@@ -1,0 +1,119 @@
+"""Loader pipelines (SURVEY.md §2B) and export sinks (A21/A22)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.graph import export as ex
+from gsuites_gcp_graphdb_spark.graph import loaders as ld
+from gsuites_gcp_graphdb_spark.graph.build import (
+    build_graph,
+    empty_edges,
+    empty_vertices,
+)
+from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+from gsuites_gcp_graphdb_spark.graph.upsert import graph_diff
+from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+
+def test_loaders_match_bulk_build(spark, sf_dir):
+    """Incremental loaders (upsert path) produce exactly the bulk-built
+    graph — the two construction paths can't drift."""
+    g_inc = ld.load_all(spark, sf_dir)
+    v_bulk, e_bulk = build_graph(spark, sf_dir)
+    d = graph_diff(g_inc.vertices, g_inc.edges, v_bulk, e_bulk)
+    assert all(df.count() == 0 for df in d.values())
+
+
+def test_loaders_commute(spark, sf_dir):
+    """Set semantics: loader order is irrelevant (the reference needs
+    strict file ordering, README.md:286-289; we must not)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    g1 = Graph(empty_vertices(spark), empty_edges(spark))
+    g1 = ld.load_users(g1, customer)
+    g1 = ld.load_groups(g1, nation, region, customer, supplier)
+
+    g2 = Graph(empty_vertices(spark), empty_edges(spark))
+    g2 = ld.load_groups(g2, nation, region, customer, supplier)
+    g2 = ld.load_users(g2, customer)
+    # ... and repeating a loader is a no-op
+    g2 = ld.load_users(g2, customer)
+
+    d = graph_diff(g1.vertices, g1.edges, g2.vertices, g2.edges)
+    assert all(df.count() == 0 for df in d.values())
+
+
+def test_member_binding_parser_total(spark):
+    """main.go:563-564 crashes on 'allUsers'; our parser is total and
+    maps pseudo-principals to group vertices (main.go:463-483)."""
+    rows = [
+        ("user:alice@x.com", "roles/viewer"),
+        ("serviceAccount:sa@x.iam", "roles/viewer"),
+        ("group:eng@x.com", "roles/admin"),
+        ("allUsers", "roles/viewer"),
+        ("allAuthenticatedUsers", "roles/admin"),
+    ]
+    members = spark.createDataFrame(rows, "member string, dst_key string")
+    parsed = {
+        (r.src_label, r.src_key)
+        for r in ld.parse_member_bindings(members).collect()
+    }
+    assert ("user", "alice@x.com") in parsed
+    assert ("serviceAccount", "sa@x.iam") in parsed
+    assert ("group", "eng@x.com") in parsed
+    assert ("group", "allUsers") in parsed
+    assert ("group", "allAuthenticatedUsers") in parsed
+
+
+GOLDEN_V = [
+    ("user", "user1@domain.com"),
+    ("role", "roles/viewer"),
+    ("project", "p-1"),
+]
+GOLDEN_E = [
+    ("user", "user1@domain.com", "role", "roles/viewer"),
+    ("role", "roles/viewer", "project", "p-1"),
+]
+
+
+def test_graphml_export(spark, tmp_path):
+    g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
+    path = str(tmp_path / "g.graphml")
+    ex.write_graphml(g, path)
+    xml = open(path).read()
+    assert xml.count("<node") == 3
+    assert xml.count("<edge") == 2
+    assert "user1@domain.com" in xml and 'attr.type="boolean"' in xml
+    import xml.dom.minidom as md
+
+    md.parseString(xml)  # well-formed
+
+
+def test_graphson_export_and_snapshot_roundtrip(spark, tmp_path):
+    g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
+    jpath = str(tmp_path / "graphson")
+    ex.write_graphson(g, jpath)
+    recs = [
+        json.loads(line)
+        for f in os.listdir(jpath)
+        if f.endswith(".json")
+        for line in open(os.path.join(jpath, f))
+    ]
+    kinds = [r["kind"] for r in recs]
+    assert kinds.count("vertex") == 3 and kinds.count("edge") == 2
+
+    spath = str(tmp_path / "snap")
+    ex.save(g, spath)
+    g2 = ex.load(spark, spath)
+    d = graph_diff(g.vertices, g.edges, g2.vertices, g2.edges)
+    assert all(df.count() == 0 for df in d.values())
+    # label partition pruning survives the roundtrip
+    assert g2.V().hasLabel("user").count() == 1
