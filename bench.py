@@ -83,7 +83,7 @@ def main() -> None:
     timings["ns_dedup_minhash_fast"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    dd.simhash_candidates(docs, max_hamming=8).count()
+    dd.simhash_candidates(docs, max_hamming=3).count()
     timings["ns_dedup_simhash_fast"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

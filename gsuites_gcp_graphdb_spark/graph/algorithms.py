@@ -169,6 +169,59 @@ def connected_components(
     return comp
 
 
+def pagerank(
+    g: Graph,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank via join-aggregate rounds (GraphX-semantics over
+    DataFrames). Returns (id, rank). Dangling mass is redistributed
+    uniformly each round so ranks sum to |V|.
+
+    Scale notes: each round = one shuffle (groupBy dst); the
+    out-degree table is computed once and re-joined (broadcast when
+    small); checkpoint per round truncates lineage. Hub skew (the
+    allUsers-style vertex) lands in one reducer — AQE skew-split
+    handles it; for extreme hubs pre-aggregate contributions per
+    (dst, salt).
+    """
+    v = g.vertices.select("id")
+    n = v.count()
+    edges = g.edges.select("src", "dst")
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    edges_d = _truncate(
+        edges.join(outd, ["src"]).select("src", "dst", "out_degree")
+    )
+    ranks = _truncate(v.select("id", F.lit(1.0).alias("rank")))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(edges_d, ranks.id == edges_d.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(edges_d.select("src").dropDuplicates(),
+                       ranks.id == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = _truncate(
+            v.join(contribs, ["id"], "left_outer").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def degrees(g: Graph) -> DataFrame:
     """(id, in_degree, out_degree) — hub detection for skew planning."""
     outd = g.edges.groupBy(F.col("src").alias("id")).agg(

@@ -32,12 +32,14 @@ def empty_edges(spark: SparkSession) -> DataFrame:
 
 
 def _vertex_df(
-    df: DataFrame, label: str, key_col: str, kind: str
+    df: DataFrame, label: str, key_col: str, kind: str, unique: bool = False
 ) -> DataFrame:
     """Project a source table to vertex rows of one label.
 
     ``kind`` is which property column holds the natural key
-    (email | name | projectid).
+    (email | name | projectid). ``unique=True`` skips the distinct
+    shuffle when the source column is already a key (shuffle economy:
+    every avoidable dropDuplicates is an exchange saved at scale).
     """
     key = F.col(key_col).cast("string")
     props = {
@@ -49,26 +51,30 @@ def _vertex_df(
     is_external = (
         F.lit(False) if kind == "email" else F.lit(None).cast("boolean")
     )
-    return df.select(
+    out = df.select(
         vertex_id(label, key).alias("id"),
         F.lit(label).alias("label"),
         props["email"].alias("email"),
         props["name"].alias("name"),
         props["projectid"].alias("projectid"),
         is_external.alias("is_external"),
-    ).dropDuplicates(["id"])
+    )
+    return out if unique else out.dropDuplicates(["id"])
 
 
 def _edge_df(
-    pairs: DataFrame, src_label: str, dst_label: str
+    pairs: DataFrame, src_label: str, dst_label: str, unique: bool = False
 ) -> DataFrame:
-    """pairs(src_key, dst_key) -> edge rows (label 'in', weight 1)."""
-    return pairs.select(
+    """pairs(src_key, dst_key) -> edge rows (label 'in', weight 1).
+    ``unique=True`` skips the distinct shuffle for pairs that are
+    already unique (e.g. a key joined to its dimension)."""
+    out = pairs.select(
         vertex_id(src_label, F.col("src_key")).alias("src"),
         vertex_id(dst_label, F.col("dst_key")).alias("dst"),
         F.lit("in").alias("label"),
         F.lit(1).cast("int").alias("weight"),
-    ).dropDuplicates(["src", "dst"])
+    )
+    return out if unique else out.dropDuplicates(["src", "dst"])
 
 
 def build_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,12 +84,14 @@ def build_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
 
+    # customer/nation/region/supplier names are table keys — no
+    # distinct needed; part brand/type/name repeat across parts.
     parts = [
-        _vertex_df(customer.select("c_name"), "user", "c_name", "email"),
-        _vertex_df(nation.select("n_name"), "group", "n_name", "email"),
-        _vertex_df(region.select("r_name"), "group", "r_name", "email"),
+        _vertex_df(customer.select("c_name"), "user", "c_name", "email", True),
+        _vertex_df(nation.select("n_name"), "group", "n_name", "email", True),
+        _vertex_df(region.select("r_name"), "group", "r_name", "email", True),
         _vertex_df(
-            supplier.select("s_name"), "serviceAccount", "s_name", "email"
+            supplier.select("s_name"), "serviceAccount", "s_name", "email", True
         ),
         _vertex_df(part.select("p_brand"), "role", "p_brand", "name"),
         _vertex_df(part.select("p_type"), "permission", "p_type", "name"),
@@ -157,10 +165,16 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("src_key"), F.col("p_brand").alias("dst_key")
     )
 
+    # Shuffle economy: membership/nesting pairs join a key to its
+    # dimension — already unique, no distinct. user_role (many-to-one
+    # brand mapping) and the part-derived pairs genuinely repeat.
+    # No final cross-piece distinct: endpoint labels differ per piece,
+    # and the id hash is label-salted, so pieces are disjoint by
+    # construction.
     pieces = [
-        _edge_df(user_group, "user", "group"),
-        _edge_df(group_group, "group", "group"),
-        _edge_df(sa_group, "serviceAccount", "group"),
+        _edge_df(user_group, "user", "group", unique=True),
+        _edge_df(group_group, "group", "group", unique=True),
+        _edge_df(sa_group, "serviceAccount", "group", unique=True),
         _edge_df(user_role, "user", "role"),
         _edge_df(role_project, "role", "project"),
         _edge_df(perm_role, "permission", "role"),
@@ -168,7 +182,7 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["src", "dst", "label"])
+    return out
 
 
 def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -87,7 +87,11 @@ def ngram_jaccard_pairs(
     exact (no false positive/negative) counterpart that also serves
     as the verifier stage after MinHash candidate generation.
     """
-    posts = shingle_sets(df, id_col, text_col, n)
+    # Persist the posting relation: it feeds BOTH sides of the
+    # self-join and Catalyst does not reuse the exchange across the
+    # a/b aliases (verified via executedPlan) — without this the
+    # corpus is scanned and shingled twice.
+    posts = shingle_sets(df, id_col, text_col, n).persist()
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -141,19 +145,26 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "id", *band_hashes([f"mh_{j}" for j in range(num_hashes)], bands, rows, use_md5)
     )
-    long = banded.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"band_{b}").cast("string").alias("h")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    long = (
+        banded.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"band_{b}").cast("string").alias("h"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .persist()  # feeds both sides of the band self-join (no
+        # exchange reuse across aliases) — avoids recomputing the
+        # signatures, the expensive part, twice
+    )
     a = long.alias("a")
     b = long.alias("b")
     return (
@@ -184,7 +195,7 @@ def minhash_dedup_pairs(
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, use_md5
     )
-    posts = shingle_sets(df, id_col, text_col, n)
+    posts = shingle_sets(df, id_col, text_col, n).persist()
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -216,32 +227,34 @@ def minhash_dedup_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: explode tokens, per-bit +/-1 votes,
-    sign-pack. One shuffle (groupBy id); 64 conditional sums stay in
-    one hash-aggregate.
+    """64-bit SimHash per document as a single per-row array fold —
+    tokens never explode, so the operator is shuffle-FREE (a narrow
+    map over the corpus; at 100 TB it pipelines with the scan).
+    Per-bit +/-1 votes accumulate in an int array via
+    aggregate/zip_with; the sign vector packs into one BIGINT.
 
     Returns (id, simhash bigint)."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"v_{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
-    packed = None
-    for i in range(64):
-        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    votes_expr = f"""
+      aggregate(
+        split({text_col}, ' '),
+        array_repeat(0L, 64),
+        (acc, t) -> zip_with(
+          acc,
+          transform(sequence(0, 63),
+            i -> CASE WHEN ((xxhash64(t) >> i) & 1) = 1
+                 THEN 1L ELSE -1L END),
+          (a, b) -> a + b))"""
+    pack_expr = """
+      aggregate(transform(sequence(0, 62),
+          i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
+        0L, (a, b) -> a + b)
+      + CASE WHEN votes[63] > 0 THEN -9223372036854775808 ELSE 0L END"""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.expr(votes_expr).alias("votes")
         )
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col(f"v_{i}") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return agg.select("id", packed.alias("simhash"))
+        .select("id", F.expr(pack_expr).alias("simhash"))
+    )
 
 
 def simhash_candidates(
@@ -275,7 +288,7 @@ def simhash_candidates(
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.c", "ch.v")
+    ).select("id", "simhash", "ch.c", "ch.v").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -1,0 +1,109 @@
+"""Temporal join operators (SURVEY.md §2C theta/range/as-of row —
+absent in the reference, included for the north-star event surface).
+
+Both are compositions of stock DataFrame ops, so Catalyst plans them:
+
+- as_of_join: each left row matches the latest right row with
+  right_ts <= left_ts (per key) — the classic event-enrichment join.
+  Implemented as union + window (one shuffle on key, no range
+  explosion): tag rows, sort by (key, ts), carry the last right row
+  forward with last(ignorenulls) — O(n log n) per key vs the naive
+  theta-join's O(n*m).
+- range_join: left rows matched to right [start, end) intervals per
+  key. Implemented as an equi-join on (key, coarse bucket) + residual
+  range filter — the bucketed-range-join trick that keeps it an
+  equi-shuffle for Catalyst instead of a broadcast-nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row: the most recent right row at-or-before its
+    timestamp, per key. Right columns come back suffixed; rows with no
+    prior right row keep nulls (left outer semantics)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # right rows sort before left rows at equal ts (side desc) so an
+    # exactly-simultaneous right row IS visible to the left row.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 0).select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket: Column | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join: left rows to right intervals [start, end) sharing
+    ``key``. Both sides explode to coarse time buckets so the join is
+    an equi-join on (key, bucket); the exact range predicate applies
+    as a residual filter. Intervals spanning b buckets duplicate b
+    times on the right (bounded, unlike a full theta join)."""
+    lb = left.withColumn(
+        "__b", (F.unix_micros(F.col(left_ts)) / (bucket_seconds * 1_000_000)).cast("long")
+    )
+    rb = right.withColumn(
+        "__bs",
+        (F.unix_micros(F.col(right_start)) / (bucket_seconds * 1_000_000)).cast("long"),
+    ).withColumn(
+        "__be",
+        (F.unix_micros(F.col(right_end)) / (bucket_seconds * 1_000_000)).cast("long"),
+    )
+    rexp = rb.withColumn(
+        "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))
+    ).drop("__bs", "__be")
+    joined = lb.join(rexp, [key, "__b"]).filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) < F.col(right_end))
+    )
+    return joined.drop("__b")

@@ -185,6 +185,40 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_connected_components": QueryDef(
+        gq.membership_components,
+        """
+        WITH RECURSIVE
+        edges_d AS (
+          SELECT c_name AS a, n_name AS b
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        edges_u AS (
+          SELECT a, b FROM edges_d UNION SELECT b, a FROM edges_d
+        ),
+        nodes AS (
+          SELECT c_name AS k FROM customer
+          UNION SELECT s_name FROM supplier
+          UNION SELECT n_name FROM nation
+          UNION SELECT r_name FROM region
+        ),
+        reach(v, m) AS (
+          SELECT k, k FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN edges_u e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v)
+        SELECT m AS component_key, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY m
+        """,
+    ),
+    "g_pagerank_top": QueryDef(gq.pagerank_top, None),
     "g_upsert_merge": QueryDef(
         gq.upsert_merge_counts,
         """

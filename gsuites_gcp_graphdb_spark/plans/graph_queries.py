@@ -214,6 +214,52 @@ def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (GraphX-analytics surface) of the
+    membership subgraph (principals + groups only — role/project
+    edges excluded so components are the region-trees). Component is
+    identified by its min natural key; output (component_key,
+    n_members). Oracle: recursive-CTE transitive closure + min."""
+    from ..graph.algorithms import connected_components
+
+    g = _graph(spark, sf_dir)
+    mem_v = g.vertices.filter(
+        F.col("label").isin("user", "serviceAccount", "group")
+    )
+    grp = g.vertices.filter(F.col("label") == "group").select("id")
+    e = g.edges
+    mem_e = e.join(grp, e.dst == grp.id, "left_semi")
+    comp = connected_components(Graph(mem_v, mem_e))
+    keyed = comp.join(mem_v, ["id"]).select(
+        "component", natural_key_col().alias("key")
+    )
+    return (
+        keyed.groupBy("component")
+        .agg(
+            F.min("key").alias("component_key"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select("component_key", "n_members")
+    )
+
+
+def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PageRank centrality over the full IAM graph — 'which
+    roles/projects concentrate access'. Float fixpoint, so no
+    cross-engine oracle; pinned by unit tests instead."""
+    from ..graph.algorithms import pagerank
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank(g, iterations=5)
+    return (
+        pr.join(g.vertices, ["id"])
+        .select("label", natural_key_col().alias("key"),
+                F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "key")
+        .limit(20)
+    )
+
+
 def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9+A11 (SURVEY.md §2.3 upsert kernel) as a checkable query:
     merge a batch of user vertices derived from supplier names into

@@ -102,7 +102,7 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64-based; no portable SQL twin)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_candidates(docs, max_hamming=8)
+    return dd.simhash_candidates(docs, max_hamming=3)
 
 
 def _sql_minhash_sig() -> str:
@@ -293,6 +293,53 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Event windows
 # --------------------------------------------------------------------
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2C range/as-of row): every 'error' event
+    enriched with the most recent at-or-before 'signup' of the same
+    user. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.joins import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        errors, signups, key="user_id", right_cols=["event_id"]
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id_asof").cast("bigint").alias("signup_event_id"),
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: clicks landing in the hour after each
+    signup, counted per signup. Oracle: plain range-predicate join."""
+    from ..operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    intervals = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    joined = range_join(
+        clicks, intervals, key="user_id", left_ts="ts",
+        right_start="start_ts", right_end="end_ts",
+    )
+    return joined.groupBy(
+        F.col("signup_event_id").cast("bigint").alias("signup_event_id")
+    ).agg(F.count("*").cast("bigint").alias("n_clicks"))
+
+
 def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.tumbling_counts(load_table(spark, sf_dir, "events"))
 
@@ -466,6 +513,33 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_media_features": QueryDef(media_features, None),
+    "ns_events_asof_join": QueryDef(
+        events_asof,
+        """
+        SELECT CAST(l.event_id AS BIGINT) AS event_id,
+               CAST(l.user_id AS BIGINT) AS user_id,
+               CAST(r.event_id AS BIGINT) AS signup_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    ),
+    "ns_events_range_join": QueryDef(
+        events_range_join,
+        """
+        WITH s AS (
+          SELECT user_id, event_id AS signup_event_id, ts AS start_ts,
+                 ts + INTERVAL 1 HOUR AS end_ts
+          FROM events WHERE event_type = 'signup'
+        ),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT CAST(signup_event_id AS BIGINT) AS signup_event_id,
+               CAST(count(*) AS BIGINT) AS n_clicks
+        FROM c JOIN s ON c.user_id = s.user_id
+          AND c.ts >= s.start_ts AND c.ts < s.end_ts
+        GROUP BY 1
+        """,
+    ),
     "ns_events_tumbling": QueryDef(
         events_tumbling,
         """

@@ -1,0 +1,82 @@
+"""Temporal joins (as-of, range) and iterative analytics (PageRank)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.graph.algorithms import pagerank
+from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+from gsuites_gcp_graphdb_spark.operators.joins import as_of_join, range_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_as_of_join(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(5)), (3, _ts(20))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100), (1, _ts(25), 101), (2, _ts(5), 102)],
+        "user_id long, ts timestamp, ref long",
+    )
+    out = {
+        (r.user_id, r.ts.minute): r.ref_asof
+        for r in as_of_join(left, right, key="user_id").collect()
+    }
+    assert out[(1, 10)] == 100  # latest before 00:10 is 00:08
+    assert out[(1, 30)] == 101  # 00:25 supersedes 00:08
+    assert out[(2, 5)] == 102  # exactly-simultaneous row matches
+    assert out[(3, 20)] is None  # no right rows for user 3
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(50)), (2, _ts(10))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(20), 7),
+            (1, _ts(5), _ts(15), 8),  # overlapping interval
+            (2, _ts(30), _ts(40), 9),
+        ],
+        "user_id long, start_ts timestamp, end_ts timestamp, iv long",
+    )
+    out = range_join(
+        left, right, key="user_id", left_ts="ts",
+        right_start="start_ts", right_end="end_ts",
+    ).collect()
+    matches = {(r.user_id, r.ts.minute, r.iv) for r in out}
+    # 00:10 falls in both user-1 intervals; 00:50 and user-2 in none
+    assert matches == {(1, 10, 7), (1, 10, 8)}
+
+
+def test_pagerank(spark):
+    # star: everyone points at 'hub' -> hub has max rank; ranks sum ~ n
+    v = vertices_of(
+        spark,
+        [("user", "a"), ("user", "b"), ("user", "c"), ("role", "hub")],
+    )
+    e = edges_of(
+        spark,
+        [
+            ("user", "a", "role", "hub"),
+            ("user", "b", "role", "hub"),
+            ("user", "c", "role", "hub"),
+        ],
+    )
+    g = Graph(v, e)
+    pr = pagerank(g, iterations=10)
+    rows = pr.join(v, ["id"]).select(
+        F.coalesce("email", "name").alias("k"), "rank"
+    ).collect()
+    ranks = {r.k: r.rank for r in rows}
+    assert ranks["hub"] == max(ranks.values())
+    assert abs(sum(ranks.values()) - 4.0) < 1e-6
