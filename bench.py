@@ -52,6 +52,8 @@ HEADLINE = [
     "ns_text_token_stats",
     "ns_events_tumbling",
     "ns_events_sessions",
+    "ns_events_asof_join",
+    "g_connected_components",
 ]
 
 

@@ -74,6 +74,35 @@ def as_of_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: the left (skewed) side gets a random-ish
+    but DETERMINISTIC salt (hash of all columns mod `salt`); the right
+    side replicates `salt` times. The hot key's rows spread over
+    `salt` reducers instead of one.
+
+    AQE's skew-join split handles moderate skew automatically; this is
+    the explicit tool for the pathological hubs the reference warns
+    about (allUsers, roles/owner with 1000s of permissions,
+    README.md:467-472) where one key exceeds a single executor.
+    """
+    lsalted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return lsalted.join(rsalted, [key, "__salt"], how).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

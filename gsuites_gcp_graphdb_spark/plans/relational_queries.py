@@ -215,6 +215,35 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2C set ops: intersect ------------------------------------------
+def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_c.intersect(done_c)
+    return both.agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+# --- §2C grouping sets: cube -----------------------------------------
+def cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("l_returnflag", "l_linestatus", "n")
+    )
+
+
+# --- §2C approximate aggregates (engine-specific sketches: rows-only) -
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").cast("bigint").alias("apx_parts"),
+        F.approx_count_distinct("l_suppkey").cast("bigint").alias("apx_supps"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+
+
 # --- joins incl. broadcast + multi-way (§2C joins row) ---------------
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic star join: fact lineitem ⨝ orders ⨝ customer ⨝ nation.
@@ -366,6 +395,24 @@ ENTRIES: dict[str, QueryDef] = {
         FROM events GROUP BY event_type
         """,
     ),
+    "rel_customers_in_both_statuses": QueryDef(
+        customers_in_both_statuses,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_customers FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        """,
+    ),
+    "rel_cube_returns": QueryDef(
+        cube_returns,
+        """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+    ),
+    "rel_approx_distinct": QueryDef(approx_distinct_parts, None),
     "rel_revenue_by_nation": QueryDef(
         revenue_by_nation,
         """
