@@ -11,11 +11,15 @@ driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gsuites_gcp_graphdb_spark.plans import catalog
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gsuites_gcp_graphdb_spark.plans import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -249,3 +249,13 @@ class Graph:
         self.vertices = self.vertices.cache()
         self.edges = self.edges.cache()
         return self
+
+    def create_views(
+        self, vertices_name: str = "vertices", edges_name: str = "edges"
+    ) -> "Graph":
+        """Register the graph as temp views so the whole surface is
+        also queryable via spark.sql (the §2C SQL front door — the
+        reference's only query language is Gremlin; we expose both)."""
+        self.vertices.createOrReplaceTempView(vertices_name)
+        self.edges.createOrReplaceTempView(edges_name)
+        return self

@@ -185,6 +185,29 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_sql_interface": QueryDef(
+        gq.sql_interface_census,
+        f"""
+        SELECT label AS neighbor_label, CAST(n AS BIGINT) AS n_edges
+        FROM (
+          SELECT 'group' AS label, count(*) AS n FROM (
+            SELECT DISTINCT c_name, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey)
+          UNION ALL
+          SELECT 'role', count(*) FROM ({_USER_ROLE})
+        )
+        """,
+    ),
+    "g_membership_paths": QueryDef(
+        gq.membership_paths,
+        """
+        SELECT DISTINCT c_name || '/' || n_name || '/' || r_name AS path
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY path
+        """,
+    ),
     "g_connected_components": QueryDef(
         gq.membership_components,
         """

@@ -214,6 +214,42 @@ def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def membership_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path projection (the 'via what path' half of the README.md:15-32
+    audit): full 2-hop membership paths user -> group -> group rendered
+    as 'user/nation/region' strings for the min-email user's nation
+    peers. Fixed-depth paths = chained joins with an accumulated path
+    column."""
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid"), F.col("email").alias("u")
+    )
+    groups = g.vertices.filter(F.col("label") == "group").select(
+        F.col("id").alias("gid"), F.col("email").alias("gkey")
+    )
+    e = g.edges.select("src", "dst")
+    hop1 = (
+        users.join(e, users.uid == e.src)
+        .join(groups, F.col("dst") == groups.gid)
+        .select("u", F.col("gkey").alias("g1"), F.col("gid").alias("g1id"))
+    )
+    g2 = groups.select(
+        F.col("gid").alias("g2id"), F.col("gkey").alias("g2")
+    )
+    hop2 = (
+        hop1.join(e, hop1.g1id == e.src)
+        .join(g2, F.col("dst") == F.col("g2id"))
+        .select("u", "g1", "g2")
+    )
+    return (
+        hop2.select(
+            F.concat_ws("/", "u", "g1", "g2").alias("path")
+        )
+        .dropDuplicates()
+        .orderBy("path")
+    )
+
+
 def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (GraphX-analytics surface) of the
     membership subgraph (principals + groups only — role/project
@@ -285,6 +321,25 @@ def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = upsert_vertices(g.vertices, batch)
     return merged.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n")
+    )
+
+
+def sql_interface_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same graph queried through spark.sql over registered views
+    — proves the SQL front door composes with the DataFrame-built
+    graph (multi-hop join written in SQL)."""
+    g = _graph(spark, sf_dir)
+    g.create_views("g_vertices", "g_edges")
+    return spark.sql(
+        """
+        SELECT v2.label AS neighbor_label,
+               CAST(count(*) AS BIGINT) AS n_edges
+        FROM g_vertices v1
+        JOIN g_edges e ON v1.id = e.src
+        JOIN g_vertices v2 ON e.dst = v2.id
+        WHERE v1.label = 'user'
+        GROUP BY v2.label
+        """
     )
 
 

@@ -244,6 +244,23 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- B10-style nested structures: collect -> explode round-trip ------
+def nested_collect_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getGCS walks a nested project->buckets->roles->members tree
+    (main.go:384-524). The relational shape: build the nesting with
+    collect_list, then explode it back — per-part line counts must
+    survive the round-trip exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    return (
+        nested.select(F.explode("parts").alias("partkey"))
+        .groupBy(F.col("partkey").cast("bigint").alias("partkey"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
 # --- joins incl. broadcast + multi-way (§2C joins row) ---------------
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic star join: fact lineitem ⨝ orders ⨝ customer ⨝ nation.
@@ -393,6 +410,14 @@ ENTRIES: dict[str, QueryDef] = {
                     AS BIGINT) AS k_max,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
+        """,
+    ),
+    "etl_nested_collect_explode": QueryDef(
+        nested_collect_explode,
+        """
+        SELECT CAST(l_partkey AS BIGINT) AS partkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
         """,
     ),
     "rel_customers_in_both_statuses": QueryDef(
