@@ -53,50 +53,55 @@ def test_batch_window_functions(spark, event_rows):
 
 
 def test_streaming_watermark_drops_late(spark, tmp_path, event_rows):
-    """Two micro-batches; batch 2 carries an event older than the
-    watermark -> the closed window must not be re-emitted/updated."""
+    """Two runs sharing one checkpoint (so watermark state persists):
+    run 2 delivers an event far older than the carried watermark — the
+    stateful aggregation must drop it, not resurrect a closed window."""
     src = str(tmp_path / "src")
-    out_name = "stream_out_" + str(abs(hash(str(tmp_path))) % 10**8)
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
     on_time = _to_df(spark, event_rows)
     on_time.write.parquet(src, mode="overwrite")
 
-    stream = (
-        spark.readStream.schema(on_time.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withWatermark("ts", "10 minutes")
-    )
-    agg = win.windowed_stream_counts(stream)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(out_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    first = spark.sql(f"select * from {out_name}").collect()
+    def run_once():
+        stream = (
+            spark.readStream.schema(on_time.schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            win.windowed_stream_counts(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
 
-    # append a very-late row (00:02, watermark is past 00:50 by now)
-    late = _to_df(spark, [("2024-01-01 00:02:00", 9, "late", 9.0)])
-    late.write.parquet(src, mode="append")
-    q2 = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(out_name + "b")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination(120)
-    second = spark.sql(f"select * from {out_name}b").collect()
-    # the late 'late'-typed event lands in a window older than the
-    # final watermark; with append mode + fresh checkpoint the row may
-    # appear, so instead assert the first run closed windows correctly:
+    run_once()
+    first = spark.read.parquet(sink).collect()
     closed = {(r.bucket.hour, r.bucket.minute, r.event_type) for r in first}
+    # watermark advanced to 00:50: the 00:00 and 00:10 windows closed
     assert (0, 0, "click") in closed
     assert (0, 10, "view") in closed
-    # and the 01:00 window (not past watermark at end of input) is open
-    assert not any(b.hour == 1 for (b, *_s) in [(r.bucket,) for r in first])
+    # the 01:00 window is still open (not past watermark), not emitted
+    assert not any(r.bucket.hour == 1 for r in first)
+
+    # a very-late event (00:02 « watermark 00:50) arrives in run 2
+    _to_df(spark, [("2024-01-01 00:02:00", 9, "late", 9.0)]).write.parquet(
+        src, mode="append"
+    )
+    run_once()
+    second = spark.read.parquet(sink).collect()
+    # the late event was dropped: no 'late'-typed window ever emitted,
+    # and the closed 00:00 window was not re-emitted with a new count
+    assert not any(r.event_type == "late" for r in second)
+    counts = [
+        r.n for r in second
+        if (r.bucket.hour, r.bucket.minute, r.event_type) == (0, 0, "click")
+    ]
+    assert counts == [2]
 
 
 def test_stateful_running_counts(spark, tmp_path, event_rows):
