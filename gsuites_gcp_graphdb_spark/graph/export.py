@@ -110,6 +110,44 @@ def save(g: Graph, path: str) -> None:
     )
 
 
+def save_bucketed(
+    g: Graph,
+    table_prefix: str,
+    buckets: int = 16,
+) -> None:
+    """Persist the graph as BUCKETED tables: vertices bucketed+sorted
+    by id, edges by src. Joins keyed on the bucket column then read
+    co-located data and skip the shuffle entirely (SortMergeJoin with
+    zero Exchange — asserted in tests). This is the 100 TB expansion-
+    join layout: hash-cluster once at write time, join shuffle-free
+    forever after (SURVEY.md §4.4)."""
+    spark = g.vertices.sparkSession
+    for suffix in ("vertices", "edges"):
+        name = f"{table_prefix}_{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a table dir can survive a dropped/never-registered table
+        # (fresh metastore, old warehouse); clear it so overwrite works
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        import shutil
+
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    g.vertices.write.mode("overwrite").bucketBy(buckets, "id").sortBy(
+        "id"
+    ).saveAsTable(f"{table_prefix}_vertices")
+    g.edges.write.mode("overwrite").bucketBy(buckets, "src").sortBy(
+        "src"
+    ).saveAsTable(f"{table_prefix}_edges")
+
+
+def load_bucketed(spark: SparkSession, table_prefix: str) -> Graph:
+    return Graph(
+        spark.table(f"{table_prefix}_vertices"),
+        spark.table(f"{table_prefix}_edges"),
+    )
+
+
 def load(spark: SparkSession, path: str) -> Graph:
     v = spark.read.schema(VERTEX_SCHEMA).parquet(f"{path}/vertices")
     e = spark.read.schema(EDGE_SCHEMA).parquet(f"{path}/edges")

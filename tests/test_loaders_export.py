@@ -97,6 +97,28 @@ def test_graphml_export(spark, tmp_path):
     md.parseString(xml)  # well-formed
 
 
+def test_bucketed_layout_kills_join_shuffle(spark, sf_dir):
+    """save_bucketed: the vertex⨝edge expansion join on the bucket
+    column must plan with ZERO shuffle exchanges (co-located read)."""
+    v, e = build_graph(spark, sf_dir)
+    ex.save_bucketed(Graph(v, e), "t_bucketed", buckets=4)
+    g = ex.load_bucketed(spark, "t_bucketed")
+    joined = g.vertices.join(g.edges, g.vertices.id == g.edges.src)
+    # at fixture scale the planner prefers broadcast (which bypasses
+    # bucketing); force the shuffle-join path to observe the layout win
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    d = graph_diff(g.vertices, g.edges, v, e)
+    assert all(df.count() == 0 for df in d.values())
+
+
 def test_graphson_export_and_snapshot_roundtrip(spark, tmp_path):
     g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
     jpath = str(tmp_path / "graphson")
