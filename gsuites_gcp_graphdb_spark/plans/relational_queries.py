@@ -215,6 +215,64 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q3 shape: shipping priority -------------------------------
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + 3-way join + agg + deterministic top-10: the classic
+    'selective dimensions join big fact' plan (dims broadcast, filter
+    pushed to every scan — see PLANS.md)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast(DEC_HI)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("__rev"))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("__rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("__rev").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q6 shape: pure filter + agg (pushdown showcase) -----------
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast(DEC)
+                    * F.col("l_discount").cast(DEC)
+                ).cast(DEC_HI)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
 # --- §2C set ops: intersect ------------------------------------------
 def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -410,6 +468,42 @@ ENTRIES: dict[str, QueryDef] = {
                     AS BIGINT) AS k_max,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
+        """,
+    ),
+    "rel_shipping_priority": QueryDef(
+        shipping_priority,
+        """
+        SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+               o_orderdate AS orderdate,
+               CAST(rev AS DOUBLE) AS revenue
+        FROM (
+          SELECT l_orderkey, o_orderdate,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(38,6))) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate
+        )
+        ORDER BY rev DESC, orderkey LIMIT 10
+        """,
+    ),
+    "rel_forecast_revenue": QueryDef(
+        forecast_revenue,
+        """
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+               AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
         """,
     ),
     "etl_nested_collect_explode": QueryDef(

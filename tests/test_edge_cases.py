@@ -1,0 +1,78 @@
+"""Totality on degenerate inputs: empty graphs, empty batches,
+singleton docs — the places distributed code usually breaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.graph.algorithms import (
+    connected_components,
+    pagerank,
+    reachable_from,
+)
+from gsuites_gcp_graphdb_spark.graph.build import empty_edges, empty_vertices
+from gsuites_gcp_graphdb_spark.graph.literal import vertices_of
+from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+from gsuites_gcp_graphdb_spark.graph.upsert import upsert_vertices
+from gsuites_gcp_graphdb_spark.operators import dedup as dd
+from gsuites_gcp_graphdb_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def empty_graph(spark):
+    return Graph(empty_vertices(spark), empty_edges(spark))
+
+
+def test_empty_graph_traversal(empty_graph):
+    g = empty_graph
+    assert g.counts() == (0, 0)
+    assert not g.V().hasLabel("user").hasNext()
+    assert g.V().out("in").count() == 0
+    with pytest.raises(StopIteration):
+        g.V().next()
+
+
+def test_empty_graph_algorithms(spark, empty_graph):
+    src = spark.createDataFrame([], "id long")
+    assert reachable_from(empty_graph, src).count() == 0
+    assert connected_components(empty_graph).count() == 0
+    # vertices but no edges: everyone is their own component, rank=base
+    v = vertices_of(spark, [("user", "a"), ("user", "b")])
+    g = Graph(v, empty_edges(spark))
+    assert connected_components(g).select("component").distinct().count() == 2
+    ranks = pagerank(g, iterations=2).collect()
+    assert all(abs(r.rank - 1.0) < 1e-9 for r in ranks)
+
+
+def test_empty_upsert_batch(spark, empty_graph):
+    v = vertices_of(spark, [("user", "a")])
+    merged = upsert_vertices(v, empty_vertices(spark))
+    assert merged.count() == 1
+    merged2 = upsert_vertices(empty_vertices(spark), v)
+    assert merged2.count() == 1
+
+
+def test_degenerate_documents(spark):
+    rows = [
+        (1, ""),  # empty text
+        (2, "single"),  # one token
+        (3, "a a a a a a"),  # all-identical tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # no crashes, sane outputs
+    posts = dd.shingle_sets(docs, "doc_id", "text", 3).collect()
+    assert all(r.set_size >= 1 for r in posts)
+    sh = dd.simhash64(docs, "doc_id", "text").collect()
+    assert len(sh) == 3
+    stats = {r.doc_id: r for r in tx.token_stats(docs).collect()}
+    assert stats[3].uniq_ratio == pytest.approx(1 / 6, abs=1e-6)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    # empty and single-token docs share no shingles with doc 3
+    assert all({p.id_a, p.id_b} != {1, 2} or p.jaccard <= 1.0 for p in pairs)
+
+
+def test_minhash_single_doc(spark):
+    docs = spark.createDataFrame([(1, "just one doc here")], "doc_id long, text string")
+    assert dd.minhash_lsh_candidates(docs).count() == 0
+    assert dd.minhash_dedup_pairs(docs).count() == 0

@@ -104,6 +104,71 @@ def test_streaming_watermark_drops_late(spark, tmp_path, event_rows):
     assert counts == [2]
 
 
+def test_stream_stream_join(spark, tmp_path, event_rows):
+    """Stream-stream inner join with watermarks: clicks joined to
+    same-user views within 30 minutes — state-store-backed windowed
+    join, the streaming analog of the range join."""
+    src = str(tmp_path / "ss_src")
+    e = _to_df(spark, event_rows)
+    e.write.parquet(src, mode="overwrite")
+
+    def stream():
+        return (
+            spark.readStream.schema(e.schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    views = stream().filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            """
+            c_user = v_user AND
+            v_ts BETWEEN c_ts - INTERVAL 30 MINUTES
+                     AND c_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    name = "ssj_" + str(abs(hash(str(tmp_path))) % 10**8)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    # user 2's view at 00:12 has no same-user click within 30m;
+    # user 1 clicks at 00:01/00:04/01:00 but has no views -> empty
+    assert rows == []
+
+    # add a user-2 click at 00:20 -> joins the 00:12 view
+    _to_df(spark, [("2024-01-01 00:20:00", 2, "click", 1.0)]).write.parquet(
+        src, mode="append"
+    )
+    # memory sink can't recover a checkpoint: fresh checkpoint, full
+    # replay (availableNow reprocesses all files)
+    q2 = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name + "b")
+        .option("checkpointLocation", str(tmp_path / "ss_ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = spark.sql(f"select * from {name}b").collect()
+    assert len(rows2) == 1 and rows2[0].c_user == 2
+
+
 def test_stateful_running_counts(spark, tmp_path, event_rows):
     """Custom stateful streaming op: per-user running event counter via
     applyInPandasWithState — the reference has no streaming surface;
