@@ -293,6 +293,101 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # Event windows
 # --------------------------------------------------------------------
+def media_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full multimodal pipeline composed end-to-end —
+    opaque binary media -> mapInPandas feature extraction (stubbed
+    decoder) -> LSH-bucketed ANN over the extracted vectors. Proves
+    the media plumbing feeds the similarity operators unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    feats = mm.extract_features(media, dim=8).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    queries = feats.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return sim.lsh_bucketed_topk(
+        queries, feats, k=3, num_planes=6, dim=8
+    )
+
+
+def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash: a 16-bit sketch whose bits derive
+    from md5(token) hex (identical in DuckDB), votes summed per bit,
+    near-dup pairs = hamming(simhash) <= 2. Spark generates candidates
+    by pigeonhole chunk join (no false negatives), the oracle by
+    all-pairs — same final pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    votes_expr = """
+      aggregate(
+        split(text, ' '),
+        array_repeat(0L, 16),
+        (acc, t) -> zip_with(
+          acc,
+          transform(sequence(0, 15),
+            i -> CASE WHEN ((CAST(conv(substr(md5(t), 1, 4), 16, 10)
+                             AS BIGINT) >> i) & 1) = 1
+                 THEN 1L ELSE -1L END),
+          (a, b) -> a + b))"""
+    pack_expr = """
+      aggregate(transform(sequence(0, 15),
+          i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
+        0L, (a, b) -> a + b)"""
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"), F.expr(votes_expr).alias("votes")
+        )
+        .select("id", F.expr(pack_expr).alias("sh16"))
+        .persist()
+    )
+    # pigeonhole: hamming<=2 => one of 3 chunks (6/5/5 bits) matches
+    chunk_defs = [(0, 6), (6, 5), (11, 5)]
+    chunks = sh.select(
+        "id",
+        "sh16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("c"),
+                        F.expr(
+                            f"(sh16 >> {off}) & {(1 << width) - 1}"
+                        ).alias("v"),
+                    )
+                    for ci, (off, width) in enumerate(chunk_defs)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sh16", "ch.c", "ch.v")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh16").alias("sa"),
+            F.col("b.sh16").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("bigint"))
+        .filter(F.col("hamming") <= 2)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2C range/as-of row): every 'error' event
     enriched with the most recent at-or-before 'signup' of the same
@@ -399,6 +494,48 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_dedup_simhash": QueryDef(simhash_pairs, None),
+    "ns_dedup_simhash_md5": QueryDef(
+        simhash_md5_pairs,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        hv AS (
+          SELECT doc_id,
+            (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+          + (strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+          + (strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+          + (strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS h
+          FROM tok
+        ),
+        votes AS (
+          SELECT doc_id,
+        """
+        + ",\n        ".join(
+            f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
+            for i in range(16)
+        )
+        + """
+          FROM hv GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT doc_id,
+        """
+        + " + ".join(
+            f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        + """ AS sh16
+          FROM votes
+        )
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+               CAST(b.doc_id AS BIGINT) AS id_b,
+               CAST(bit_count(xor(a.sh16, b.sh16)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh16, b.sh16)) <= 2
+        """,
+    ),
+    "ns_media_embedding_ann": QueryDef(media_embedding_ann, None),
     "ns_topk_cosine": QueryDef(
         topk_cosine,
         f"""
