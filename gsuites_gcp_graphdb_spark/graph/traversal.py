@@ -122,6 +122,19 @@ class Traversal:
             t = t.out(*labels)
         return t
 
+    def repeat_out_emit(self, times: int, *labels: str) -> "Traversal":
+        """repeat(out()).emit().times(k): union of hops 1..k — 'every
+        vertex within k steps', the bounded form of reachability."""
+        t = self
+        frames = []
+        for _ in range(times):
+            t = t.out(*labels)
+            frames.append(t._df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return self._with(out)
+
     # ---- semi-join filters (the A14 pattern) ---------------------------
     def where_inV_hasId(self, ids) -> "Traversal":
         """``where(inV().hasId(x))`` — edge-existence semi-join

@@ -175,6 +175,37 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_snapshot_diff": QueryDef(
+        gq.snapshot_diff_permissions,
+        """
+        SELECT side, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'vertices_only_a' AS side,
+                 count(DISTINCT p_type) AS n FROM part
+          UNION ALL SELECT 'vertices_only_b', 0
+          UNION ALL
+          SELECT 'edges_only_a', count(*) FROM (
+            SELECT DISTINCT p_type, p_brand FROM part)
+          UNION ALL SELECT 'edges_only_b', 0
+        )
+        """,
+    ),
+    "g_motif_flagship": QueryDef(
+        gq.motif_flagship,
+        # intentionally the same oracle as g_principals_with_access:
+        # two independent query surfaces (motif vs traversal joins)
+        # must produce identical results
+        f"""
+        WITH tgt AS (SELECT min(p_name) AS projectid FROM part),
+        roles_on_p AS (
+          SELECT DISTINCT p_brand AS role, tgt.projectid AS projectid
+          FROM part, tgt WHERE p_name = tgt.projectid
+        ),
+        ur AS (SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE}))
+        SELECT ur.email AS email, ur.role AS role, roles_on_p.projectid AS projectid
+        FROM ur JOIN roles_on_p ON ur.role = roles_on_p.role
+        ORDER BY email, role
+        """,
+    ),
     "g_subgraph_role_project": QueryDef(
         gq.subgraph_role_project,
         """

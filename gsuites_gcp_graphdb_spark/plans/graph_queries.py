@@ -333,6 +333,61 @@ def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (§2C set-ops): full graph vs the
+    no-permissions variant (the reference's --includePermissions flag,
+    main.go:56) — the diff is exactly the permission vertices and
+    permission->role edges. Output (side, n) counts."""
+    from ..graph.upsert import graph_diff
+
+    g = _graph(spark, sf_dir)
+    perm_ids = g.vertices.filter(F.col("label") == "permission").select("id")
+    v2 = g.vertices.filter(F.col("label") != "permission")
+    e2 = g.edges.join(perm_ids, g.edges.src == perm_ids.id, "left_anti")
+    d = graph_diff(g.vertices, g.edges, v2, e2)
+    parts = []
+    for side, df in d.items():
+        parts.append(
+            df.agg(F.count("*").cast("bigint").alias("n")).select(
+                F.lit(side).alias("side"), "n"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def motif_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship access-audit expressed as a MOTIF pattern
+    ((u)-[]->(r); (r)-[]->(p)) instead of explicit joins — same oracle
+    as g_principals_with_access, proving the two query surfaces agree."""
+    from ..graph.motif import find
+
+    g = _graph(spark, sf_dir)
+    target = (
+        g.vertices.filter(F.col("label") == "project")
+        .agg(F.min("projectid").alias("pid"))
+    )
+    m = find(g, "(u)-[]->(r); (r)-[]->(p)", edge_label="in")
+    out = (
+        m.filter(
+            (F.col("u.label") == "user")
+            & (F.col("r.label") == "role")
+            & (F.col("p.label") == "project")
+        )
+        .join(target, F.col("p.projectid") == F.col("pid"), "left_semi")
+        .select(
+            F.col("u.email").alias("email"),
+            F.col("r.name").alias("role"),
+            F.col("p.projectid").alias("projectid"),
+        )
+        .dropDuplicates()
+        .orderBy("email", "role")
+    )
+    return out
+
+
 def sql_interface_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same graph queried through spark.sql over registered views
     — proves the SQL front door composes with the DataFrame-built

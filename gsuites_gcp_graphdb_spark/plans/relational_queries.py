@@ -165,16 +165,18 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- §2C set ops ------------------------------------------------------
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join/except: customers with no OPEN order (the status
+    filter keeps the result non-trivial at every SF)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    have = o.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
+    have = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .dropDuplicates()
+    )
     return (
         c.select("c_custkey", "c_name")
-        .exceptAll(
-            c.join(have, ["c_custkey"], "left_semi").select(
-                "c_custkey", "c_name"
-            )
-        )
+        .join(have, ["c_custkey"], "left_anti")
         .select(F.col("c_name").alias("c_name"))
     )
 
@@ -438,7 +440,8 @@ ENTRIES: dict[str, QueryDef] = {
         customers_without_orders,
         """
         SELECT c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         """,
     ),
     "rel_orders_per_month": QueryDef(

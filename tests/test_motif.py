@@ -1,0 +1,78 @@
+"""Motif pattern matching (graph/motif.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+from gsuites_gcp_graphdb_spark.graph.motif import find
+from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    v = vertices_of(
+        spark,
+        [
+            ("user", "u1"), ("user", "u2"),
+            ("group", "g1"),
+            ("role", "r1"),
+            ("project", "p1"),
+        ],
+    )
+    e = edges_of(
+        spark,
+        [
+            ("user", "u1", "group", "g1"),
+            ("user", "u2", "group", "g1"),
+            ("group", "g1", "role", "r1"),
+            ("role", "r1", "project", "p1"),
+        ],
+    )
+    return Graph(v.cache(), e.cache())
+
+
+def test_single_edge_motif(g):
+    m = find(g, "(a)-[e]->(b)")
+    assert m.count() == 4
+    assert set(m.columns) == {"a", "e", "b"}
+    users_to_groups = m.filter(
+        (F.col("a.label") == "user") & (F.col("b.label") == "group")
+    )
+    assert users_to_groups.count() == 2
+
+
+def test_chain_motif(g):
+    m = find(g, "(a)-[]->(b); (b)-[]->(c)")
+    # chains: u1->g1->r1, u2->g1->r1, g1->r1->p1
+    assert m.count() == 3
+    paths = {
+        (r["a"]["email"] or r["a"]["name"], r["c"]["name"] or r["c"]["projectid"])
+        for r in m.collect()
+    }
+    assert ("u1", "r1") in paths and ("g1", "p1") in paths
+
+
+def test_three_hop_chain(g):
+    m = find(g, "(a)-[]->(b); (b)-[]->(c); (c)-[]->(d)")
+    # u1->g1->r1->p1 and u2->g1->r1->p1
+    assert m.count() == 2
+    assert {r["a"]["email"] for r in m.collect()} == {"u1", "u2"}
+
+
+def test_fanout_motif(g):
+    # two users sharing a group: (a)-[]->(g); (b)-[]->(g)
+    m = find(g, "(a)-[]->(grp); (b)-[]->(grp)").filter(
+        F.col("a.id") < F.col("b.id")
+    )
+    rows = m.collect()
+    assert len(rows) == 1
+    assert {rows[0]["a"]["email"], rows[0]["b"]["email"]} == {"u1", "u2"}
+
+
+def test_bad_pattern(g):
+    with pytest.raises(ValueError):
+        find(g, "(a)->(b)")
+    with pytest.raises(ValueError):
+        find(g, "")
