@@ -168,6 +168,12 @@ class Traversal:
         return self._with(out)
 
     # ---- projection steps ----------------------------------------------
+    def group_count(self, key: str = "label") -> DataFrame:
+        """groupCount().by(key) — traverser census per key value."""
+        return self._df.groupBy(key).agg(
+            F.count("*").cast("bigint").alias("count")
+        )
+
     def id_(self) -> DataFrame:
         return self._df.select("id")
 

@@ -206,6 +206,37 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY email, role
         """,
     ),
+    "g_who_can_reach_project": QueryDef(
+        gq.who_can_reach_min_project,
+        f"""
+        WITH RECURSIVE
+        edges_nk AS (
+          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT 'group', n_name, 'group', r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+          UNION
+          SELECT 'serviceAccount', s_name, 'group', n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
+          UNION
+          SELECT 'role', p_brand, 'project', p_name FROM part
+          UNION
+          SELECT 'permission', p_type, 'role', p_brand FROM part
+        ),
+        reach(l, k) AS (
+          SELECT 'project', (SELECT min(p_name) FROM part)
+          UNION
+          SELECT e.sl, e.sk FROM reach r JOIN edges_nk e
+            ON e.dl = r.l AND e.dk = r.k
+        )
+        SELECT l AS label, k AS key FROM reach
+        WHERE NOT (l = 'project' AND k = (SELECT min(p_name) FROM part))
+        ORDER BY label, key
+        """,
+    ),
     "g_subgraph_role_project": QueryDef(
         gq.subgraph_role_project,
         """

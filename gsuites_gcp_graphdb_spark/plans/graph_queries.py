@@ -199,6 +199,25 @@ def reachable_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def who_can_reach_min_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE audit query (SURVEY.md §7.5): every vertex that can
+    transitively reach project P — 'who/what can touch P' — via
+    reverse BFS (algorithms.reaching_to). Oracle: recursive CTE over
+    reversed edges."""
+    from ..graph.algorithms import reaching_to
+
+    g = _graph(spark, sf_dir)
+    projects = g.vertices.filter(F.col("label") == "project")
+    target = projects.agg(F.min("projectid").alias("projectid"))
+    tgt_ids = projects.join(target, ["projectid"], "left_semi").select("id")
+    who = reaching_to(g, tgt_ids, edge_label="in")
+    return (
+        g.vertices.join(who, ["id"], "left_semi")
+        .select("label", natural_key_col().alias("key"))
+        .orderBy("label", "key")
+    )
+
+
 def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20: edge-induced subgraph of role->project edges
     (subgraph('sg').cap('sg'), README.md:372-381), summarized as a

@@ -88,6 +88,17 @@ def test_traversal_steps(golden):
     assert [r.name for r in up] == ["roles/appengine.codeViewer"]
 
 
+def test_repeat_emit_and_group_count(golden):
+    g = golden
+    # emit: union of hop-1..4 from user1 = all 4 downstream vertices
+    within = (
+        g.V().has("email", "user1@domain.com").repeat_out_emit(4, "in")
+    )
+    assert within.dedup().count() == 4
+    gc = {r.label: r["count"] for r in within.dedup().group_count().collect()}
+    assert gc == {"group": 2, "role": 1, "project": 1}
+
+
 def test_reachability_golden(golden, spark):
     g = golden
     src = g.V().has("email", "user1@domain.com").id_()
