@@ -83,11 +83,15 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Scale-path variants (xxhash64 instead of portable md5).
+    # Scale-path variants (xxhash64 instead of portable md5/strings).
     docs = load_table(spark, sf_dir, "documents")
     t0 = time.perf_counter()
     dd.minhash_lsh_candidates(docs, use_md5=False).count()
     timings["ns_dedup_minhash_fast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dd.ngram_jaccard_pairs(docs, hash_shingles=True).count()
+    timings["ns_dedup_jaccard_fast"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     dd.simhash_candidates(docs, max_hamming=3).count()

@@ -58,18 +58,28 @@ def dedup_exact(
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    hash_shingles: bool = False,
 ) -> DataFrame:
-    """(id, shingle) posting relation + per-doc set size."""
+    """(id, shingle) posting relation + per-doc set size.
+
+    hash_shingles=True replaces the shingle string with its xxhash64
+    — the scale path: the self-join shuffles 8-byte keys instead of
+    ~20-byte strings and compares longs. Collision probability at
+    64 bits is negligible for dedup purposes but nonzero, so the
+    oracle-checked queries keep strings."""
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
+    )
+    shingle = (
+        F.xxhash64(F.col("shingle")) if hash_shingles else F.col("shingle")
     )
     return sh.select(
         "id",
         F.size("sh").cast("bigint").alias("set_size"),
         F.explode("sh").alias("shingle"),
-    )
+    ).select("id", "set_size", shingle.alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -78,6 +88,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
     join — (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -91,7 +102,7 @@ def ngram_jaccard_pairs(
     # self-join and Catalyst does not reuse the exchange across the
     # a/b aliases (verified via executedPlan) — without this the
     # corpus is scanned and shingled twice.
-    posts = shingle_sets(df, id_col, text_col, n).persist()
+    posts = shingle_sets(df, id_col, text_col, n, hash_shingles).persist()
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (

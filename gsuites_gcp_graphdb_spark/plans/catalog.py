@@ -206,6 +206,13 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY email, role
         """,
     ),
+    "g_users_with_roles": QueryDef(
+        gq.users_with_roles,
+        f"""
+        SELECT CAST(count(DISTINCT c_name) AS BIGINT) AS n_users_with_roles
+        FROM ({_USER_ROLE})
+        """,
+    ),
     "g_who_can_reach_project": QueryDef(
         gq.who_can_reach_min_project,
         f"""

@@ -199,6 +199,18 @@ def reachable_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def users_with_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 where(out(...)) form: users having at least one direct role
+    grant — existence as a left_semi chain (Traversal.where_out)."""
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user")
+    roles = g.V().hasLabel("role")
+    with_roles = users.where_out("in", roles)
+    return with_roles.toDF().agg(
+        F.count("*").cast("bigint").alias("n_users_with_roles")
+    )
+
+
 def who_can_reach_min_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE audit query (SURVEY.md §7.5): every vertex that can
     transitively reach project P — 'who/what can touch P' — via
