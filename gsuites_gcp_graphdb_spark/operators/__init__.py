@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, joins, multimodal, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "similarity", "text"]

@@ -85,9 +85,6 @@ def member_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("member_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.count(F.lit(1))
-            .cast("bigint")
-            .alias("n_total"),
             F.min("principal").alias("min_principal"),
         )
     )
@@ -382,7 +379,6 @@ ENTRIES: dict[str, QueryDef] = {
           FROM m
         )
         SELECT member_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(count(*) AS BIGINT) AS n_total,
                min(principal) AS min_principal
         FROM parsed GROUP BY member_type
         """,
