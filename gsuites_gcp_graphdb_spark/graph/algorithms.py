@@ -117,6 +117,46 @@ def k_hop(
     return cur
 
 
+def shortest_paths(
+    g: Graph,
+    source_ids: DataFrame,
+    edge_label: str | None = "in",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """Unweighted shortest-path distances from the source set (all
+    reference edges carry weight=1, so hop count IS the distance) —
+    the GraphX ShortestPaths analog. Returns (id, distance) for every
+    reachable vertex, sources at distance 0.
+
+    Same frontier-BFS shape as reachable_from (one shuffle per round,
+    checkpointed), tracking the round at which each vertex is first
+    reached — first-seen depth is minimal in BFS."""
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst")
+
+    frontier = _truncate(source_ids.select("id").dropDuplicates())
+    dist = _truncate(frontier.select("id", F.lit(0).cast("int").alias("distance")))
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(dist, ["id"], "left_anti")
+        )
+        nxt = _truncate(nxt)
+        if not nxt.take(1):
+            break
+        dist = _truncate(
+            dist.unionByName(
+                nxt.select("id", F.lit(depth).cast("int").alias("distance"))
+            )
+        )
+        frontier = nxt
+    return dist
+
+
 def connected_components(
     g: Graph, max_iter: int = DEFAULT_MAX_ITER
 ) -> DataFrame:

@@ -244,6 +244,38 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_shortest_paths": QueryDef(
+        gq.distances_from_min_user,
+        f"""
+        WITH RECURSIVE
+        edges_nk AS (
+          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT 'group', n_name, 'group', r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+          UNION
+          SELECT 'serviceAccount', s_name, 'group', n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
+          UNION
+          SELECT 'role', p_brand, 'project', p_name FROM part
+          UNION
+          SELECT 'permission', p_type, 'role', p_brand FROM part
+        ),
+        walk(l, k, d) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer), 0
+          UNION ALL
+          SELECT e.dl, e.dk, w.d + 1 FROM walk w JOIN edges_nk e
+            ON e.sl = w.l AND e.sk = w.k
+        )
+        SELECT l AS label, k AS key, CAST(min(d) AS BIGINT) AS distance
+        FROM walk WHERE d > 0
+        GROUP BY l, k
+        ORDER BY label, key
+        """,
+    ),
     "g_subgraph_role_project": QueryDef(
         gq.subgraph_role_project,
         """

@@ -230,6 +230,30 @@ def who_can_reach_min_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path (hop-count) distances from the min-email user to
+    everything it can reach — weight=1 edges make BFS depth the
+    distance. Oracle: recursive CTE taking min path length (the
+    derived graph is a DAG, so UNION ALL recursion terminates)."""
+    from ..graph.algorithms import shortest_paths
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    src = users.join(target, ["email"], "left_semi").select("id")
+    d = shortest_paths(g, src, edge_label="in")
+    return (
+        g.vertices.join(d, ["id"])
+        .select(
+            "label",
+            natural_key_col().alias("key"),
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+        .filter(F.col("distance") > 0)
+        .orderBy("label", "key")
+    )
+
+
 def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20: edge-induced subgraph of role->project edges
     (subgraph('sg').cap('sg'), README.md:372-381), summarized as a

@@ -58,6 +58,33 @@ def test_range_join(spark):
     assert matches == {(1, 10, 7), (1, 10, 8)}
 
 
+def test_shortest_paths(spark):
+    from gsuites_gcp_graphdb_spark.graph.algorithms import shortest_paths
+
+    v = vertices_of(
+        spark, [("user", "a"), ("group", "b"), ("group", "c"), ("role", "d")]
+    )
+    e = edges_of(
+        spark,
+        [
+            ("user", "a", "group", "b"),
+            ("group", "b", "group", "c"),
+            ("group", "c", "role", "d"),
+            ("user", "a", "group", "c"),  # shortcut: c at distance 1
+        ],
+    )
+    g = Graph(v, e)
+    src = g.V().hasLabel("user").id_()
+    d = {
+        r.key: r.distance
+        for r in shortest_paths(g, src)
+        .join(v, ["id"])
+        .select(F.coalesce("email", "name").alias("key"), "distance")
+        .collect()
+    }
+    assert d == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
 def test_pagerank(spark):
     # star: everyone points at 'hub' -> hub has max rank; ranks sum ~ n
     v = vertices_of(
