@@ -34,15 +34,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The events fixture stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read nanos as long and convert to a
-        # microsecond timestamp (exact truncation — generator emits
-        # microsecond-resolution values).
+        # microsecond timestamp. Integer division (`div`), not `/`:
+        # epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
+        # float division truncates 1µs low for a double-digit share of
+        # rows and boundary events land in the wrong window.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
