@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .schema import EDGE_SCHEMA, VERTEX_SCHEMA, vertex_id
+from .schema import EDGE_SCHEMA, VERTEX_SCHEMA, bucket_id, vertex_id
 
 
 def empty_vertices(spark: SparkSession) -> DataFrame:
@@ -96,11 +96,70 @@ def build_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vertex_df(part.select("p_brand"), "role", "p_brand", "name"),
         _vertex_df(part.select("p_type"), "permission", "p_type", "name"),
         _vertex_df(part.select("p_name"), "project", "p_name", "projectid"),
+        bucket_vertices(part),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bucket_vertices(part: DataFrame) -> DataFrame:
+    """B10 bucket vertices — the one composite-key label: a bucket is
+    (name, projectid), mirroring the reference's getGCS existence probe
+    on both properties (main.go:415-418). Fixture mapping: size class
+    within project (``bucket-<p_size>``), so the same bucket name
+    repeats across projects and only the composite key disambiguates —
+    exactly the property the reference's model has."""
+    return (
+        part.select(
+            F.concat(F.lit("bucket-"), F.col("p_size")).alias("name"),
+            F.col("p_name").cast("string").alias("projectid"),
+        )
+        .dropDuplicates()
+        .select(
+            bucket_id(F.col("name"), F.col("projectid")).alias("id"),
+            F.lit("bucket").alias("label"),
+            F.lit(None).cast("string").alias("email"),
+            "name",
+            "projectid",
+            F.lit(None).cast("boolean").alias("is_external"),
+        )
+    )
+
+
+def bucket_edges(part: DataFrame) -> DataFrame:
+    """B10 bucket edges: bucket -in-> project containment
+    (main.go:440-458) and role -in-> bucket IAM bindings
+    (main.go:491-514), both member -> container like every other edge."""
+    containment = (
+        part.select(
+            F.concat(F.lit("bucket-"), F.col("p_size")).alias("bname"),
+            F.col("p_name").cast("string").alias("projectid"),
+        )
+        .dropDuplicates()
+        .select(
+            bucket_id(F.col("bname"), F.col("projectid")).alias("src"),
+            vertex_id("project", F.col("projectid")).alias("dst"),
+            F.lit("in").alias("label"),
+            F.lit(1).cast("int").alias("weight"),
+        )
+    )
+    iam = (
+        part.select(
+            F.col("p_brand").cast("string").alias("role"),
+            F.concat(F.lit("bucket-"), F.col("p_size")).alias("bname"),
+            F.col("p_name").cast("string").alias("projectid"),
+        )
+        .dropDuplicates()
+        .select(
+            vertex_id("role", F.col("role")).alias("src"),
+            bucket_id(F.col("bname"), F.col("projectid")).alias("dst"),
+            F.lit("in").alias("label"),
+            F.lit(1).cast("int").alias("weight"),
+        )
+    )
+    return containment.unionByName(iam)
 
 
 def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +176,7 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name", "s_nationkey"
     )
     part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type"
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -178,6 +237,7 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edge_df(user_role, "user", "role"),
         _edge_df(role_project, "role", "project"),
         _edge_df(perm_role, "permission", "role"),
+        bucket_edges(part),
     ]
     out = pieces[0]
     for p in pieces[1:]:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .build import empty_edges, empty_vertices
+from .build import bucket_edges, bucket_vertices, empty_edges, empty_vertices
 from .schema import PSEUDO_GROUPS, vertex_id
 from .traversal import Graph
 from .upsert import upsert_edges, upsert_vertices
@@ -181,6 +181,21 @@ def load_iam(
     return Graph(upsert_vertices(g.vertices, v), upsert_edges(g.edges, e))
 
 
+def load_gcs(g: Graph, part: DataFrame) -> Graph:
+    """B10 getGCS (main.go:384-524): bucket vertices (composite
+    (name, projectid) key, main.go:414-430), bucket -in-> project
+    containment (main.go:440-458), and role -in-> bucket IAM bindings
+    (main.go:491-514). Role vertices are upserted too — getGCS creates
+    the role if the bucket policy names one the IAM crawl never saw."""
+    v = bucket_vertices(part).unionByName(
+        _vertices(part.select("p_brand"), "role", F.col("p_brand"), "name")
+    )
+    return Graph(
+        upsert_vertices(g.vertices, v),
+        upsert_edges(g.edges, bucket_edges(part)),
+    )
+
+
 def load_all(
     spark: SparkSession, sf_dir: str, include_permissions: bool = True
 ) -> Graph:
@@ -200,4 +215,5 @@ def load_all(
     g = load_groups(g, nation, region, customer, supplier)
     g = load_service_accounts(g, supplier)
     g = load_iam(g, customer, orders, lineitem, part, include_permissions)
+    g = load_gcs(g, part)
     return g

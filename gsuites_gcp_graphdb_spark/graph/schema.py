@@ -97,8 +97,14 @@ def bucket_id(name: Column, projectid: Column) -> Column:
 def natural_key_col() -> Column:
     """The natural key of any vertex row, label-independent.
 
-    Exactly one of email/name/projectid is the key per label, and the
-    non-key property columns of other labels are null, so coalesce is
-    total and unambiguous.
-    """
-    return F.coalesce(F.col("email"), F.col("name"), F.col("projectid"))
+    For non-bucket labels exactly one of email/name/projectid is set,
+    so coalesce is total and unambiguous. Buckets carry the one
+    composite key (name, projectid) — both columns are set — rendered
+    as ``name/projectid`` (matching the reference's probe on both
+    properties, main.go:415-418)."""
+    return F.when(
+        F.col("label") == "bucket",
+        F.concat_ws("/", F.col("name"), F.col("projectid")),
+    ).otherwise(
+        F.coalesce(F.col("email"), F.col("name"), F.col("projectid"))
+    )

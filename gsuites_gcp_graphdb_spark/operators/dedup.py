@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import (
@@ -27,6 +27,27 @@ from ..functions.textfns import (
     minhash_signature_xxhash,
     shingles,
 )
+
+# Scratch-cache registry: intermediate relations that feed both sides
+# of a self-join are persisted (Catalyst does not reuse exchanges
+# across a/b aliases of the same plan), but a long-lived session
+# running many queries must not accrete storage memory. Operators
+# register their persists here; the query layer calls
+# release_scratch() once the previous result has been consumed
+# (unpersisting is safe even if a stale plan is re-run — it just
+# recomputes).
+_SCRATCH: list[DataFrame] = []
+
+
+def release_scratch() -> None:
+    """Unpersist every scratch relation cached by dedup operators."""
+    while _SCRATCH:
+        _SCRATCH.pop().unpersist()
+
+
+def _scratch_persist(df: DataFrame) -> DataFrame:
+    _SCRATCH.append(df.persist())
+    return df
 
 
 def exact_duplicates(
@@ -89,6 +110,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_shingles: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
     join — (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -97,12 +119,36 @@ def ngram_jaccard_pairs(
     shingle; intersection sizes come from one groupBy. This is the
     exact (no false positive/negative) counterpart that also serves
     as the verifier stage after MinHash candidate generation.
+
+    ``max_df`` is the scale guard: shingles appearing in more than
+    max_df documents are removed from the shingle universe (classic
+    stop-shingle/df-cut from IR) BEFORE the self-join — a shingle
+    shared by m docs yields ~m^2/2 candidate rows, so without the cut
+    the join goes quadratic on exactly the shingles a real corpus has
+    most of. Jaccard is then computed over the reduced universe
+    (set sizes recomputed over kept shingles), keeping the operator
+    deterministic and oracle-mirrorable.
     """
     # Persist the posting relation: it feeds BOTH sides of the
     # self-join and Catalyst does not reuse the exchange across the
     # a/b aliases (verified via executedPlan) — without this the
     # corpus is scanned and shingled twice.
-    posts = shingle_sets(df, id_col, text_col, n, hash_shingles).persist()
+    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
+    if max_df is not None:
+        # One map-combinable groupBy finds the (few) ubiquitous
+        # shingles; the anti-join against that small set broadcasts.
+        heavy = (
+            posts.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
+        posts = posts.withColumn(
+            "set_size",
+            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
+        )
+    posts = _scratch_persist(posts)
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -172,10 +218,11 @@ def minhash_lsh_candidates(
             ).alias("bh"),
         )
         .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-        .persist()  # feeds both sides of the band self-join (no
-        # exchange reuse across aliases) — avoids recomputing the
-        # signatures, the expensive part, twice
     )
+    # feeds both sides of the band self-join (no exchange reuse across
+    # aliases) — avoids recomputing the signatures, the expensive
+    # part, twice
+    long = _scratch_persist(long)
     a = long.alias("a")
     b = long.alias("b")
     return (
@@ -206,7 +253,7 @@ def minhash_dedup_pairs(
     cand = minhash_lsh_candidates(
         df, id_col, text_col, n, num_hashes, bands, use_md5
     )
-    posts = shingle_sets(df, id_col, text_col, n).persist()
+    posts = _scratch_persist(shingle_sets(df, id_col, text_col, n))
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -299,7 +346,8 @@ def simhash_candidates(
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.c", "ch.v").persist()
+    ).select("id", "simhash", "ch.c", "ch.v")
+    chunks = _scratch_persist(chunks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

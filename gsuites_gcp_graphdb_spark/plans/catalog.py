@@ -41,6 +41,35 @@ _USER_ROLE = """
     JOIN part ON p_partkey = l_partkey
 """
 
+# SQL fragment: bucket natural key — the composite (name, projectid)
+# rendered name/projectid, matching schema.natural_key_col().
+_BUCKET_KEY = "'bucket-' || p_size || '/' || p_name"
+
+# SQL fragment: the full (label, key) edge list of the derived graph
+# (FIXTURES.md §2), shared by the recursive reachability oracles.
+_EDGES_NK = f"""
+        edges_nk AS (
+          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT 'group', n_name, 'group', r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+          UNION
+          SELECT 'serviceAccount', s_name, 'group', n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
+          UNION
+          SELECT 'role', p_brand, 'project', p_name FROM part
+          UNION
+          SELECT 'permission', p_type, 'role', p_brand FROM part
+          UNION
+          SELECT 'role', p_brand, 'bucket', {_BUCKET_KEY} FROM part
+          UNION
+          SELECT 'bucket', {_BUCKET_KEY}, 'project', p_name FROM part
+        )
+"""
+
 CATALOG: dict[str, QueryDef] = {
     "g_count_by_label": QueryDef(
         gq.count_by_label,
@@ -59,6 +88,9 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 'permission', count(DISTINCT p_type) FROM part
           UNION ALL
           SELECT 'project', count(DISTINCT p_name) FROM part
+          UNION ALL
+          SELECT 'bucket', count(*) FROM (
+            SELECT DISTINCT p_size, p_name FROM part)
         )
         """,
     ),
@@ -75,6 +107,9 @@ CATALOG: dict[str, QueryDef] = {
           + (SELECT count(*) FROM ({_USER_ROLE}))
           + (SELECT count(*) FROM (SELECT DISTINCT p_brand, p_name FROM part))
           + (SELECT count(*) FROM (SELECT DISTINCT p_type, p_brand FROM part))
+          + (SELECT count(*) FROM (SELECT DISTINCT p_size, p_name FROM part))
+          + (SELECT count(*) FROM (
+               SELECT DISTINCT p_brand, p_size, p_name FROM part))
           AS BIGINT) AS n_edges
         """,
     ),
@@ -144,26 +179,25 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY email, role
         """,
     ),
+    "g_who_can_access_bucket": QueryDef(
+        gq.who_can_access_min_bucket,
+        f"""
+        WITH tgt AS (SELECT min({_BUCKET_KEY}) AS bkey FROM part),
+        roles_on_b AS (
+          SELECT DISTINCT p_brand AS role, {_BUCKET_KEY} AS bucket
+          FROM part, tgt WHERE {_BUCKET_KEY} = tgt.bkey
+        ),
+        ur AS (SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE}))
+        SELECT ur.email AS email, ur.role AS role, roles_on_b.bucket AS bucket
+        FROM ur JOIN roles_on_b ON ur.role = roles_on_b.role
+        ORDER BY email, role
+        """,
+    ),
     "g_reachable_from_user": QueryDef(
         gq.reachable_from_min_user,
         f"""
         WITH RECURSIVE
-        edges_nk AS (
-          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-          UNION
-          SELECT 'group', n_name, 'group', r_name
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-          UNION
-          SELECT 'serviceAccount', s_name, 'group', n_name
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          UNION
-          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
-          UNION
-          SELECT 'role', p_brand, 'project', p_name FROM part
-          UNION
-          SELECT 'permission', p_type, 'role', p_brand FROM part
-        ),
+        {_EDGES_NK.strip()},
         reach(l, k) AS (
           SELECT 'user', (SELECT min(c_name) FROM customer)
           UNION
@@ -217,22 +251,7 @@ CATALOG: dict[str, QueryDef] = {
         gq.who_can_reach_min_project,
         f"""
         WITH RECURSIVE
-        edges_nk AS (
-          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-          UNION
-          SELECT 'group', n_name, 'group', r_name
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-          UNION
-          SELECT 'serviceAccount', s_name, 'group', n_name
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          UNION
-          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
-          UNION
-          SELECT 'role', p_brand, 'project', p_name FROM part
-          UNION
-          SELECT 'permission', p_type, 'role', p_brand FROM part
-        ),
+        {_EDGES_NK.strip()},
         reach(l, k) AS (
           SELECT 'project', (SELECT min(p_name) FROM part)
           UNION
@@ -248,22 +267,7 @@ CATALOG: dict[str, QueryDef] = {
         gq.distances_from_min_user,
         f"""
         WITH RECURSIVE
-        edges_nk AS (
-          SELECT 'user' AS sl, c_name AS sk, 'group' AS dl, n_name AS dk
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-          UNION
-          SELECT 'group', n_name, 'group', r_name
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-          UNION
-          SELECT 'serviceAccount', s_name, 'group', n_name
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          UNION
-          SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
-          UNION
-          SELECT 'role', p_brand, 'project', p_name FROM part
-          UNION
-          SELECT 'permission', p_type, 'role', p_brand FROM part
-        ),
+        {_EDGES_NK.strip()},
         walk(l, k, d) AS (
           SELECT 'user', (SELECT min(c_name) FROM customer), 0
           UNION ALL
@@ -362,6 +366,9 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 'permission', count(DISTINCT p_type) FROM part
           UNION ALL
           SELECT 'project', count(DISTINCT p_name) FROM part
+          UNION ALL
+          SELECT 'bucket', count(*) FROM (
+            SELECT DISTINCT p_size, p_name FROM part)
         )
         """,
     ),

@@ -184,6 +184,42 @@ def principals_with_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def who_can_access_min_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 marquee GCS scenario (README.md:34-39): which users can
+    access bucket B, and via which role — user -in-> role -in-> bucket,
+    the bucket-ACL audit the reference crawls getGCS for
+    (main.go:384-524). B = min composite bucket key."""
+    g = _graph(spark, sf_dir)
+    buckets = g.vertices.filter(F.col("label") == "bucket").select(
+        "id", natural_key_col().alias("bucket")
+    )
+    target = buckets.agg(F.min("bucket").alias("bucket"))
+    bucket_v = buckets.join(target, ["bucket"], "left_semi")
+    e = g.edges.select("src", "dst")
+    # role -in-> bucket (containment edges have buckets as src, so the
+    # dst-side semi-join selects only the IAM bindings)
+    role_edge = e.join(bucket_v, e.dst == bucket_v.id).select(
+        F.col("src").alias("role_id"), "bucket"
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("role_id"), F.col("name").alias("role")
+    )
+    role_on_b = role_edge.join(roles, ["role_id"])
+    # user -in-> role (permission->role edges drop out at the user join)
+    user_edge = e.join(role_on_b, e.dst == role_on_b.role_id).select(
+        F.col("src").alias("user_id"), "role", "bucket"
+    )
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("user_id"), "email"
+    )
+    return (
+        user_edge.join(users, ["user_id"])
+        .select("email", "role", "bucket")
+        .dropDuplicates()
+        .orderBy("email", "role")
+    )
+
+
 def reachable_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 unbounded: full reachable set of the min-email user —
     fixpoint BFS (graph/algorithms.py); oracle is a recursive CTE."""

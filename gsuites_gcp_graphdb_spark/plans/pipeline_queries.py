@@ -30,6 +30,7 @@ SHINGLE_N = 3
 MINHASH_K = 12
 LSH_BANDS = 6
 JACCARD_TAU = 0.5
+MAX_DF = 5  # df-cut: shingles in more than MAX_DF docs are stop-shingles
 FP_N = 5
 TOPK = 10
 SESSION_GAP_MIN = 30
@@ -63,9 +64,10 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
-        docs, n=SHINGLE_N, threshold=JACCARD_TAU
+        docs, n=SHINGLE_N, threshold=JACCARD_TAU, max_df=MAX_DF
     ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -74,6 +76,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_candidates(
         docs, n=SHINGLE_N, num_hashes=MINHASH_K, bands=LSH_BANDS, use_md5=True
@@ -84,6 +87,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(
         docs,
@@ -101,6 +105,7 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64-based; no portable SQL twin)."""
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_candidates(docs, max_hamming=3)
 
@@ -159,6 +164,34 @@ _SQL_JACCARD_PAIRS = f"""
                  6) AS jaccard
         FROM posts a
         JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+      )"""
+
+# df-cut variant (mirrors ngram_jaccard_pairs(max_df=MAX_DF)): drop
+# shingles present in more than MAX_DF documents, recompute per-doc
+# set sizes over the kept shingles, then the same posting-list join.
+_SQL_JACCARD_PAIRS_CUT = f"""
+      shed2 AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+      ),
+      posts0 AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shed2
+      ),
+      kept AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS set_size
+        FROM posts0
+        WHERE shingle IN (
+          SELECT shingle FROM posts0
+          GROUP BY shingle HAVING count(*) <= {MAX_DF})
+      ),
+      jac AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(count(*) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - count(*) AS DOUBLE),
+                 6) AS jaccard
+        FROM kept a
+        JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
       )"""
 
@@ -318,6 +351,7 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs = hamming(simhash) <= 2. Spark generates candidates
     by pigeonhole chunk join (no false negatives), the oracle by
     all-pairs — same final pair set."""
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     votes_expr = """
       aggregate(
@@ -334,12 +368,10 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregate(transform(sequence(0, 15),
           i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
         0L, (a, b) -> a + b)"""
-    sh = (
+    sh = dd._scratch_persist(
         docs.select(
             F.col("doc_id").alias("id"), F.expr(votes_expr).alias("votes")
-        )
-        .select("id", F.expr(pack_expr).alias("sh16"))
-        .persist()
+        ).select("id", F.expr(pack_expr).alias("sh16"))
     )
     # pigeonhole: hamming<=2 => one of 3 chunks (6/5/5 bits) matches
     chunk_defs = [(0, 6), (6, 5), (11, 5)]
@@ -468,7 +500,7 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_dedup_ngram_jaccard": QueryDef(
         ngram_jaccard,
         f"""
-        WITH {_SQL_JACCARD_PAIRS.lstrip()}
+        WITH {_SQL_JACCARD_PAIRS_CUT.lstrip()}
         SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
                jaccard
         FROM jac WHERE jaccard >= {JACCARD_TAU}

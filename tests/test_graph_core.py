@@ -178,6 +178,56 @@ def test_build_fixture_graph(spark, sf_dir):
     assert by_label["user"] == 150
     assert by_label["group"] == 30  # 25 nations + 5 regions
     assert by_label["serviceAccount"] == 10
+    assert by_label["bucket"] > 0  # B10: bucket entity modeled
+    assert len(by_label) == 7
     # idempotence on the real derived graph
     assert upsert_vertices(v, v).count() == v.count()
     assert upsert_edges(e, e).count() == e.count()
+
+
+def test_bucket_entity(spark, sf_dir):
+    """B10 (main.go:384-524): composite-keyed bucket vertices, bucket->
+    project containment, role->bucket IAM; same bucket NAME appears in
+    many projects but composite ids stay unique."""
+    from gsuites_gcp_graphdb_spark.graph.schema import natural_key_col
+
+    v, e = build_graph(spark, sf_dir)
+    b = v.filter(F.col("label") == "bucket")
+    n_buckets = b.count()
+    # composite key: name alone is ambiguous, (name, projectid) unique
+    assert b.select("name").distinct().count() < n_buckets
+    assert b.select("name", "projectid").distinct().count() == n_buckets
+    assert b.filter(F.col("name").isNull() | F.col("projectid").isNull()).count() == 0
+    # natural key renders both halves
+    key = b.select(natural_key_col().alias("k")).first().k
+    assert "/" in key
+    # every bucket is contained in exactly one project
+    proj = v.filter(F.col("label") == "project").select(F.col("id").alias("pid"))
+    cont = e.join(b.select(F.col("id").alias("bid")), e.src == F.col("bid"), "left_semi")
+    assert cont.join(proj, cont.dst == proj.pid, "left_semi").count() == n_buckets
+    # some role grants on buckets exist
+    roles = v.filter(F.col("label") == "role").select(F.col("id").alias("rid"))
+    rb = e.join(b.select(F.col("id").alias("bid")), e.dst == F.col("bid"), "left_semi")
+    assert rb.join(roles, rb.src == roles.rid, "left_semi").count() > 0
+
+
+def test_load_gcs_equivalence(spark, sf_dir):
+    """load_gcs on an empty graph produces exactly the bucket slice of
+    the bulk build (plus the role vertices it upserts)."""
+    from gsuites_gcp_graphdb_spark.graph.build import (
+        bucket_edges,
+        bucket_vertices,
+        empty_edges,
+        empty_vertices,
+    )
+    from gsuites_gcp_graphdb_spark.graph.loaders import load_gcs
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+    from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    g = load_gcs(Graph(empty_vertices(spark), empty_edges(spark)), part)
+    assert (
+        g.vertices.filter(F.col("label") == "bucket").count()
+        == bucket_vertices(part).count()
+    )
+    assert g.edges.count() == bucket_edges(part).count()

@@ -46,6 +46,40 @@ def test_ngram_jaccard(docs):
     assert all(k[0] != 5 and k[1] != 5 for k in pairs)
 
 
+def test_ngram_jaccard_df_cut(docs, spark):
+    """max_df removes ubiquitous shingles from the universe: candidate
+    volume drops, exact dups still match, and a shingle shared by every
+    doc can no longer pair everything with everything."""
+    # Every doc shares the token-trigram universe sparsely here, so
+    # build a corpus where one shingle is in ALL docs.
+    rows = [(i, f"common tri gram unique{i} word{i} tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    no_cut = dd.ngram_jaccard_pairs(df, threshold=0.0)
+    cut = dd.ngram_jaccard_pairs(df, threshold=0.0, max_df=5)
+    # 'common tri gram' has df=6 > 5: without it no pair shares a
+    # shingle, so the cut kills the quadratic candidate set entirely.
+    assert no_cut.count() == 15  # all C(6,2) pairs share the stop-shingle
+    assert cut.count() == 0
+    # exact dups survive any cut (they agree on every kept shingle)
+    dup = dd.ngram_jaccard_pairs(docs, threshold=0.99, max_df=3)
+    assert (1, 4) in {(r.id_a, r.id_b) for r in dup.collect()}
+    dd.release_scratch()
+
+
+def test_scratch_release(docs, spark):
+    """Dedup scratch caches are registered and released — a long
+    session sweeping many queries must not accrete storage memory."""
+    dd.release_scratch()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    dd.simhash_candidates(docs).collect()
+    assert jsc.getPersistentRDDs().size() > base
+    dd.release_scratch()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     cand = {
         (r.id_a, r.id_b)
