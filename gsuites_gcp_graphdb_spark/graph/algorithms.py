@@ -232,6 +232,12 @@ def pagerank(
     edges_d = _truncate(
         edges.join(outd, ["src"]).select("src", "dst", "out_degree")
     )
+    # Vertices with no out-edges (static): their rank mass is
+    # redistributed uniformly each round.
+    dangling_ids = _truncate(
+        v.join(edges_d.select("src").dropDuplicates(),
+               v.id == F.col("src"), "left_anti")
+    )
     ranks = _truncate(v.select("id", F.lit(1.0).alias("rank")))
     for _ in range(iterations):
         contribs = (
@@ -243,19 +249,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )
-        dangling = (
-            ranks.join(edges_d.select("src").dropDuplicates(),
-                       ranks.id == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0][0]
+        # Dangling mass folds in as a one-row broadcast cross-join, so
+        # the whole iteration is ONE job — no driver collect barrier.
+        d_row = (
+            ranks.join(dangling_ids, ["id"], "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
-        base = (1.0 - damping) + damping * dangling / n
         ranks = _truncate(
-            v.join(contribs, ["id"], "left_outer").select(
+            v.join(contribs, ["id"], "left_outer")
+            .crossJoin(F.broadcast(d_row))
+            .select(
                 "id",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_sum", F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

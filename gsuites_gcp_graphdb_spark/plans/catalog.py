@@ -70,6 +70,75 @@ _EDGES_NK = f"""
         )
 """
 
+# SQL fragment: the full (label, key) vertex list of the derived graph.
+_VERTS_NK = f"""
+        verts_nk AS (
+          SELECT 'user' AS l, c_name AS k FROM customer
+          UNION
+          SELECT 'group', n_name FROM nation
+          UNION
+          SELECT 'group', r_name FROM region
+          UNION
+          SELECT 'serviceAccount', s_name FROM supplier
+          UNION
+          SELECT 'role', p_brand FROM part
+          UNION
+          SELECT 'permission', p_type FROM part
+          UNION
+          SELECT 'project', p_name FROM part
+          UNION
+          SELECT 'bucket', {_BUCKET_KEY} FROM part
+        )
+"""
+
+
+def _pagerank_sql(
+    iterations: int = 5, damping: float = 0.85, topk: int = 20
+) -> str:
+    """The SAME k-iteration PageRank as graph/algorithms.pagerank,
+    unrolled as DuckDB CTEs over the (label, key) graph: identical
+    init (rank=1), identical update
+    ``(1-d) + d * (in_sum + dangling/n)``, float literals via repr so
+    both engines parse the same doubles. Rounded to 6 decimals BEFORE
+    the top-k cut on both sides, making the boundary deterministic."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        _EDGES_NK.strip(),
+        _VERTS_NK.strip(),
+        """outd AS (
+          SELECT sl, sk, CAST(count(*) AS DOUBLE) AS od
+          FROM edges_nk GROUP BY sl, sk)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts_nk)",
+        "r0 AS (SELECT l, k, CAST(1.0 AS DOUBLE) AS rank FROM verts_nk)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""c{i} AS (
+          SELECT e.dl AS l, e.dk AS k, sum(r.rank / o.od) AS in_sum
+          FROM {p} r JOIN edges_nk e ON r.l = e.sl AND r.k = e.sk
+          JOIN outd o ON o.sl = e.sl AND o.sk = e.sk
+          GROUP BY e.dl, e.dk)""")
+        ctes.append(f"""d{i} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dang
+          FROM {p} r WHERE NOT EXISTS (
+            SELECT 1 FROM outd o WHERE o.sl = r.l AND o.sk = r.k))""")
+        ctes.append(f"""r{i} AS (
+          SELECT v.l, v.k,
+                 {one_minus} + {d} * (coalesce(c.in_sum, 0.0)
+                                      + d{i}.dang / nn.n) AS rank
+          FROM verts_nk v
+          LEFT JOIN c{i} c ON c.l = v.l AND c.k = v.k, d{i}, nn)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT l AS label, k AS key, round(rank, 6) AS rank
+        FROM r{iterations}
+        ORDER BY round(rank, 6) DESC, l, k
+        LIMIT {topk}
+        """
+
+
 CATALOG: dict[str, QueryDef] = {
     "g_count_by_label": QueryDef(
         gq.count_by_label,
@@ -346,7 +415,7 @@ CATALOG: dict[str, QueryDef] = {
         FROM comp GROUP BY m
         """,
     ),
-    "g_pagerank_top": QueryDef(gq.pagerank_top, None),
+    "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_upsert_merge": QueryDef(
         gq.upsert_merge_counts,
         """

@@ -380,9 +380,12 @@ def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: PageRank centrality over the full IAM graph — 'which
-    roles/projects concentrate access'. Float fixpoint, so no
-    cross-engine oracle; pinned by unit tests instead."""
+    """PageRank centrality over the full IAM graph — 'which roles/
+    projects concentrate access'. Oracle: the SAME k-iteration
+    algorithm unrolled as DuckDB CTEs over the (label, key) edge list;
+    both sides round to 6 decimals BEFORE the top-k cut so the limit
+    boundary is decided on identical values (float sums agree to
+    ~1e-13 relative; 6-decimal rounding absorbs association order)."""
     from ..graph.algorithms import pagerank
 
     g = _graph(spark, sf_dir)
@@ -391,7 +394,7 @@ def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.join(g.vertices, ["id"])
         .select("label", natural_key_col().alias("key"),
                 F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "key")
+        .orderBy(F.col("rank").desc(), "label", "key")
         .limit(20)
     )
 
