@@ -157,6 +157,70 @@ def shortest_paths(
     return dist
 
 
+def all_paths(
+    g: Graph,
+    source_ids: DataFrame,
+    target_ids: DataFrame,
+    edge_label: str | None = "in",
+    max_depth: int = 8,
+    key_col=None,
+) -> DataFrame:
+    """Every path from a source to a target vertex, as an array of
+    natural keys — the Gremlin ``path()`` step (the 'via what path'
+    half of the README.md:15-32 audit; Gremlin gives this for free on
+    any traversal, so the engine must too).
+
+    Returns (id, path array<string>, depth). Paths are enumerated by
+    frontier expansion carrying the accumulated key array; the derived
+    graph is a DAG so enumeration terminates, and ``max_depth`` caps
+    the blowup on general graphs (path count is exponential in the
+    worst case — the cap is the scale guard, and each round is still
+    one shuffle).
+    """
+    from .schema import natural_key_col
+
+    if key_col is None:
+        key_col = natural_key_col()
+    verts = g.vertices.select("id", key_col.alias("__k"))
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst")
+
+    frontier = _truncate(
+        source_ids.select("id")
+        .dropDuplicates()
+        .join(verts, ["id"])
+        .select("id", F.array("__k").alias("path"))
+    )
+    vk = verts.select(F.col("id").alias("__vid"), "__k")
+    tgt = target_ids.select("id").dropDuplicates()
+    hits = None
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .join(vk, F.col("dst") == F.col("__vid"))
+            .select(
+                F.col("dst").alias("id"),
+                F.concat("path", F.array("__k")).alias("path"),
+            )
+        )
+        nxt = _truncate(nxt)
+        if not nxt.take(1):
+            break
+        reached = nxt.join(tgt, ["id"], "left_semi").withColumn(
+            "depth", F.lit(depth).cast("int")
+        )
+        hits = reached if hits is None else hits.unionByName(reached)
+        frontier = nxt
+    if hits is None:
+        return (
+            frontier.limit(0)
+            .withColumn("depth", F.lit(0).cast("int"))
+        )
+    return hits
+
+
 def connected_components(
     g: Graph, max_iter: int = DEFAULT_MAX_ITER
 ) -> DataFrame:

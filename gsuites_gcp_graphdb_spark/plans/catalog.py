@@ -60,15 +60,19 @@ _EDGES_NK = f"""
           UNION
           SELECT 'user', c_name, 'role', p_brand FROM ({_USER_ROLE})
           UNION
-          SELECT 'role', p_brand, 'project', p_name FROM part
+          SELECT DISTINCT 'role', p_brand, 'project', p_name FROM part
           UNION
-          SELECT 'permission', p_type, 'role', p_brand FROM part
+          SELECT DISTINCT 'permission', p_type, 'role', p_brand FROM part
           UNION
-          SELECT 'role', p_brand, 'bucket', {_BUCKET_KEY} FROM part
+          SELECT DISTINCT 'role', p_brand, 'bucket', {_BUCKET_KEY} FROM part
           UNION
-          SELECT 'bucket', {_BUCKET_KEY}, 'project', p_name FROM part
+          SELECT DISTINCT 'bucket', {_BUCKET_KEY}, 'project', p_name FROM part
         )
 """
+# NOTE: the per-branch DISTINCTs are load-bearing even under UNION:
+# when edges_nk is inlined into a RECURSIVE CTE, DuckDB can evaluate
+# the branch without the cross-branch dedup, and path-enumeration
+# oracles (g_access_paths) are sensitive to edge multiplicity.
 
 # SQL fragment: the full (label, key) vertex list of the derived graph.
 _VERTS_NK = f"""
@@ -347,6 +351,25 @@ CATALOG: dict[str, QueryDef] = {
         FROM walk WHERE d > 0
         GROUP BY l, k
         ORDER BY label, key
+        """,
+    ),
+    "g_access_paths": QueryDef(
+        gq.access_paths,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        src AS (SELECT min(c_name) AS u FROM customer),
+        tgt AS (SELECT min(p_name) AS pid FROM part),
+        walk(l, k, path, d) AS (
+          SELECT 'user', u, u, 0 FROM src
+          UNION ALL
+          SELECT e.dl, e.dk, w.path || '/' || e.dk, w.d + 1
+          FROM walk w JOIN edges_nk e ON e.sl = w.l AND e.sk = w.k
+          WHERE w.d < 6
+        )
+        SELECT path FROM walk, tgt
+        WHERE l = 'project' AND k = tgt.pid AND d > 0
+        ORDER BY path
         """,
     ),
     "g_subgraph_role_project": QueryDef(

@@ -290,6 +290,31 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def access_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full README.md:15-32 audit: not just CAN the min user reach
+    the min project, but every complete chain (user/role/project,
+    user/role/bucket/project, ...) — Gremlin's path() over an
+    unbounded traversal, rendered as '/'-joined natural keys."""
+    from ..graph.algorithms import all_paths
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    src = users.join(
+        users.agg(F.min("email").alias("email")), ["email"], "left_semi"
+    ).select("id")
+    projects = g.vertices.filter(F.col("label") == "project")
+    tgt = projects.join(
+        projects.agg(F.min("projectid").alias("projectid")),
+        ["projectid"],
+        "left_semi",
+    ).select("id")
+    p = all_paths(g, src, tgt, edge_label="in", max_depth=6)
+    return (
+        p.select(F.concat_ws("/", "path").alias("path"))
+        .orderBy("path")
+    )
+
+
 def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20: edge-induced subgraph of role->project edges
     (subgraph('sg').cap('sg'), README.md:372-381), summarized as a

@@ -123,6 +123,35 @@ def test_reachability_golden(golden, spark):
     assert k_hop(g, src, 2).count() == 1
 
 
+def test_all_paths_golden(golden, spark):
+    """path(): full chains source -> target, diamond counted twice."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import all_paths
+
+    g = golden
+    src = g.V().has("email", "user1@domain.com").id_()
+    tgt = g.V().hasLabel("project").id_()
+    rows = all_paths(g, src, tgt).collect()
+    assert len(rows) == 1
+    assert rows[0].depth == 4
+    assert rows[0].path == [
+        "user1@domain.com",
+        "subgroup1@domain.com",
+        "group_of_groups1@domain.com",
+        "roles/appengine.codeViewer",
+        "gcp-project-200601",
+    ]
+    # diamond: a second parallel route doubles the path count
+    extra = [
+        ("user", "user1@domain.com", "group", "group_of_groups1@domain.com"),
+    ]
+    g2 = Graph(g.vertices, g.edges.unionByName(edges_of(spark, extra)))
+    paths = {tuple(r.path) for r in all_paths(g2, src, tgt).collect()}
+    assert len(paths) == 2
+    # depth cap prunes the long route
+    capped = all_paths(g2, src, tgt, max_depth=3).collect()
+    assert len(capped) == 1 and capped[0].depth == 3
+
+
 def test_upsert_idempotent(golden, spark):
     """THE invariant (SURVEY.md §2.3): load(load(G,X),X) == load(G,X)."""
     v, e = golden.vertices, golden.edges
