@@ -78,6 +78,29 @@ def drop_all(vertices: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFram
     return vertices.limit(0), edges.limit(0)
 
 
+def remove_vertices(
+    vertices: DataFrame, edges: DataFrame, victim_ids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Selective ``g.V().has(...).drop()`` — delete a vertex set AND
+    its incident edges (Gremlin drop() cascades to edges), the
+    offboarding scenario: remove a principal, every membership and
+    grant disappears with it.
+
+    Mutation-surface complement of upsert: three anti-joins (one on
+    vertices, one per edge endpoint), each a shuffle-on-key that AQE
+    plans broadcast when the victim set is small — never per-row
+    deletes."""
+    ids = victim_ids.select("id").dropDuplicates()
+    kept_v = vertices.join(ids, ["id"], "left_anti")
+    kept_e = edges.join(
+        ids, edges.src == ids.id, "left_anti"
+    )
+    kept_e = kept_e.join(
+        ids, kept_e.dst == ids.id, "left_anti"
+    )
+    return kept_v, kept_e
+
+
 def _anti(a: DataFrame, b: DataFrame) -> DataFrame:
     """Rows of a absent from b — null-safe anti-join on every column.
 

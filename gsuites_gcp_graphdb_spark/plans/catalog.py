@@ -464,6 +464,47 @@ CATALOG: dict[str, QueryDef] = {
         )
         """,
     ),
+    "g_offboard_user": QueryDef(
+        gq.offboard_min_user,
+        f"""
+        WITH mu AS (SELECT min(c_name) AS u FROM customer),
+        ur AS ({_USER_ROLE})
+        SELECT label, CAST(n AS BIGINT) AS n FROM (
+          SELECT 'user' AS label, count(DISTINCT c_name) - 1 AS n FROM customer
+          UNION ALL
+          SELECT 'group',
+                 (SELECT count(DISTINCT n_name) FROM nation)
+               + (SELECT count(DISTINCT r_name) FROM region)
+          UNION ALL
+          SELECT 'serviceAccount', count(DISTINCT s_name) FROM supplier
+          UNION ALL
+          SELECT 'role', count(DISTINCT p_brand) FROM part
+          UNION ALL
+          SELECT 'permission', count(DISTINCT p_type) FROM part
+          UNION ALL
+          SELECT 'project', count(DISTINCT p_name) FROM part
+          UNION ALL
+          SELECT 'bucket', count(*) FROM (
+            SELECT DISTINCT p_size, p_name FROM part)
+          UNION ALL
+          SELECT 'edges',
+            (SELECT count(*) FROM (SELECT DISTINCT c_name, n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey))
+          + (SELECT count(*) FROM (SELECT DISTINCT n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey))
+          + (SELECT count(*) FROM (SELECT DISTINCT s_name, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey))
+          + (SELECT count(*) FROM ur)
+          + (SELECT count(*) FROM (SELECT DISTINCT p_brand, p_name FROM part))
+          + (SELECT count(*) FROM (SELECT DISTINCT p_type, p_brand FROM part))
+          + (SELECT count(*) FROM (SELECT DISTINCT p_size, p_name FROM part))
+          + (SELECT count(*) FROM (
+               SELECT DISTINCT p_brand, p_size, p_name FROM part))
+          - 1
+          - (SELECT count(*) FROM ur, mu WHERE ur.c_name = mu.u)
+        )
+        """,
+    ),
     "g_top_roles": QueryDef(
         gq.top_roles_by_membership,
         f"""

@@ -452,6 +452,27 @@ def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def offboard_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective drop (the offboarding audit): remove the min-email
+    user and every incident edge — g.V().has('email', X).drop() with
+    Gremlin's edge cascade — then report the post-removal label census
+    plus total edge count, proving exactly the principal's vertex,
+    its one group membership, and its role grants disappeared."""
+    from ..graph.upsert import remove_vertices
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user")
+    victim = users.join(
+        users.agg(F.min("email").alias("email")), ["email"], "left_semi"
+    ).select("id")
+    v2, e2 = remove_vertices(g.vertices, g.edges, victim)
+    census = v2.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    edges_row = e2.agg(F.count("*").cast("bigint").alias("n")).select(
+        F.lit("edges").alias("label"), "n"
+    )
+    return census.unionByName(edges_row)
+
+
 def snapshot_diff_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (§2C set-ops): full graph vs the
     no-permissions variant (the reference's --includePermissions flag,

@@ -175,6 +175,23 @@ def test_upsert_get_or_create(golden, spark):
     assert merged.filter(F.col("email") == "user1@domain.com").count() == 1
 
 
+def test_remove_vertices_cascades(golden, spark):
+    """Selective drop removes the vertex and BOTH edge directions."""
+    from gsuites_gcp_graphdb_spark.graph.upsert import remove_vertices
+
+    g = golden
+    victim = g.V().hasLabel("group").has(
+        "email", "group_of_groups1@domain.com"
+    ).id_()
+    v2, e2 = remove_vertices(g.vertices, g.edges, victim)
+    assert v2.count() == 4
+    # the middle group had 1 in-edge and 1 out-edge: both gone
+    assert e2.count() == 2
+    # idempotent: removing again is a no-op
+    v3, e3 = remove_vertices(v2, e2, victim)
+    assert v3.count() == 4 and e3.count() == 2
+
+
 def test_drop_all(golden):
     v, e = drop_all(golden.vertices, golden.edges)
     assert v.count() == 0 and e.count() == 0
