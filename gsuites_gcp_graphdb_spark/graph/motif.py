@@ -34,6 +34,7 @@ _TERM = re.compile(
 
 def _parse(pattern: str) -> list[tuple[str, str, str]]:
     terms = []
+    seen_edges: set[str] = set()
     for raw in pattern.split(";"):
         raw = raw.strip()
         if not raw:
@@ -41,7 +42,17 @@ def _parse(pattern: str) -> list[tuple[str, str, str]]:
         m = _TERM.match(raw)
         if not m:
             raise ValueError(f"bad motif term: {raw!r}")
-        terms.append(m.groups())
+        src, ename, dst = m.groups()
+        if ename:
+            # A repeated edge variable would derive the same
+            # __e_src/__e_dst columns twice — ambiguous columns or
+            # silently wrong joins. GraphFrames rejects it too.
+            if ename in seen_edges:
+                raise ValueError(
+                    f"duplicate edge variable {ename!r} in motif pattern"
+                )
+            seen_edges.add(ename)
+        terms.append((src, ename, dst))
     if not terms:
         raise ValueError("empty motif pattern")
     return terms

@@ -62,6 +62,59 @@ def bindings_to_graph_parts(
     return principal_v.unionByName(role_v), edges
 
 
+_POINTER = "_CURRENT"
+
+
+def _read_pointer(graph_path: str) -> str | None:
+    import os
+
+    ptr = os.path.join(graph_path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        return f.read().strip()
+
+
+def load_snapshot(spark: SparkSession, graph_path: str) -> Graph | None:
+    """Load the graph the _CURRENT pointer designates, or None when no
+    snapshot has ever been committed. Any error OTHER than an absent
+    pointer propagates — a transient read failure must never be
+    mistaken for 'graph does not exist yet'."""
+    import os
+
+    ver = _read_pointer(graph_path)
+    if ver is None:
+        return None
+    return load(spark, os.path.join(graph_path, ver))
+
+
+def _commit_snapshot(g: Graph, graph_path: str, batch_id: int) -> None:
+    """Write a versioned snapshot dir, then atomically swing the
+    pointer (write-temp + rename). The previous snapshot stays intact
+    until the pointer moves, so a crash mid-write leaves the prior
+    state readable; a replayed batch rewrites its own version dir and
+    re-points — idempotent. Old versions beyond the last two are
+    pruned after the swap."""
+    import os
+    import shutil
+
+    os.makedirs(graph_path, exist_ok=True)
+    ver = f"v{batch_id}"
+    save(g, os.path.join(graph_path, ver))
+    tmp = os.path.join(graph_path, f"{_POINTER}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(ver)
+    os.replace(tmp, os.path.join(graph_path, _POINTER))
+    keep = {ver, f"v{batch_id - 1}"}
+    for entry in os.listdir(graph_path):
+        if (
+            entry.startswith("v")
+            and entry not in keep
+            and os.path.isdir(os.path.join(graph_path, entry))
+        ):
+            shutil.rmtree(os.path.join(graph_path, entry), ignore_errors=True)
+
+
 def start_binding_ingest(
     spark: SparkSession,
     stream: DataFrame,
@@ -69,21 +122,27 @@ def start_binding_ingest(
     checkpoint_path: str,
     query_name: str = "graph_ingest",
 ):
-    """Run a binding stream into the parquet-persisted graph at
-    ``graph_path`` (created if absent). Returns the StreamingQuery."""
+    """Run a binding stream into the versioned graph snapshot store at
+    ``graph_path`` (created if absent). Returns the StreamingQuery.
+
+    Durability: snapshots are immutable version dirs + an atomic
+    pointer, never an in-place overwrite of the directory being read —
+    so a crash mid-commit cannot destroy accumulated state, and only
+    a genuinely-absent pointer means 'start empty' (other load errors
+    fail the batch and the checkpoint retries it). On an object store
+    swap os.replace for a conditional-put of the pointer object."""
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        try:
-            g = load(s, graph_path)
-        except Exception:
+        g = load_snapshot(s, graph_path)
+        if g is None:
             from ..graph.build import empty_edges, empty_vertices
 
             g = Graph(empty_vertices(s), empty_edges(s))
         new_v, new_e = bindings_to_graph_parts(batch)
         merged_v = upsert_vertices(g.vertices, new_v).localCheckpoint()
         merged_e = upsert_edges(g.edges, new_e).localCheckpoint()
-        save(Graph(merged_v, merged_e), graph_path)
+        _commit_snapshot(Graph(merged_v, merged_e), graph_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

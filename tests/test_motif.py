@@ -76,3 +76,8 @@ def test_bad_pattern(g):
         find(g, "(a)->(b)")
     with pytest.raises(ValueError):
         find(g, "")
+
+
+def test_duplicate_edge_variable_rejected(g):
+    with pytest.raises(ValueError, match="duplicate edge variable"):
+        find(g, "(a)-[e]->(b); (b)-[e]->(c)")

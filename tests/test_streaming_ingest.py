@@ -6,10 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gsuites_gcp_graphdb_spark.graph.export import load
 from gsuites_gcp_graphdb_spark.operators.joins import salted_join
 from gsuites_gcp_graphdb_spark.streaming.ingest import (
     bindings_to_graph_parts,
+    load_snapshot,
     start_binding_ingest,
 )
 
@@ -47,7 +47,7 @@ def test_streaming_ingest_idempotent(spark, tmp_path):
 
     q = start_binding_ingest(spark, stream, gpath, ck1)
     q.awaitTermination(120)
-    g1 = load(spark, gpath)
+    g1 = load_snapshot(spark, gpath)
     # alice, eng, allUsers(+group), viewer, admin -> 3 principals + 2 roles
     assert g1.counts() == (5, 3)
 
@@ -60,7 +60,7 @@ def test_streaming_ingest_idempotent(spark, tmp_path):
         spark, stream2, gpath, str(tmp_path / "ck2"), "ingest2"
     )
     q2.awaitTermination(120)
-    g2 = load(spark, gpath)
+    g2 = load_snapshot(spark, gpath)
     # + sa@x.iam vertex + sa->admin edge; the duplicate binding is a no-op
     assert g2.counts() == (6, 4)
     # replaying EVERYTHING yet again changes nothing (exactly-once state)
@@ -71,7 +71,39 @@ def test_streaming_ingest_idempotent(spark, tmp_path):
         spark, stream3, gpath, str(tmp_path / "ck3"), "ingest3"
     )
     q3.awaitTermination(120)
-    assert load(spark, gpath).counts() == (6, 4)
+    assert load_snapshot(spark, gpath).counts() == (6, 4)
+
+
+def test_snapshot_store_crash_safety(spark, tmp_path):
+    """A half-written NEW version must not corrupt the readable state:
+    the pointer only moves after a complete write, and a junk version
+    dir alongside it is invisible."""
+    import os
+
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+    from gsuites_gcp_graphdb_spark.streaming.ingest import _commit_snapshot
+
+    gpath = str(tmp_path / "g")
+    # no pointer yet -> None (not an error, not an empty overwrite)
+    assert load_snapshot(spark, gpath) is None
+    g = Graph(
+        vertices_of(spark, [("user", "u@x.com")]),
+        edges_of(spark, []),
+    )
+    _commit_snapshot(g, gpath, 0)
+    assert load_snapshot(spark, gpath).counts() == (1, 0)
+    # simulate a crash mid-write of the next version: junk dir, no swap
+    os.makedirs(os.path.join(gpath, "v1", "vertices"), exist_ok=True)
+    assert load_snapshot(spark, gpath).counts() == (1, 0)
+    # commit v1 properly; v-1-style stale dirs beyond keep-2 are pruned
+    _commit_snapshot(g, gpath, 1)
+    assert load_snapshot(spark, gpath).counts() == (1, 0)
+    _commit_snapshot(g, gpath, 2)
+    _commit_snapshot(g, gpath, 3)
+    assert sorted(
+        d for d in os.listdir(gpath) if d.startswith("v")
+    ) == ["v2", "v3"]
 
 
 def test_salted_join(spark):
