@@ -10,16 +10,24 @@ fixpoint reachability, upsert merge, relational aggregation/joins/
 windows, dedup (exact/LSH fast path/jaccard), similarity top-k,
 text analysis, event windowing. Queries come straight from the t2
 catalog (correctness-gated code paths — no bench-special builds),
-except the two *_fast entries which exercise the xxhash64 scale path
+except the *_fast entries which exercise the xxhash64 scale path
 of the same operators.
+
+Each timed entry is the MEDIAN of REPS runs (sub-second entries vary
+±30% run-to-run; medians make round-over-round deltas attributable).
+graph_build is single-shot: it is a build-once cost and later reps
+would only measure the cache.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+REPS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -70,6 +78,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def median_timed(name: str, action) -> None:
+        reps = []
+        for _ in range(REPS):
+            dd.release_scratch()
+            t0 = time.perf_counter()
+            action()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+
     # Materialize the graph once (deployed-system shape); timed as its
     # own entry so build cost is visible, not smeared into queries.
     t0 = time.perf_counter()
@@ -79,23 +96,31 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = CATALOG[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        median_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     # Scale-path variants (xxhash64 instead of portable md5/strings).
     docs = load_table(spark, sf_dir, "documents")
-    t0 = time.perf_counter()
-    dd.minhash_lsh_candidates(docs, use_md5=False).count()
-    timings["ns_dedup_minhash_fast"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    dd.ngram_jaccard_pairs(docs, hash_shingles=True).count()
-    timings["ns_dedup_jaccard_fast"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    dd.simhash_candidates(docs, max_hamming=3).count()
-    timings["ns_dedup_simhash_fast"] = round(time.perf_counter() - t0, 3)
+    median_timed(
+        "ns_dedup_minhash_fast",
+        lambda: dd.minhash_lsh_candidates(docs, use_md5=False).count(),
+    )
+    median_timed(
+        "ns_dedup_jaccard_fast",
+        lambda: dd.ngram_jaccard_pairs(docs, hash_shingles=True).count(),
+    )
+    # The df-cut scale guard on the same fast path: stop-shingle
+    # removal shrinks the candidate set before the self-join.
+    median_timed(
+        "ns_dedup_jaccard_fast_dfcut",
+        lambda: dd.ngram_jaccard_pairs(
+            docs, hash_shingles=True, max_df=5
+        ).count(),
+    )
+    median_timed(
+        "ns_dedup_simhash_fast",
+        lambda: dd.simhash_candidates(docs, max_hamming=3).count(),
+    )
+    dd.release_scratch()
 
     total = round(sum(timings.values()), 3)
     print(

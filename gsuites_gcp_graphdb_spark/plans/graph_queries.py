@@ -132,9 +132,14 @@ def two_hop_users_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested groups (user -in-> group -in-> group), the nested-group
     scenario of README.md:15-32."""
     g = _graph(spark, sf_dir)
-    regions = g.V().hasLabel("group").toDF().filter(F.col("email").rlike("^[A-Z]+$"))
-    # region-derived groups have ALL-CAPS names (AFRICA, AMERICA, ...);
-    # nation-derived are NATION_i. Deterministic pick: min name.
+    # Region groups are identified STRUCTURALLY: they are the
+    # top-level containers — group vertices with no outgoing edge
+    # (nation groups nest into a region; regions nest into nothing).
+    # No naming heuristic, so any fixture with the same shape works.
+    groups = g.vertices.filter(F.col("label") == "group")
+    regions = groups.join(
+        g.edges.select(F.col("src").alias("id")), ["id"], "left_anti"
+    )
     target = regions.agg(F.min("email").alias("email"))
     region_ids = regions.join(target, ["email"], "left_semi").select("id")
     e = g.edges.select("src", "dst")
