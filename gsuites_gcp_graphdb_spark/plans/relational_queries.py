@@ -341,6 +341,138 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2C multi-way join with dual dimension aliasing (TPC-H Q7) ------
+def trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: revenue shipped between DIFFERENT customer/supplier
+    nations per year — the same dimension (nation) joins twice under
+    two roles, the classic alias-disambiguation join. Exact decimal
+    revenue; two shipping years."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC_HI)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(cust_n, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --- §2C conditional share-of-total (TPC-H Q8 shape) -----------------
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: the min-name nation's share of supplier revenue
+    within its region, per year — a conditional decimal sum divided by
+    the total (both exact; division in double at the edge, rounded)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    target_nation = nation.agg(F.min("n_name").alias("tn"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    # region of the target nation
+    nr = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    tgt_region = (
+        nr.join(target_nation, nr.n_name == F.col("tn"), "left_semi")
+        .select(F.col("r_name").alias("tr"))
+    )
+    region_nations = nr.join(
+        tgt_region, nr.r_name == F.col("tr"), "left_semi"
+    ).select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC_HI)
+    scored = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(region_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(target_nation))
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            rev.alias("rev"),
+            F.when(F.col("n_name") == F.col("tn"), rev)
+            .otherwise(F.lit(0).cast(DEC_HI))
+            .alias("tn_rev"),
+        )
+    )
+    return (
+        scored.groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum("tn_rev").cast("double") / F.sum("rev").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- §2C exists semi-join + conditional count (TPC-H Q4 shape) -------
+def priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: order counts per priority, restricted to orders that
+    HAVE at least one returned lineitem — EXISTS as a left_semi join
+    (never a fan-out join + distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+# --- §2C distinct-count classes + exclusion (TPC-H Q16 shape) --------
+def supplier_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: how many distinct suppliers serve each (brand,
+    size) class, excluding one brand — countDistinct over the
+    lineitem-derived supplier-part relation with a dimension
+    anti-filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).dropDuplicates()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    excl = part.agg(F.min("p_brand").alias("xb"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excl, part.p_brand == F.col("xb"), "left_anti")
+        .groupBy("p_brand", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
     "etl_filter_open_orders": QueryDef(
         filter_open_orders,
@@ -531,6 +663,81 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "rel_approx_distinct": QueryDef(approx_distinct_parts, None),
+    "rel_trade_volume": QueryDef(
+        trade_volume,
+        """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+        """,
+    ),
+    "rel_market_share": QueryDef(
+        market_share,
+        """
+        WITH tn AS (SELECT min(n_name) AS tn FROM nation),
+        tr AS (
+          SELECT r_name AS tr FROM nation
+          JOIN region ON n_regionkey = r_regionkey, tn
+          WHERE n_name = tn.tn
+        ),
+        region_nations AS (
+          SELECT n_nationkey, n_name FROM nation
+          JOIN region ON n_regionkey = r_regionkey, tr
+          WHERE r_name = tr.tr
+        ),
+        scored AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(38,6)) AS rev,
+            CASE WHEN rn.n_name = tn.tn THEN
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))
+            ELSE CAST(0 AS DECIMAL(38,6)) END AS tn_rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN region_nations rn ON s_nationkey = rn.n_nationkey, tn
+        )
+        SELECT l_year,
+               round(CAST(sum(tn_rev) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+        FROM scored GROUP BY l_year
+        """,
+    ),
+    "rel_priority_returns": QueryDef(
+        priority_with_returns,
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """,
+    ),
+    "rel_supplier_part_classes": QueryDef(
+        supplier_part_classes,
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> (SELECT min(p_brand) FROM part)
+        GROUP BY 1, 2
+        """,
+    ),
     "rel_revenue_by_nation": QueryDef(
         revenue_by_nation,
         """
