@@ -134,6 +134,128 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer: (cid, cvec) centroid table.
+
+    Deterministic end to end — init is the ``num_centroids`` vectors
+    with the smallest ids (TakeOrdered, no full sort), then a FIXED
+    number of Lloyd rounds, each: assign every vector to its most
+    cosine-similar centroid (broadcast of the tiny centroid table —
+    the corpus never shuffles for assignment) and recompute centroids
+    as per-dimension means (posexplode + one map-combinable groupBy).
+    Ties break on cid so re-runs agree. A centroid that loses every
+    member keeps its previous position."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed = c.orderBy("id").limit(num_centroids)
+    w0 = Window.orderBy("id")
+    cent = seed.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
+        F.transform("v", lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(iterations):
+        assigned = _ivf_assign(c, cent)
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        )
+        new_cent = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+        cent = (
+            cent.select("cid", F.col("cvec").alias("__old"))
+            .join(new_cent, ["cid"], "left_outer")
+            .select("cid", F.coalesce("cvec", "__old").alias("cvec"))
+        )
+        cent = cent.localCheckpoint(eager=True)
+    return cent
+
+
+def _ivf_assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, v) x centroids -> (id, v, cid) nearest-centroid assignment
+    (max cosine, cid tiebreak). Broadcast cross-join + per-id window:
+    the corpus stays put; only the k-row centroid table moves."""
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "v",
+        "cid",
+        cosine_similarity(F.col("v"), F.col("cvec")).alias("__sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "cid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate k-NN join: train the coarse quantizer, build
+    inverted lists (corpus partitioned by nearest centroid), then each
+    query probes only its ``nprobe`` closest centroids' lists — cost
+    ~ nprobe/num_centroids of the corpus per query instead of all of
+    it. With nprobe == num_centroids the result equals brute force
+    EXACTLY (tested), which is the correctness anchor for the
+    approximate path.
+
+    At 100 TB the inverted lists are the write-time layout (partition
+    the corpus by cid, the IVF analog of export.save_bucketed) so a
+    probe reads only its partitions; here the assignment is computed
+    in-query because fixtures are rebuilt per run."""
+    cent = ivf_train(corpus, num_centroids, iterations, c_id, vec_col)
+    inv = _ivf_assign(
+        corpus.select(F.col(c_id).alias("id"), F.col(vec_col).alias("v")),
+        cent,
+    )
+    qs = queries.select(
+        F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    qscore = qs.crossJoin(F.broadcast(cent)).select(
+        "__qid",
+        "__qvec",
+        "cid",
+        cosine_similarity(F.col("__qvec"), F.col("cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("cid")
+    )
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "cid")
+    )
+    cands = inv.join(F.broadcast(probes), ["cid"]).select(
+        F.col("__qid").alias(q_id),
+        F.col("id").alias(c_id),
+        cosine_similarity(F.col("v"), F.col("__qvec")).alias("__exact"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("__exact").desc(), F.col(c_id))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("__exact", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

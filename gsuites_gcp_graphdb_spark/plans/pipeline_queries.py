@@ -103,6 +103,50 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_TAU = 0.4  # embedding near-dup cosine threshold
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs — the all-pairs
+    correctness anchor (oracle-checked); the sub-quadratic scale path
+    is similarity.embedding_near_duplicates (LSH-bucketed, unit-tested
+    to produce a subset of exactly these pairs)."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            cosine_similarity(F.col("va"), F.col("vb")).alias("__cs"),
+        )
+        .filter(F.col("__cs") >= NEAR_DUP_TAU)
+        .select("id_a", "id_b", F.round("__cs", 6).alias("cos_sim"))
+    )
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF (trained coarse quantizer) approximate k-NN for
+    the deterministic query subset — the scale path whose exactness
+    anchor is the nprobe==num_centroids equality test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = sim.ivf_topk(
+        queries, emb, k=5, num_centroids=8, nprobe=2, iterations=2
+    )
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cos_sim",
+        "rank",
+    )
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64-based; no portable SQL twin)."""
     dd.release_scratch()
@@ -606,6 +650,45 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_lsh_ann": QueryDef(lsh_ann, None),
+    "ns_ivf_ann": QueryDef(ivf_ann, None),
+    "ns_embedding_near_dup": QueryDef(
+        embedding_near_dup,
+        f"""
+        SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+               CAST(b.vec_id AS BIGINT) AS id_b,
+               round(
+                 list_reduce(list_transform(range(1, len(a.embedding)+1),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(
+                      range(1, len(a.embedding)+1),
+                      i -> CAST(a.embedding[i] AS DOUBLE)
+                           * CAST(a.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(
+                      range(1, len(b.embedding)+1),
+                      i -> CAST(b.embedding[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)),
+                      (x, y) -> x + y))), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.embedding)+1),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(
+                   range(1, len(a.embedding)+1),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(
+                   range(1, len(b.embedding)+1),
+                   i -> CAST(b.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)))
+              >= {NEAR_DUP_TAU}
+        """,
+    ),
     "ns_text_langid": QueryDef(
         lang_id,
         f"""

@@ -136,6 +136,47 @@ def test_similarity_topk(spark):
     )
 
 
+def test_ivf_topk(spark, sf_dir):
+    """IVF correctness anchor: probing EVERY centroid equals brute
+    force exactly; probing fewer returns a subset-quality result."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in sim.knn_join(queries, emb, k=3).collect()
+    }
+    full_probe = {
+        (r.q_id, r.rank): r.vec_id
+        for r in sim.ivf_topk(
+            queries, emb, k=3, num_centroids=4, nprobe=4, iterations=2
+        ).collect()
+    }
+    assert full_probe == exact
+    # approximate probe: every query still answers, self always found
+    # (the query's own vector shares its centroid by definition)
+    approx = sim.ivf_topk(
+        queries, emb, k=3, num_centroids=4, nprobe=1, iterations=2
+    ).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {r[0] for r in queries.select("q_id").collect()}
+    for q, rows in by_q.items():
+        assert rows[0].vec_id == q or any(r.vec_id == q for r in rows)
+
+
+def test_ivf_train_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    c1 = sim.ivf_train(emb, num_centroids=4, iterations=2).collect()
+    c2 = sim.ivf_train(emb, num_centroids=4, iterations=2).collect()
+    assert sorted((r.cid, tuple(r.cvec)) for r in c1) == sorted(
+        (r.cid, tuple(r.cvec)) for r in c2
+    )
+    assert len(c1) == 4
+
+
 def test_text_ops(spark):
     rows = [
         (1, "the cat sat on the mat and the dog sat too", "x", "s", 43),
