@@ -473,6 +473,51 @@ def supplier_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2C having-equals-global-max (TPC-H Q15 shape) ------------------
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: supplier(s) achieving the maximum quarterly revenue
+    — a decimal aggregate compared for EXACT equality against its own
+    global max (only possible because revenue sums are decimal; float
+    sums could never equality-join cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC_HI)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__tr"))
+    mx = per_supp.agg(F.max("__tr").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.join(F.broadcast(mx), per_supp.__tr == F.col("__mx"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_name", F.col("__tr").cast("double").alias("total_revenue"))
+    )
+
+
+# --- §2C explicit GROUPING SETS via the SQL front door ---------------
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube) written in SQL over
+    the registered fixture views, with grouping() flags disambiguating
+    the NULLs — same statement runs on DuckDB as the oracle."""
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+"""
+
+
 ENTRIES: dict[str, QueryDef] = {
     "etl_filter_open_orders": QueryDef(
         filter_open_orders,
@@ -738,6 +783,24 @@ ENTRIES: dict[str, QueryDef] = {
         GROUP BY 1, 2
         """,
     ),
+    "rel_top_supplier": QueryDef(
+        top_supplier,
+        """
+        WITH r AS (
+          SELECT l_suppkey,
+            sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(38,6))) AS tr
+          FROM lineitem
+          WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+          GROUP BY l_suppkey
+        )
+        SELECT s_name, CAST(tr AS DOUBLE) AS total_revenue
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE tr = (SELECT max(tr) FROM r)
+        """,
+    ),
+    "rel_grouping_sets": QueryDef(grouping_sets_returns, _GROUPING_SETS_SQL),
     "rel_revenue_by_nation": QueryDef(
         revenue_by_nation,
         """
