@@ -337,6 +337,61 @@ def pagerank(
     return ranks
 
 
+def triplets(g: Graph) -> DataFrame:
+    """(src struct, edge struct, dst struct) — one row per edge with
+    both endpoint vertex rows attached, the GraphX triplet view. Two
+    broadcast-able joins; the edge relation never widens beyond the
+    projected struct columns."""
+    v_struct = F.struct(*[F.col(c) for c in g.vertices.columns])
+    e_struct = F.struct(*[F.col(c) for c in g.edges.columns])
+    e = g.edges.select(
+        e_struct.alias("edge"), F.col("src").alias("__s"), F.col("dst").alias("__d")
+    )
+    sv = g.vertices.select(v_struct.alias("src"), F.col("id").alias("__sid"))
+    dv = g.vertices.select(v_struct.alias("dst"), F.col("id").alias("__did"))
+    return (
+        e.join(sv, F.col("__s") == F.col("__sid"))
+        .join(dv, F.col("__d") == F.col("__did"))
+        .select("src", "edge", "dst")
+    )
+
+
+def aggregate_messages(
+    g: Graph,
+    agg,
+    msg_to_dst=None,
+    msg_to_src=None,
+) -> DataFrame:
+    """The Pregel/GraphX core primitive (aggregateMessages): evaluate
+    message expressions over each edge triplet, send to the dst and/or
+    src endpoint, and aggregate per receiving vertex. Returns
+    (id, agg). Custom analytics that GraphX users write with this
+    (weighted degrees, neighborhood stats, one BFS/PR step) port
+    directly.
+
+    ``msg_to_dst``/``msg_to_src`` are Columns over the triplet view
+    (``src.*``, ``edge.*``, ``dst.*``); ``agg`` maps the message
+    column to an aggregate (e.g. ``F.sum``). One shuffle (the groupBy
+    on receiver id); messages are map-side combinable for algebraic
+    aggregates."""
+    if msg_to_dst is None and msg_to_src is None:
+        raise ValueError("provide msg_to_dst and/or msg_to_src")
+    t = triplets(g)
+    parts = []
+    if msg_to_dst is not None:
+        parts.append(
+            t.select(F.col("dst.id").alias("id"), msg_to_dst.alias("__msg"))
+        )
+    if msg_to_src is not None:
+        parts.append(
+            t.select(F.col("src.id").alias("id"), msg_to_src.alias("__msg"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id").agg(agg(F.col("__msg")).alias("agg"))
+
+
 def degrees(g: Graph) -> DataFrame:
     """(id, in_degree, out_degree) — hub detection for skew planning."""
     outd = g.edges.groupBy(F.col("src").alias("id")).agg(

@@ -125,7 +125,9 @@ def frame_sample(media: DataFrame, stride: int = 64, frame: int = 16) -> DataFra
     """'Frame sampling' over the opaque payload: every stride-th
     16-byte slice — pure built-ins (substring on binary), no UDF, to
     show the non-Python path for byte-range ops."""
-    n_frames = (F.col("n_bytes") / stride).cast("int")
+    # floor division, explicitly: cast-of-double truncates in Spark
+    # but ROUNDS in other engines — int semantics keep oracles exact
+    n_frames = F.floor(F.col("n_bytes") / stride).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
     return media.select(
         "media_id",

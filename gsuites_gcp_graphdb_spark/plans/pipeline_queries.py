@@ -147,6 +147,20 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads — byte-range slicing
+    with built-ins only (no Python in the loop); the oracle mirrors
+    the same slices over the blob in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    return mm.frame_sample(media, stride=64, frame=16).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        # hex rendering for cross-engine comparison (DuckDB cannot
+        # slice BLOBs; slicing the hex equals hexing the slices)
+        F.transform("frames", lambda b: F.hex(b)).alias("frames_hex"),
+    )
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (xxhash64-based; no portable SQL twin)."""
     dd.release_scratch()
@@ -765,6 +779,16 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_media_features": QueryDef(media_features, None),
+    "ns_media_frames": QueryDef(
+        media_frames,
+        """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+          list_transform(
+            range(0, greatest(octet_length(encode(text)) // 64 - 1, 0) + 1),
+            i -> substring(hex(encode(text)), i * 128 + 1, 32)) AS frames_hex
+        FROM documents
+        """,
+    ),
     "ns_events_asof_join": QueryDef(
         events_asof,
         """

@@ -217,6 +217,38 @@ def test_connected_components_and_degrees(spark, golden):
     assert deg.agg(F.sum("out_degree")).collect()[0][0] == 4
 
 
+def test_aggregate_messages(golden, spark):
+    """The Pregel primitive agrees with the specialized operators and
+    supports triplet-level expressions (edge weight x dst label)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        aggregate_messages,
+        triplets,
+    )
+
+    g = golden
+    t = triplets(g)
+    assert t.count() == 4
+    # in-degree via messages == degrees()
+    in_deg = {
+        r.id: r.agg
+        for r in aggregate_messages(
+            g, F.sum, msg_to_dst=F.lit(1)
+        ).collect()
+    }
+    deg = {r.id: r.in_degree for r in degrees(g).collect() if r.in_degree}
+    assert in_deg == deg
+    # triplet expression: sum of incident edge weights, both directions
+    total_w = aggregate_messages(
+        g,
+        F.sum,
+        msg_to_dst=F.col("edge.weight"),
+        msg_to_src=F.col("edge.weight"),
+    )
+    assert {r.agg for r in total_w.collect()} == {1, 2}  # endpoints 1, middle 2
+    with pytest.raises(ValueError):
+        aggregate_messages(g, F.sum)
+
+
 def test_build_fixture_graph(spark, sf_dir):
     v, e = build_graph(spark, sf_dir)
     assert assert_unique_keys(v) == 0
