@@ -40,9 +40,9 @@ def test_oracles_reference_only_known_views():
 def test_rows_only_queries_are_the_documented_set():
     rows_only = {n for n, qd in CATALOG.items() if qd.sql is None}
     assert rows_only == {
-        "g_pagerank_top",
         "ns_dedup_simhash",
         "ns_lsh_ann",
+        "ns_ivf_ann",
         "ns_media_features",
         "ns_media_embedding_ann",
         "rel_approx_distinct",
