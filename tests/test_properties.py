@@ -112,3 +112,60 @@ def test_member_parser_total(spark, members):
     for r in rows:
         assert r.src_label in ("user", "group", "serviceAccount")
         assert r.src_key and isinstance(r.src_key, str)
+
+
+@given(batch=vertex_strategy)
+@_SETTINGS
+def test_remove_inverts_upsert(spark, batch):
+    """remove(upsert(G, X), X-ids) == G when X is disjoint from G —
+    selective drop is the inverse of get-or-create for fresh rows."""
+    from gsuites_gcp_graphdb_spark.graph.upsert import remove_vertices
+
+    base = vertices_of(spark, [("serviceAccount", "seed-sa@x")])
+    b = vertices_of(spark, batch)
+    merged = upsert_vertices(base, b)
+    restored, _ = remove_vertices(merged, edges_of(spark, []), b.select("id"))
+    assert sorted(r.id for r in restored.collect()) == sorted(
+        r.id for r in base.collect()
+    )
+
+
+@given(edges=edge_strategy)
+@_SETTINGS
+def test_all_paths_endpoints_match_reachability(spark, edges):
+    """The set of vertices a path terminates at equals the reachable
+    set restricted to targets (path enumeration invents nothing and
+    misses nothing within the depth cap)."""
+    from pyspark.sql import functions as F
+
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        all_paths,
+        reachable_from,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    verts = {(sl, sk) for sl, sk, _, _ in edges} | {
+        (dl, dk) for _, _, dl, dk in edges
+    }
+    g = Graph(vertices_of(spark, sorted(verts)), edges_of(spark, edges))
+    src_label, src_key = sorted(verts)[0]
+    src = g.vertices.filter(
+        (F.col("label") == src_label)
+        & (F.coalesce("email", "name", "projectid") == src_key)
+    ).select("id")
+    # every NON-source vertex is a target (reachable_from excludes the
+    # sources; a cyclic path back to the source would otherwise count
+    # as a path endpoint but not as "reachable")
+    tgt = g.vertices.select("id").join(src, ["id"], "left_anti")
+    # depth cap >= |V| makes the cap irrelevant on acyclic inputs;
+    # cyclic random graphs would loop forever in path ENUMERATION, so
+    # bound by vertex count (simple paths can't be longer without a
+    # repeat, and repeats beyond |V| add no new endpoints)
+    paths = all_paths(g, src, tgt, max_depth=len(verts))
+    path_ends = {
+        r.id for r in paths.select("id").dropDuplicates().collect()
+    }
+    reach = {
+        r.id for r in reachable_from(g, src, max_iter=len(verts)).collect()
+    }
+    assert path_ends == reach
