@@ -518,6 +518,241 @@ _GROUPING_SETS_SQL = """
 """
 
 
+# --- §2C conditional counts over date arithmetic (TPC-H Q12 shape) ---
+def late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped (the fixture has no l_shipmode/commitdate, so 'late'
+    is shipped >90 days after the order date): per ship year, how many
+    late lines belong to high- vs low-priority orders — conditional
+    counts over a fact⨝dim join with interval arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# --- §2C outer-join aggregate-of-aggregate (TPC-H Q13 shape) ---------
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: the distribution of per-customer order counts,
+    including zero — a filtered LEFT OUTER join whose null-preserving
+    count feeds a second aggregation."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        # count(col) skips nulls: customers with no orders count 0
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+# --- §2C conditional share of revenue (TPC-H Q14 shape) --------------
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: PROMO parts' share of one year's revenue. Both
+    operands are exact decimal sums; the single division happens in
+    double at the edge and is rounded — identical IEEE ops on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC_HI)
+    scored = li.join(part, li.l_partkey == part.p_partkey).select(
+        rev.alias("rev"),
+        F.when(F.col("p_type") == "PROMO", rev)
+        .otherwise(F.lit(0).cast(DEC_HI))
+        .alias("promo_rev"),
+    )
+    return scored.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum("promo_rev").cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+# --- §2C correlated-average filter (TPC-H Q17 shape) -----------------
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: revenue from lines whose quantity is below 20% of
+    their part's average. The correlated AVG becomes a per-part
+    aggregate re-joined to the fact; the boundary is the EXACT
+    cross-multiplied form `5*qty*cnt < sum` in decimal, so no
+    float-average rounding can flip a row cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"),
+        F.count("*").cast("bigint").alias("__cq"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast(DEC) * 5 * F.col("__cq") < F.col("__sq")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --- §2C having-over-join (TPC-H Q18 shape) --------------------------
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: customers whose single order exceeds 300 units —
+    a HAVING aggregate on the fact drives a dimension join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"))
+        .filter(F.col("__sq") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --- §2C disjunctive multi-predicate join (TPC-H Q19 shape) ----------
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: one decimal revenue total under an OR of three
+    brand/size/quantity predicate blocks — the classic test that the
+    optimizer pushes a disjunction into the join without a cartesian
+    fallback (the equi-key p_partkey=l_partkey must stay the join
+    condition; the OR is a post-join filter)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_size"
+    )
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    blocks = (
+        ((F.col("p_type") == "SMALL") & s.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_type") == "MEDIUM") & s.between(10, 30) & q.between(10, 30))
+        | ((F.col("p_type") == "LARGE") & s.between(20, 50) & q.between(20, 50))
+    )
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC_HI)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --- §2C exists/not-exists pair (TPC-H Q21 shape) --------------------
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers who were the ONLY late supplier on a
+    multi-supplier finished order. The correlated EXISTS / NOT EXISTS
+    pair collapses into one per-order aggregate (distinct suppliers,
+    distinct late suppliers) re-joined to the late lines — two
+    shuffles total instead of two correlated subquery scans."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .alias("late"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("__n_late"),
+    )
+    waiting = (
+        lines.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .dropDuplicates()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+# --- §2C scalar-average anti-join (TPC-H Q22 shape) ------------------
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: customers with above-average positive balance and
+    no orders, grouped by nation. The scalar AVG subquery becomes a
+    one-row broadcast; the boundary uses the exact cross-multiplied
+    decimal form `bal * n > sum` so no float average can flip it.
+    'No orders' means no OPEN orders (the fixture's every customer has
+    historical orders)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("__s"),
+        F.count("*").cast("bigint").alias("__n"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("__n") > F.col("__s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
     "etl_filter_open_orders": QueryDef(
         filter_open_orders,
@@ -801,6 +1036,147 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "rel_grouping_sets": QueryDef(grouping_sets_returns, _GROUPING_SETS_SQL),
+    "rel_late_shipments": QueryDef(
+        late_shipments,
+        """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+        """,
+    ),
+    "rel_customer_distribution": QueryDef(
+        customer_order_distribution,
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderstatus <> 'P'
+          ) ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+        """,
+    ),
+    "rel_promo_revenue": QueryDef(
+        promo_revenue,
+        """
+        SELECT round(
+          100.0
+          * CAST(sum(CASE WHEN p_type = 'PROMO'
+              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))
+              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+          / CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6)))
+              AS DOUBLE),
+          6) AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+        """,
+    ),
+    "rel_small_qty_revenue": QueryDef(
+        small_qty_revenue,
+        """
+        WITH eco AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        ),
+        per_part AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                 CAST(count(*) AS BIGINT) AS cq
+          FROM eco GROUP BY 1
+        )
+        SELECT round(
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+          2) AS avg_yearly
+        FROM eco JOIN per_part ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq
+        """,
+    ),
+    "rel_large_volume_customers": QueryDef(
+        large_volume_customers,
+        """
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+          FROM lineitem GROUP BY 1 HAVING sq > 300
+        )
+        SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sq AS DOUBLE) AS sum_qty
+        FROM big JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+    ),
+    "rel_discounted_revenue": QueryDef(
+        discounted_revenue,
+        """
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+        """,
+    ),
+    "rel_waiting_suppliers": QueryDef(
+        waiting_suppliers,
+        """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey AS ok,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+          FROM lines GROUP BY 1
+        ),
+        waiting AS (
+          SELECT DISTINCT l_suppkey, l_orderkey
+          FROM lines JOIN per_order ON l_orderkey = ok
+          WHERE late AND n_supp > 1 AND n_late = 1
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        """,
+    ),
+    "rel_sales_opportunity": QueryDef(
+        sales_opportunity,
+        """
+        WITH stats AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        GROUP BY 1
+        """,
+    ),
     "rel_revenue_by_nation": QueryDef(
         revenue_by_nation,
         """
