@@ -273,6 +273,117 @@ def connected_components(
     return comp
 
 
+def connected_components_star(
+    g: Graph, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """Undirected connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the deep-graph alternative to hash-min
+    propagation: rounds are O(log^2 n) in the worst case instead of
+    O(diameter), so giant-diameter 100 TB graphs (web chains, road
+    networks) converge in tens of rounds, not thousands.
+
+    Returns (id, component) with component = min vertex id, identical
+    to :func:`connected_components` (asserted by test). Each round is
+    two shuffles (the two groupBy-min passes); the edge list only
+    shrinks toward the star forest, so later rounds are cheap.
+    """
+    # Symmetric neighbor list; self-loops dropped.
+    e = (
+        g.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            g.edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    e = _truncate(e)
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        # Undirected semantics: symmetrize, then for each u with
+        # m = min(N(u) ∪ {u}) connect every strictly larger neighbor
+        # to m.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates()
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
+        )
+        return (
+            sym.join(mins, ["u"])
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # Orient big→small, then for each u hang u and all its small
+        # neighbors off the minimum.
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).dropDuplicates()
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        rehung = (
+            directed.join(mins, ["u"])
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        return rehung
+
+    for _ in range(max_iter):
+        nxt = _truncate(small_star(large_star(e)))
+        # Symmetric-difference emptiness via anti-joins (both frames
+        # are checkpointed, so no self-referencing-plan hazard).
+        changed = (
+            nxt.join(e, ["u", "v"], "left_anti").take(1)
+            or e.join(nxt, ["u", "v"], "left_anti").take(1)
+        )
+        e = nxt
+        if not changed:
+            break
+    # Fixpoint: edges form a star forest (u -> component min). Roots
+    # (and isolated vertices) map to themselves.
+    parent = e.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).dropDuplicates()
+    return (
+        g.vertices.select("id")
+        .join(parent, ["id"], "left_outer")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def triangle_count(g: Graph) -> DataFrame:
+    """Global undirected triangle count — one row (n_triangles).
+    Canonical orientation (small id → large id) makes each triangle
+    a unique (a < b < c) triple, counted once by the two-join chain
+    a→b→c plus the closing a→c probe. Orientation bounds the join
+    fan-out by max out-degree under the ordering — the standard trick
+    that keeps hub vertices from exploding the first join at scale.
+    """
+    und = (
+        g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            g.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates()
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("c2"))
+    wedges = e1.join(e2, ["b"])
+    closed = wedges.join(
+        e3, (wedges.a == e3.x) & (wedges.c == e3.c2), "left_semi"
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
 def pagerank(
     g: Graph,
     iterations: int = 10,

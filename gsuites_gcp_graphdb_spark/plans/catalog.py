@@ -143,6 +143,40 @@ def _pagerank_sql(
         """
 
 
+# SQL fragment: component census of the undirected membership graph
+# (transitive closure + min-label), shared by BOTH connected-components
+# implementations (hash-min and large-star/small-star).
+_CC_SQL = """
+        WITH RECURSIVE
+        edges_d AS (
+          SELECT c_name AS a, n_name AS b
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        edges_u AS (
+          SELECT a, b FROM edges_d UNION SELECT b, a FROM edges_d
+        ),
+        nodes AS (
+          SELECT c_name AS k FROM customer
+          UNION SELECT s_name FROM supplier
+          UNION SELECT n_name FROM nation
+          UNION SELECT r_name FROM region
+        ),
+        reach(v, m) AS (
+          SELECT k, k FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN edges_u e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v)
+        SELECT m AS component_key, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY m
+        """
+
 CATALOG: dict[str, QueryDef] = {
     "g_count_by_label": QueryDef(
         gq.count_by_label,
@@ -405,40 +439,48 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY path
         """,
     ),
-    "g_connected_components": QueryDef(
-        gq.membership_components,
-        """
-        WITH RECURSIVE
-        edges_d AS (
-          SELECT c_name AS a, n_name AS b
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-          UNION
-          SELECT s_name, n_name
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-          UNION
-          SELECT n_name, r_name
-            FROM nation JOIN region ON n_regionkey = r_regionkey
+    "g_connected_components": QueryDef(gq.membership_components, _CC_SQL),
+    "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
+    # Same census, second algorithm (large-star/small-star): one
+    # oracle pinning two independent CC implementations.
+    "g_connected_components_star": QueryDef(
+        gq.membership_components_star, _CC_SQL
+    ),
+    "g_triangle_count": QueryDef(
+        gq.triangle_count_global,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        named AS (
+          SELECT sl || chr(1) || sk AS a, dl || chr(1) || dk AS b
+          FROM edges_nk
         ),
-        edges_u AS (
-          SELECT a, b FROM edges_d UNION SELECT b, a FROM edges_d
-        ),
-        nodes AS (
-          SELECT c_name AS k FROM customer
-          UNION SELECT s_name FROM supplier
-          UNION SELECT n_name FROM nation
-          UNION SELECT r_name FROM region
-        ),
-        reach(v, m) AS (
-          SELECT k, k FROM nodes
-          UNION
-          SELECT e.b, r.m FROM reach r JOIN edges_u e ON e.a = r.v
-        ),
-        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v)
-        SELECT m AS component_key, CAST(count(*) AS BIGINT) AS n_members
-        FROM comp GROUP BY m
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM named WHERE a <> b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        WHERE EXISTS (
+          SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
         """,
     ),
-    "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
+    "g_degree_histogram": QueryDef(
+        gq.degree_histogram,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        outd AS (
+          SELECT sl AS l, sk AS k, count(*) AS d
+          FROM edges_nk GROUP BY 1, 2
+        )
+        SELECT CAST(coalesce(d, 0) AS BIGINT) AS out_degree,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM verts_nk v LEFT JOIN outd o ON v.l = o.l AND v.k = o.k
+        GROUP BY 1
+        """,
+    ),
     "g_upsert_merge": QueryDef(
         gq.upsert_merge_counts,
         """

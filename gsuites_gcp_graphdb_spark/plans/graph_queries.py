@@ -409,6 +409,60 @@ def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def membership_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME component census as :func:`membership_components`, but
+    computed by the alternating large-star/small-star algorithm
+    (O(log^2 n) rounds — the deep-graph scale path) instead of
+    hash-min propagation. Two independent algorithms sharing one
+    oracle pins both."""
+    from ..graph.algorithms import connected_components_star
+
+    g = _graph(spark, sf_dir)
+    mem_v = g.vertices.filter(
+        F.col("label").isin("user", "serviceAccount", "group")
+    )
+    grp = g.vertices.filter(F.col("label") == "group").select("id")
+    e = g.edges
+    mem_e = e.join(grp, e.dst == grp.id, "left_semi")
+    comp = connected_components_star(Graph(mem_v, mem_e))
+    keyed = comp.join(mem_v, ["id"]).select(
+        "component", natural_key_col().alias("key")
+    )
+    return (
+        keyed.groupBy("component")
+        .agg(
+            F.min("key").alias("component_key"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select("component_key", "n_members")
+    )
+
+
+def triangle_count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global undirected triangle count of the IAM graph — the
+    role→bucket→project containment triangles are the graph's only
+    cycles, so this checks closure detection end-to-end. Oracle:
+    canonicalized two-join + EXISTS closure over the (label,key) edge
+    list."""
+    from ..graph.algorithms import triangle_count
+
+    return triangle_count(_graph(spark, sf_dir))
+
+
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate: the out-degree distribution over ALL
+    vertices (zero-degree sinks included) — the hub-skew profile a
+    planner would consult before choosing salting (SURVEY.md §4.4)."""
+    from ..graph.algorithms import degrees
+
+    g = _graph(spark, sf_dir)
+    return (
+        degrees(g)
+        .groupBy(F.col("out_degree").cast("bigint").alias("out_degree"))
+        .agg(F.count("*").cast("bigint").alias("n_vertices"))
+    )
+
+
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the full IAM graph — 'which roles/
     projects concentrate access'. Oracle: the SAME k-iteration

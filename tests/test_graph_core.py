@@ -217,6 +217,57 @@ def test_connected_components_and_degrees(spark, golden):
     assert deg.agg(F.sum("out_degree")).collect()[0][0] == 4
 
 
+def test_connected_components_star_matches_hashmin(spark, golden):
+    """The large-star/small-star variant is a second independent CC
+    implementation; both must produce identical (id, component) maps
+    — on the golden chain, with an isolated vertex, and on a random
+    graph (seeded)."""
+    import random
+
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        connected_components_star,
+    )
+
+    two = Graph(
+        vertices_of(spark, GOLDEN_V + [("user", "loner@x.com")]),
+        golden.edges,
+    )
+    for g in (golden, two):
+        a = sorted(map(tuple, connected_components(g).collect()))
+        b = sorted(map(tuple, connected_components_star(g).collect()))
+        assert a == b
+
+    rng = random.Random(13)
+    n = 80
+    pairs = {
+        (rng.randrange(1, n + 1), rng.randrange(1, n + 1))
+        for _ in range(90)
+    }
+    pairs = [(a, b) for a, b in pairs if a != b]
+    v = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    e = spark.createDataFrame(pairs, "src long, dst long").select(
+        "src", "dst", F.lit("in").alias("label"), F.lit(1.0).alias("weight")
+    )
+    g = Graph(v, e)
+    a = sorted(map(tuple, connected_components(g).collect()))
+    b = sorted(map(tuple, connected_components_star(g).collect()))
+    assert a == b
+
+
+def test_triangle_count(spark, golden):
+    """Chain graph has no triangles; closing edges create exactly the
+    expected count, direction-insensitively."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import triangle_count
+
+    assert triangle_count(golden).collect()[0][0] == 0
+    closing = [
+        # closes user1 -> subgroup1 -> group_of_groups1
+        ("group", "group_of_groups1@domain.com", "user", "user1@domain.com"),
+    ]
+    g2 = Graph(golden.vertices, edges_of(spark, GOLDEN_E + closing))
+    assert triangle_count(g2).collect()[0][0] == 1
+
+
 def test_aggregate_messages(golden, spark):
     """The Pregel primitive agrees with the specialized operators and
     supports triplet-level expressions (edge weight x dst label)."""
