@@ -539,6 +539,103 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sessionization: session_window over a
+    file-source stream, state-store backed, drained with AvailableNow
+    into a memory sink (streaming/run.py). Complete output mode emits
+    every session, so the final table equals the batch answer.
+
+    Oracle nuance vs ns_events_sessions: session_window's windows are
+    half-open [ts, last_ts + gap), so a gap of EXACTLY 30 minutes
+    starts a new session (`>=` in the oracle, where the lag-based
+    batch query breaks strictly `>`)."""
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    s = read_events_stream(spark, sf_dir)
+    agg = win.session_window_streaming_agg(
+        s, gap=f"{SESSION_GAP_MIN} minutes"
+    )
+    tbl = run_to_memory(agg, "sessions_stream", "complete")
+    return tbl.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "session_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation of ns_events_tumbling executed
+    as a REAL streaming query (state store, complete mode, AvailableNow
+    drain) — one oracle pinning the batch and streaming window math to
+    each other."""
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    s = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        win.tumbling_counts(s), "tumbling_stream", "complete"
+    )
+
+
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds: the
+    clicks stream joined to the signup-interval stream (both
+    watermarked, so join state is GC-able on a real cluster), drained
+    with AvailableNow. Inner-join matches emit as soon as both sides
+    arrive — no watermark holdback — so the appended result equals the
+    batch range join and shares ns_events_range_join's oracle."""
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    clicks = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    signups = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+    )
+    j = clicks.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts")),
+    )
+    tbl = run_to_memory(j, "stream_join", "append")
+    return tbl.groupBy(
+        F.col("signup_event_id").cast("bigint").alias("signup_event_id")
+    ).agg(F.count("*").cast("bigint").alias("n_clicks"))
+
+
+# Shared by the batch operator and its streaming twin — one oracle
+# pinning both execution paths.
+_RANGE_JOIN_SQL = """
+        WITH s AS (
+          SELECT user_id, event_id AS signup_event_id, ts AS start_ts,
+                 ts + INTERVAL 1 HOUR AS end_ts
+          FROM events WHERE event_type = 'signup'
+        ),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT CAST(signup_event_id AS BIGINT) AS signup_event_id,
+               CAST(count(*) AS BIGINT) AS n_clicks
+        FROM c JOIN s ON c.user_id = s.user_id
+          AND c.ts >= s.start_ts AND c.ts < s.end_ts
+        GROUP BY 1
+        """
+
+_TUMBLING_SQL = """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+        """
+
 ENTRIES: dict[str, QueryDef] = {
     "ns_dedup_exact": QueryDef(
         dedup_exact_stats,
@@ -800,32 +897,8 @@ ENTRIES: dict[str, QueryDef] = {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
     ),
-    "ns_events_range_join": QueryDef(
-        events_range_join,
-        """
-        WITH s AS (
-          SELECT user_id, event_id AS signup_event_id, ts AS start_ts,
-                 ts + INTERVAL 1 HOUR AS end_ts
-          FROM events WHERE event_type = 'signup'
-        ),
-        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-        SELECT CAST(signup_event_id AS BIGINT) AS signup_event_id,
-               CAST(count(*) AS BIGINT) AS n_clicks
-        FROM c JOIN s ON c.user_id = s.user_id
-          AND c.ts >= s.start_ts AND c.ts < s.end_ts
-        GROUP BY 1
-        """,
-    ),
-    "ns_events_tumbling": QueryDef(
-        events_tumbling,
-        """
-        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
-               event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-        FROM events GROUP BY 1, 2
-        """,
-    ),
+    "ns_events_range_join": QueryDef(events_range_join, _RANGE_JOIN_SQL),
+    "ns_events_tumbling": QueryDef(events_tumbling, _TUMBLING_SQL),
     "ns_events_sliding": QueryDef(
         events_sliding,
         """
@@ -866,4 +939,31 @@ ENTRIES: dict[str, QueryDef] = {
         FROM per_session GROUP BY user_id
         """,
     ),
+    "ns_events_sessions_stream": QueryDef(
+        events_sessions_stream,
+        f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= {SESSION_GAP_MIN} * 60 * 1000000
+                 THEN 1 ELSE 0 END AS is_break
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(is_break) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM g
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_id
+        """,
+    ),
+    "ns_events_tumbling_stream": QueryDef(
+        events_tumbling_stream, _TUMBLING_SQL
+    ),
+    "ns_events_stream_join": QueryDef(events_stream_join, _RANGE_JOIN_SQL),
 }

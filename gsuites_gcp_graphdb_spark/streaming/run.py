@@ -1,0 +1,94 @@
+"""Run finite Structured Streaming queries to completion — the bridge
+that lets REAL streaming plans (state store, watermarks, stream-stream
+join state) participate in the batch correctness catalog.
+
+The reference is batch-only; this is north-star surface (SURVEY.md
+§2C streaming row). The pattern: a file-source stream over the fixture
+parquet, ``Trigger.AvailableNow`` so the query drains every file and
+stops, a memory sink holding the final result, and a batch read of
+that sink returned to the caller. On a real cluster the same plans run
+unbounded with kafka/file sources and parquet/Delta sinks — only the
+source/sink bindings change, the stateful middle is identical.
+
+Determinism note: AvailableNow processes all available input then
+stops; complete-mode aggregations and inner stream-stream joins emit
+every result row regardless of watermark progress, so the final table
+equals the batch answer and is oracle-checkable. (Append-mode
+aggregations would withhold windows newer than the final watermark —
+deliberately not used here.)
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_COUNTER = itertools.count()
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """Spark's file streaming source lists a DIRECTORY; the fixture is
+    a single parquet file inside a dir of other tables. Stage a temp
+    dir holding a symlink to just the events file (cached per sf_dir,
+    zero data copied)."""
+    d = _STAGED_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="spark_graft_events_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        _STAGED_DIRS[sf_dir] = d
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str | None = None
+) -> DataFrame:
+    """Streaming scan of the events fixture with the same
+    TIMESTAMP(NANOS) handling as the batch loader (nanosAsLong + exact
+    integer `div 1000` to microseconds — sources/fixtures.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .parquet(stage_events_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    if watermark is not None:
+        s = s.withWatermark("ts", watermark)
+    return s
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Execute a streaming DataFrame with AvailableNow into a memory
+    sink, await termination, and return the final table as a batch
+    DataFrame. Table names are uniquified per run so repeated catalog
+    sweeps in one session never read a stale sink."""
+    spark = df.sparkSession
+    qname = f"{name}_{next(_MEM_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {qname} did not drain in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(qname)
