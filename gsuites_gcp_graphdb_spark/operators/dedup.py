@@ -372,3 +372,37 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair relation (id_a, id_b):
+    transitive closure via connected components, representative = min
+    doc id. This is the step real training-data pipelines run after
+    candidate verification — near-dup relations are not transitive
+    (A~B, B~C but A≁C), so keeping "one of each pair" both
+    over-deletes and under-deletes; the correct unit of removal is
+    the connected component.
+
+    Returns (cluster_rep, n_members) for every cluster of size >= 2.
+    Scale: reuses the large-star/small-star component algorithm
+    (O(log^2 n) rounds); the pair relation is tiny relative to the
+    corpus (it is already thresholded), so rounds are broadcast-sized.
+    """
+    from ..graph.algorithms import connected_components_star
+    from ..graph.traversal import Graph
+
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    comp = connected_components_star(Graph(v, e))
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .select(
+            F.col("component").cast("bigint").alias("cluster_rep"),
+            "n_members",
+        )
+    )

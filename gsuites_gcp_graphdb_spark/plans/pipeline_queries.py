@@ -478,6 +478,92 @@ def simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final stage: verified near-dup pairs →
+    transitive closure → cluster census (operators/dedup.dedup_clusters).
+    Near-dup is not transitive, so pair-local dropping is wrong; the
+    component is the removal unit. Oracle: recursive-CTE closure over
+    the identical thresholded pair set."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=JACCARD_TAU, max_df=MAX_DF
+    )
+    return dd.dedup_clusters(pairs)
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding census: count + mean L2 norm. The per-row
+    norm is a fixed-order JVM fold (bit-identical across engines);
+    cross-row aggregation goes through exact integer micro-units
+    (floor(norm*1e6) → BIGINT sum) because a double sum would be
+    partition-order dependent and could never hash-match."""
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu = F.floor(l2_norm(F.col("embedding")) * 1e6).cast("bigint")
+    return (
+        emb.select("label", mu.alias("__mu"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.sum("__mu") / F.lit(1e6)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_norm"),
+        )
+    )
+
+
+def events_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming — applyInPandasWithState (the
+    Structured Streaming analog of a custom Pregel/Flink operator):
+    per-user running (n_events, n_clicks, max_value) state updated per
+    micro-batch, drained with AvailableNow. Update-mode emits one row
+    per user per batch; the final value per user is the max (counters
+    are monotone), making the result batch-deterministic. Only integer
+    counts and a max cross batches — no float accumulation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, clicks, mx = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            clicks += int((pdf["event_type"] == "click").sum())
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, clicks, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_clicks": [clicks],
+                "max_value": [mx],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, n_clicks long, max_value double",
+        "n long, c long, m double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_memory(out, "stateful_counts", "update")
+    return tbl.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max("n_clicks").cast("bigint").alias("n_clicks"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2C range/as-of row): every 'error' event
     enriched with the most recent at-or-before 'signup' of the same
@@ -678,6 +764,59 @@ ENTRIES: dict[str, QueryDef] = {
                j.jaccard
         FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= {JACCARD_TAU}
+        """,
+    ),
+    "ns_dedup_clusters": QueryDef(
+        dedup_clusters_summary,
+        f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS_CUT.lstrip()},
+        p AS (
+          SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT id_a AS v FROM p UNION SELECT id_b FROM p),
+        reach(v, m) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v)
+        SELECT CAST(m AS BIGINT) AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY m
+        """,
+    ),
+    "ns_embedding_norm_stats": QueryDef(
+        embedding_norm_stats,
+        """
+        WITH mu AS (
+          SELECT label,
+                 CAST(floor(sqrt(list_reduce(
+                   list_transform(range(1, len(embedding) + 1),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)) * 1000000.0) AS BIGINT) AS m
+          FROM embeddings
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(m) / 1000000.0 AS DOUBLE) / count(*), 6)
+                 AS avg_norm
+        FROM mu GROUP BY label
+        """,
+    ),
+    "ns_events_stateful_counts": QueryDef(
+        events_stateful_counts,
+        """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS BIGINT) AS n_clicks,
+               max(value) AS max_value
+        FROM events GROUP BY user_id
         """,
     ),
     "ns_dedup_simhash": QueryDef(simhash_pairs, None),
