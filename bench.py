@@ -62,6 +62,13 @@ HEADLINE = [
     "ns_events_sessions",
     "ns_events_asof_join",
     "g_connected_components",
+    # round-2 additions: second CC algorithm, triangle closure, the
+    # dedup cluster stage, and a REAL streaming query (state store +
+    # AvailableNow drain) timed end-to-end
+    "g_connected_components_star",
+    "g_triangle_count",
+    "ns_dedup_clusters",
+    "ns_events_sessions_stream",
 ]
 
 

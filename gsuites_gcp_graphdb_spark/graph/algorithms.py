@@ -359,12 +359,17 @@ def connected_components_star(
 
 
 def triangle_count(g: Graph) -> DataFrame:
-    """Global undirected triangle count — one row (n_triangles).
-    Canonical orientation (small id → large id) makes each triangle
-    a unique (a < b < c) triple, counted once by the two-join chain
-    a→b→c plus the closing a→c probe. Orientation bounds the join
-    fan-out by max out-degree under the ordering — the standard trick
-    that keeps hub vertices from exploding the first join at scale.
+    """Global undirected triangle count — one row (n_triangles) — by
+    DEGREE-ordered orientation (the compact-forward algorithm): every
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, each triangle becomes exactly one wedge at its
+    lowest-ranked vertex plus one closing-edge probe.
+
+    The ordering is the scale guard, not a nicety: under id-ordering a
+    degree-d hub spawns Θ(d²) wedges (measured 80s at sf0.1 on the
+    IAM graph's role hubs), while degree-ordering bounds out-degree by
+    O(√m), making wedge volume O(m^1.5) worst-case and linear-ish on
+    skewed graphs — the same join pipeline dropped to seconds.
     """
     und = (
         g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -374,13 +379,43 @@ def triangle_count(g: Graph) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates()
     )
-    e1 = und.select(F.col("a"), F.col("b"))
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("c2"))
-    wedges = e1.join(e2, ["b"])
-    closed = wedges.join(
-        e3, (wedges.a == e3.x) & (wedges.c == e3.c2), "left_semi"
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    # Attach endpoint degrees, orient low-(d, id) -> high-(d, id).
+    da = deg.select(F.col("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, ["a"]).join(db, ["b"])
+    fwd = ranked.select(
+        F.when(
+            F.struct("da", "a") < F.struct("db", "b"), F.struct("a", "da")
+        )
+        .otherwise(F.struct(F.col("b").alias("a"), F.col("db").alias("da")))
+        .alias("lo"),
+        F.when(
+            F.struct("da", "a") < F.struct("db", "b"),
+            F.struct(F.col("b").alias("a"), F.col("db").alias("da")),
+        )
+        .otherwise(F.struct("a", "da"))
+        .alias("hi"),
+    ).select(
+        F.col("lo.a").alias("u"),
+        F.col("hi.a").alias("v"),
+        F.col("hi.da").alias("dv"),
+    )
+    fwd = _truncate(fwd)
+    # Wedges at the lowest-ranked vertex: two out-neighbors v < w in
+    # rank order; triangle iff the oriented closing edge (v, w) exists.
+    e1 = fwd.select("u", "v", "dv")
+    e2 = fwd.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = e1.join(e2, ["u"]).filter(
+        F.struct("dv", "v") < F.struct("dw", "w")
+    )
+    closing = fwd.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    closed = wedges.join(closing, ["v", "w"], "left_semi")
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 

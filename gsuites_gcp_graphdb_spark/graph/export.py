@@ -148,6 +148,34 @@ def load_bucketed(spark: SparkSession, table_prefix: str) -> Graph:
     )
 
 
+def save_format(g: Graph, path: str, fmt: str = "json") -> None:
+    """Interchange sinks beyond parquet: json / csv / orc (SURVEY.md
+    §2C file-format row). The graph schema is deliberately flat
+    (scalar columns only), so even csv round-trips losslessly with an
+    explicit schema on read. Same layout discipline as `save`:
+    vertices partitioned by label, edges repartitioned by src."""
+    vw = g.vertices.write.mode("overwrite").format(fmt).partitionBy("label")
+    ew = g.edges.repartition("src").write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        vw = vw.option("header", True)
+        ew = ew.option("header", True)
+    vw.save(f"{path}/vertices")
+    ew.save(f"{path}/edges")
+
+
+def load_format(spark: SparkSession, path: str, fmt: str = "json") -> Graph:
+    """Read a `save_format` snapshot back with the canonical schemas
+    (csv/json infer nothing — the explicit StructType is the contract)."""
+    vr = spark.read.schema(VERTEX_SCHEMA).format(fmt)
+    er = spark.read.schema(EDGE_SCHEMA).format(fmt)
+    if fmt == "csv":
+        vr = vr.option("header", True)
+        er = er.option("header", True)
+    v = vr.load(f"{path}/vertices")
+    e = er.load(f"{path}/edges")
+    return Graph(v.select(*VERTEX_SCHEMA.fieldNames()), e)
+
+
 def load(spark: SparkSession, path: str) -> Graph:
     v = spark.read.schema(VERTEX_SCHEMA).parquet(f"{path}/vertices")
     e = spark.read.schema(EDGE_SCHEMA).parquet(f"{path}/edges")

@@ -139,3 +139,15 @@ def test_graphson_export_and_snapshot_roundtrip(spark, tmp_path):
     assert all(df.count() == 0 for df in d.values())
     # label partition pruning survives the roundtrip
     assert g2.V().hasLabel("user").count() == 1
+
+
+def test_interchange_formats_roundtrip(spark, tmp_path):
+    """json/csv/orc sinks round-trip the graph losslessly under the
+    canonical schemas (file-format coverage beyond parquet)."""
+    g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / f"snap_{fmt}")
+        ex.save_format(g, path, fmt=fmt)
+        g2 = ex.load_format(spark, path, fmt=fmt)
+        d = graph_diff(g.vertices, g.edges, g2.vertices, g2.edges)
+        assert all(df.count() == 0 for df in d.values()), fmt
