@@ -127,3 +127,32 @@ def fingerprints(
         F.md5(F.col(text_col)).alias("fp_md5"),
         F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-k n-gram frequencies — the corpus-stats pass a
+    training pipeline runs before building vocabularies or pruning
+    boilerplate. Shingles keep multiplicity (distinct=False: counting,
+    not set similarity); top-k goes through orderBy+limit, which
+    Catalyst plans as TakeOrderedAndProject — per-partition heaps then
+    a k-row merge, never a global sort of the full n-gram table.
+    Returns (rank, ngram, n) with a total (count desc, ngram) order.
+    """
+    sh = df.select(
+        F.explode(
+            shingles(F.lower(F.col(text_col)), n, distinct=False)
+        ).alias("ngram")
+    )
+    counts = sh.groupBy("ngram").agg(F.count("*").cast("bigint").alias("n"))
+    topk = counts.orderBy(F.desc("n"), "ngram").limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), "ngram")
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "ngram", "n"
+    )

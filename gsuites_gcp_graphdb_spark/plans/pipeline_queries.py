@@ -351,6 +351,13 @@ def _sql_stop_ratio(words: tuple[str, ...]) -> str:
 # --------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams (operators/text.top_ngrams): explode →
+    count → TakeOrderedAndProject with a total tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.top_ngrams(docs, n=2, k=20)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata stats over the opaque binary column — the
     filter/prune path that must never read blob bytes (here it reads
@@ -1000,6 +1007,27 @@ ENTRIES: dict[str, QueryDef] = {
                list_min(list_transform({_SQL_SHINGLES_FP}, s -> md5(s)))
                  AS fp_min_shingle
         FROM documents
+        """,
+    ),
+    "ns_text_top_ngrams": QueryDef(
+        text_top_ngrams,
+        """
+        WITH sh AS (
+          SELECT unnest(list_transform(
+            range(0, greatest(len(string_split(lower(text), ' ')) - 2, 0)
+                     + 1),
+            i -> array_to_string(
+                   string_split(lower(text), ' ')[i+1:i+2], ' ')))
+            AS ngram
+          FROM documents
+        ),
+        c AS (
+          SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT)
+                 AS rank,
+               ngram, n
+        FROM c ORDER BY n DESC, ngram LIMIT 20
         """,
     ),
     "ns_media_stats": QueryDef(

@@ -151,3 +151,32 @@ def start_binding_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_graph_into_store(
+    spark: SparkSession,
+    graph_path: str,
+    vertices: DataFrame,
+    edges: DataFrame,
+    version: int,
+) -> Graph:
+    """Batch MERGE INTO the versioned snapshot store — the Delta-style
+    upsert sink, without a table format: load the _CURRENT snapshot
+    (empty graph when the pointer is absent), apply the idempotent
+    get-or-create upsert kernel, commit an immutable new version dir
+    and atomically swing the pointer. Re-running the same (version,
+    payload) is a no-op replay — the version dir is rewritten with
+    identical content and the pointer re-swung — so batch callers get
+    the same exactly-once-state guarantee as the streaming ingest.
+
+    Returns the merged Graph (as committed)."""
+    g = load_snapshot(spark, graph_path)
+    if g is None:
+        from ..graph.build import empty_edges, empty_vertices
+
+        g = Graph(empty_vertices(spark), empty_edges(spark))
+    merged_v = upsert_vertices(g.vertices, vertices).localCheckpoint()
+    merged_e = upsert_edges(g.edges, edges).localCheckpoint()
+    merged = Graph(merged_v, merged_e)
+    _commit_snapshot(merged, graph_path, version)
+    return merged

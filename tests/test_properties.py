@@ -169,3 +169,49 @@ def test_all_paths_endpoints_match_reachability(spark, edges):
         r.id for r in reachable_from(g, src, max_iter=len(verts)).collect()
     }
     assert path_ends == reach
+
+
+@given(edges=edge_strategy)
+@_SETTINGS
+def test_cc_star_equals_hashmin(spark, edges):
+    """The two connected-components implementations agree on arbitrary
+    random graphs — the cross-algorithm invariant that pins both."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        connected_components,
+        connected_components_star,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    verts = {(sl, sk) for sl, sk, _, _ in edges} | {
+        (dl, dk) for _, _, dl, dk in edges
+    }
+    g = Graph(vertices_of(spark, sorted(verts)), edges_of(spark, edges))
+    a = sorted(map(tuple, connected_components(g).collect()))
+    b = sorted(map(tuple, connected_components_star(g).collect()))
+    assert a == b
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_dedup_clusters_partition_pairs(spark, pairs):
+    """Cluster census invariants: members sum to the number of paired
+    doc ids, every cluster has >= 2 members, and each representative
+    is the minimum of its component (so reps are distinct doc ids)."""
+    from gsuites_gcp_graphdb_spark.operators.dedup import dedup_clusters
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    df = spark.createDataFrame(canon, "id_a long, id_b long")
+    out = dedup_clusters(df).collect()
+    ids = {x for p in canon for x in p}
+    assert sum(r.n_members for r in out) == len(ids)
+    assert all(r.n_members >= 2 for r in out)
+    assert all(r.cluster_rep in ids for r in out)

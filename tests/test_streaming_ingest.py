@@ -118,3 +118,30 @@ def test_salted_join(spark):
         for r in out.select("k", "name").dropDuplicates().collect()
     }
     assert got == {(1, "hot"), (2, "cold")}
+
+
+def test_batch_merge_into_store(spark, tmp_path):
+    """Delta-style batch MERGE INTO the versioned store: accumulates
+    across versions, replays are no-ops, pointer always readable."""
+    from gsuites_gcp_graphdb_spark.streaming.ingest import (
+        merge_graph_into_store,
+    )
+
+    gpath = str(tmp_path / "batch_store")
+    v1, e1 = bindings_to_graph_parts(spark.createDataFrame(BATCH1, SCHEMA))
+    merge_graph_into_store(spark, gpath, v1, e1, version=1)
+    g = load_snapshot(spark, gpath)
+    n_v1, n_e1 = g.vertices.count(), g.edges.count()
+    assert n_v1 > 0 and n_e1 == 3
+
+    v2, e2 = bindings_to_graph_parts(spark.createDataFrame(BATCH2, SCHEMA))
+    merge_graph_into_store(spark, gpath, v2, e2, version=2)
+    g = load_snapshot(spark, gpath)
+    n_v2, n_e2 = g.vertices.count(), g.edges.count()
+    assert n_e2 == 4  # one genuinely new edge, one replayed duplicate
+    assert n_v2 == n_v1 + 1  # only the service account is new
+
+    # replaying version 2 changes nothing
+    merge_graph_into_store(spark, gpath, v2, e2, version=2)
+    g = load_snapshot(spark, gpath)
+    assert (g.vertices.count(), g.edges.count()) == (n_v2, n_e2)
