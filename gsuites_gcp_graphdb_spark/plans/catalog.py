@@ -354,6 +354,23 @@ CATALOG: dict[str, QueryDef] = {
         FROM ({_USER_ROLE})
         """,
     ),
+    "g_user_permissions": QueryDef(
+        gq.permissions_of_min_user,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        reach(l, k) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer)
+          UNION
+          SELECT e.dl, e.dk FROM reach r JOIN edges_nk e
+            ON e.sl = r.l AND e.sk = r.k
+        )
+        SELECT DISTINCT p_type AS permission
+        FROM part
+        WHERE p_brand IN (SELECT k FROM reach WHERE l = 'role')
+        ORDER BY permission
+        """,
+    ),
     "g_who_can_reach_project": QueryDef(
         gq.who_can_reach_min_project,
         f"""

@@ -252,6 +252,38 @@ def users_with_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def permissions_of_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `--includePermissions` audit (main.go:657-688 + README's
+    role-expansion flow): every permission the min user transitively
+    holds — user's reachable roles joined to the permission→role
+    membership edges. Two hops of traversal plus one semi-join; the
+    permission set is the reference's marquee "what can this principal
+    actually DO" answer."""
+    from ..graph.algorithms import reachable_from
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user")
+    target = users.agg(F.min("email").alias("email"))
+    src = users.join(target, ["email"], "left_semi").select("id")
+    reached = reachable_from(g, src)
+    role_ids = reached.join(
+        g.vertices.filter(F.col("label") == "role").select("id"), ["id"],
+        "left_semi",
+    )
+    perms = (
+        g.edges.join(role_ids, g.edges.dst == role_ids.id, "left_semi")
+        .select("src")
+        .join(
+            g.vertices.filter(F.col("label") == "permission"),
+            F.col("src") == F.col("id"),
+            "inner",
+        )
+        .select(F.col("name").alias("permission"))
+        .dropDuplicates()
+    )
+    return perms.orderBy("permission")
+
+
 def who_can_reach_min_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE audit query (SURVEY.md §7.5): every vertex that can
     transitively reach project P — 'who/what can touch P' — via

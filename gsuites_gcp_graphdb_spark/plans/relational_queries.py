@@ -722,6 +722,29 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2C exact percentiles (quantile aggregate coverage) -------------
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles of order totals per status —
+    Spark `percentile` vs DuckDB `quantile_cont`. Both interpolate at
+    rank (n-1)*p; the two engines phrase the interpolation differently
+    (convex combination vs offset form), so results can differ in the
+    last ulp — round(4) absorbs that, same policy as PageRank's
+    round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    q = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(q.alias("__q"), F.count("*").cast("bigint").alias("n"))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("__q")[0], 4).alias("p25"),
+            F.round(F.col("__q")[1], 4).alias("p50"),
+            F.round(F.col("__q")[2], 4).alias("p75"),
+            "n",
+        )
+    )
+
+
 # --- §2C scalar-average anti-join (TPC-H Q22 shape) ------------------
 def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shaped: customers with above-average positive balance and
@@ -1156,6 +1179,17 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         FROM waiting JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
+        """,
+    ),
+    "rel_price_quantiles": QueryDef(
+        price_quantiles,
+        """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
         """,
     ),
     "rel_sales_opportunity": QueryDef(
