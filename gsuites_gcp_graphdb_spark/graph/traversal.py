@@ -66,6 +66,13 @@ class Traversal:
     def order_by(self, *cols) -> "Traversal":
         return self._with(self._df.orderBy(*cols))
 
+    def range_(self, start: int, end: int) -> "Traversal":
+        """Gremlin `range(start, end)` paging — offset + limit. Pair
+        with order_by for deterministic pages (Gremlin makes the same
+        demand); Catalyst plans order+offset+limit as a bounded
+        top-(end) selection, never a full materialized sort."""
+        return self._with(self._df.offset(start).limit(end - start))
+
     # ---- expansion steps ----------------------------------------------
     def _edges(self, labels: Sequence[str]) -> DataFrame:
         e = self._g.edges

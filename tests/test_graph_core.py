@@ -86,6 +86,11 @@ def test_traversal_steps(golden):
     # in_() reverse expansion
     up = g.V().hasLabel("project").in_("in").toDF().collect()
     assert [r.name for r in up] == ["roles/appengine.codeViewer"]
+    # order_by + range_ paging: deterministic middle page
+    page = (
+        g.V().hasLabel("group").order_by("email").range_(1, 2).toDF().collect()
+    )
+    assert [r.email for r in page] == ["subgroup1@domain.com"]
 
 
 def test_repeat_emit_and_group_count(golden):
