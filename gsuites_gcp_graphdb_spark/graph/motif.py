@@ -7,10 +7,14 @@ Pattern grammar (semicolon-separated edge terms)::
     (a)-[e]->(b); (b)-[e2]->(c)      # 2-hop chain
     (a)-[]->(b)                      # anonymous edge
     (a)-[e]->(b); (a)-[e2]->(c)      # fan-out from a
+    (a)-[]->(b); !(a)-[]->(c)        # negated term: NO a->c edge
 
 Each named vertex variable becomes a struct column with the full
 vertex row; named edge variables become edge structs. Repeated
-variables unify (same vertex id), exactly like GraphFrames.
+variables unify (same vertex id), exactly like GraphFrames — as does
+negation: a `!(x)-[]->(y)` term compiles to a LEFT ANTI join and
+requires both endpoints bound by positive terms and no edge variable
+(GraphFrames imposes the same rules).
 
 The compiled plan is pure equi-joins, so Catalyst picks broadcast/SMJ
 per side and AQE handles skew — pattern matching inherits the whole
@@ -28,11 +32,11 @@ from pyspark.sql import functions as F
 from .traversal import Graph
 
 _TERM = re.compile(
-    r"^\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)$"
+    r"^(!?)\s*\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)$"
 )
 
 
-def _parse(pattern: str) -> list[tuple[str, str, str]]:
+def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
     terms = []
     seen_edges: set[str] = set()
     for raw in pattern.split(";"):
@@ -42,7 +46,17 @@ def _parse(pattern: str) -> list[tuple[str, str, str]]:
         m = _TERM.match(raw)
         if not m:
             raise ValueError(f"bad motif term: {raw!r}")
-        src, ename, dst = m.groups()
+        bang, src, ename, dst = m.groups()
+        neg = bang == "!"
+        if neg:
+            if ename:
+                raise ValueError(
+                    f"negated term may not name an edge: {raw!r}"
+                )
+            if not src or not dst:
+                raise ValueError(
+                    f"negated term needs named endpoints: {raw!r}"
+                )
         if ename:
             # A repeated edge variable would derive the same
             # __e_src/__e_dst columns twice — ambiguous columns or
@@ -52,9 +66,19 @@ def _parse(pattern: str) -> list[tuple[str, str, str]]:
                     f"duplicate edge variable {ename!r} in motif pattern"
                 )
             seen_edges.add(ename)
-        terms.append((src, ename, dst))
+        terms.append((neg, src, ename, dst))
     if not terms:
         raise ValueError("empty motif pattern")
+    if all(neg for neg, *_ in terms):
+        raise ValueError("motif pattern needs at least one positive term")
+    pos_vars = {
+        v for neg, s, _, d in terms if not neg for v in (s, d) if v
+    }
+    for neg, s, _, d in terms:
+        if neg and (s not in pos_vars or d not in pos_vars):
+            raise ValueError(
+                "negated-term endpoints must be bound by positive terms"
+            )
     return terms
 
 
@@ -73,7 +97,9 @@ def find(g: Graph, pattern: str, edge_label: str | None = None) -> DataFrame:
     bound_vertices: set[str] = set()
     anon = 0
 
-    for src, ename, dst in terms:
+    for src, ename, dst in [
+        (s, e, d) for neg, s, e, d in terms if not neg
+    ]:
         anon += 1
         e_id = ename or f"__e{anon}"
         e_df = edges.select(
@@ -109,6 +135,22 @@ def find(g: Graph, pattern: str, edge_label: str | None = None) -> DataFrame:
                 v_df, F.col(key) == F.col(f"__{var}_id")
             ).drop(f"__{var}_id")
             bound_vertices.add(var)
+
+    # Negated terms compile to LEFT ANTI joins against the edge
+    # relation — matches where the forbidden edge exists are removed.
+    # Anti-join is the scale-correct NOT EXISTS: no fan-out, AQE picks
+    # broadcast when the edge side (or its distinct projection) is
+    # small.
+    for src, dst in [(s, d) for neg, s, _, d in terms if neg]:
+        neg_e = edges.select(
+            F.col("src").alias("__n_src"), F.col("dst").alias("__n_dst")
+        )
+        result = result.join(
+            neg_e,
+            (F.col(f"{src}.id") == F.col("__n_src"))
+            & (F.col(f"{dst}.id") == F.col("__n_dst")),
+            "left_anti",
+        )
 
     keep = [c for c in result.columns if not c.startswith("__")]
     return result.select(*keep)

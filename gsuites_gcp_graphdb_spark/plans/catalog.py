@@ -347,6 +347,22 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY email, role
         """,
     ),
+    "g_motif_negation": QueryDef(
+        gq.motif_strict_transitive,
+        f"""
+        WITH
+        {_EDGES_NK.strip()}
+        SELECT e1.sl AS a_label, e2.dl AS c_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM edges_nk e1 JOIN edges_nk e2
+          ON e1.dl = e2.sl AND e1.dk = e2.sk
+        WHERE NOT EXISTS (
+          SELECT 1 FROM edges_nk e3
+          WHERE e3.sl = e1.sl AND e3.sk = e1.sk
+            AND e3.dl = e2.dl AND e3.dk = e2.dk)
+        GROUP BY 1, 2
+        """,
+    ),
     "g_users_with_roles": QueryDef(
         gq.users_with_roles,
         f"""

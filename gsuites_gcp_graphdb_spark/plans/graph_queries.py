@@ -441,6 +441,23 @@ def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def motif_strict_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif NEGATION: two-hop chains a→b→c with NO direct a→c edge —
+    the 'access only via an intermediary' audit (e.g. a user whose
+    project access exists only through a role, never directly). The
+    `!(a)-[]->(c)` term compiles to a left-anti join (graph/motif.py);
+    oracle: edge self-join + NOT EXISTS. Counted per endpoint-label
+    pair with path multiplicity."""
+    from ..graph.motif import find
+
+    g = _graph(spark, sf_dir)
+    m = find(g, "(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+    return m.groupBy(
+        F.col("a.label").alias("a_label"),
+        F.col("c.label").alias("c_label"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
 def membership_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME component census as :func:`membership_components`, but
     computed by the alternating large-star/small-star algorithm

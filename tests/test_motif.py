@@ -81,3 +81,38 @@ def test_bad_pattern(g):
 def test_duplicate_edge_variable_rejected(g):
     with pytest.raises(ValueError, match="duplicate edge variable"):
         find(g, "(a)-[e]->(b); (b)-[e]->(c)")
+
+
+def test_negated_term(spark, g):
+    """!(a)-[]->(c) removes matches with the forbidden edge; adding
+    that edge removes the match."""
+    pat = "(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)"
+    base = find(g, pat)
+    # u1->g1->r1, u2->g1->r1, g1->r1->p1: no closing edges exist
+    assert base.count() == 3
+    closed = Graph(
+        g.vertices,
+        g.edges.unionByName(
+            edges_of(spark, [("user", "u1", "role", "r1")])
+        ),
+    )
+    out = find(closed, pat)
+    # the u1 chain now has a direct u1->r1 edge -> excluded; the new
+    # edge also creates a new chain u1->r1->p1 (no u1->p1 edge)
+    rows = {
+        (r["a"]["label"], r["a"]["email"] or r["a"]["name"], r["c"]["label"])
+        for r in out.collect()
+    }
+    assert ("user", "u1", "role") not in rows
+    assert out.count() == 3  # u2 chain + g1 chain + new u1->r1->p1 chain
+
+
+def test_negation_validation(g):
+    with pytest.raises(ValueError, match="positive term"):
+        find(g, "!(a)-[]->(b)")
+    with pytest.raises(ValueError, match="named endpoints"):
+        find(g, "(a)-[]->(b); !(a)-[]->()")
+    with pytest.raises(ValueError, match="may not name an edge"):
+        find(g, "(a)-[]->(b); !(a)-[x]->(b)")
+    with pytest.raises(ValueError, match="bound by positive"):
+        find(g, "(a)-[]->(b); !(a)-[]->(z)")
