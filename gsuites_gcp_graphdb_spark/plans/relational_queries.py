@@ -722,6 +722,34 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2C window frames: running totals -------------------------------
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue per order priority — an explicit
+    ROWS UNBOUNDED PRECEDING frame over a pre-aggregated relation.
+    The cumulative sum runs over DECIMAL month totals (exact), so the
+    running values are order-independent-exact too; only the final
+    projection casts to double."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("__m"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.col("__m").cast("double").alias("month_total"),
+        F.sum("__m").over(w).cast("double").alias("running_total"),
+    )
+
+
 # --- §2C exact percentiles (quantile aggregate coverage) -------------
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quantiles of order totals per status —
@@ -1179,6 +1207,25 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         FROM waiting JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
+        """,
+    ),
+    "rel_running_revenue": QueryDef(
+        running_revenue,
+        """
+        WITH monthly AS (
+          SELECT o_orderpriority,
+                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS month,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, month,
+               CAST(m AS DOUBLE) AS month_total,
+               CAST(sum(m) OVER (
+                 PARTITION BY o_orderpriority ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS running_total
+        FROM monthly
         """,
     ),
     "rel_price_quantiles": QueryDef(
