@@ -202,10 +202,15 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # user -in-> role: IAM binding (main.go:566-581 analog).
     # Scale path: shrink the fact table to its distinct key pairs FIRST
-    # (map-side combinable), then join the (small) dimensions.
-    order_part = lineitem.join(
-        orders, lineitem.l_orderkey == orders.o_orderkey
-    ).select("o_custkey", "l_partkey").dropDuplicates()
+    # (map-side combinable, BEFORE the join shuffle — the probe side
+    # arrives pre-deduped), then join the (small) dimensions; a second
+    # distinct after the custkey projection collapses the orders fan-in.
+    order_part = (
+        lineitem.dropDuplicates()
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .dropDuplicates()
+    )
     user_role = (
         order_part.join(customer, order_part.o_custkey == customer.c_custkey)
         .join(part, order_part.l_partkey == part.p_partkey)

@@ -358,6 +358,21 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.top_ngrams(docs, n=2, k=20)
 
 
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: docs bucketed by whitespace-token count
+    (bucket = floor(n/10)*10) — the histogram a pipeline consults to
+    set truncation/packing lengths. Pure integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(
+            (F.floor(n_tok / 10) * 10).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata stats over the opaque binary column — the
     filter/prune path that must never read blob bytes (here it reads
@@ -1028,6 +1043,15 @@ ENTRIES: dict[str, QueryDef] = {
                  AS rank,
                ngram, n
         FROM c ORDER BY n DESC, ngram LIMIT 20
+        """,
+    ),
+    "ns_text_length_histogram": QueryDef(
+        text_length_histogram,
+        """
+        SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10
+                    AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
         """,
     ),
     "ns_media_stats": QueryDef(
