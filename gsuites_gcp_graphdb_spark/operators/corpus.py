@@ -1,0 +1,195 @@
+"""Corpus-management operators for training-data pipelines: deterministic
+train/val/test splitting, per-domain mixture sampling, benchmark
+decontamination, and sequence packing.
+
+These are the remaining ops a 100 TB pretraining pipeline runs between
+"raw corpus" and "tokenizer input" that the dedup/similarity/text
+modules don't cover. North-star surface (no reference analog —
+the reference is an IAM-graph ETL, main.go; these extend the engine the
+way SURVEY.md §2C extends the checklist).
+
+Scale design:
+- Splits and mixture sampling are PER-ROW hash arithmetic (md5 →
+  16-bit integer), no shuffle at all: the decision for a row depends
+  only on the row. At 100 TB this is a map-only pass that fuses into
+  whatever scan feeds it, and the assignment is stable under
+  re-partitioning, retries, and incremental re-runs (content-keyed,
+  not rand()-keyed — rand() would reassign rows every run and leak
+  val into train).
+- Decontamination joins the corpus against a BENCHMARK shingle set.
+  Benchmark suites are tiny (≤ millions of n-grams) next to the
+  corpus, so the shingle set is broadcast: the 100 TB side never
+  shuffles — explode → broadcast-hash-semi-ish inner join → per-doc
+  count. No df-cut needed (the small side bounds the blowup).
+- Packing uses a two-level scheme: a content-hash group key fans docs
+  out to `n_groups` independent packers (parallelism = n_groups, no
+  global sort), then a per-group running token total assigns bin ids.
+  The window is per-group, so partitions stay bounded; the global
+  single-ordering bottleneck of naive first-fit packing is avoided by
+  construction.
+
+All arithmetic is integer (16-bit hash buckets, integer thresholds,
+integer token counts) so every op here is exactly mirrored in the
+DuckDB oracles — no float rounding across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import shingles, tokens
+
+# 16-bit hash space: md5 hex chars 1..4. Big enough for 1/65536 split
+# resolution, small enough to stay exact in every engine's integer
+# types. The same four chars are expanded positionally in the SQL
+# oracles (strpos arithmetic — see pipeline_queries._sql_hex16).
+HASH_SPACE = 1 << 16
+
+
+def hash16(key: Column, salt: str) -> Column:
+    """Deterministic uniform int in [0, 65536): first 4 hex chars of
+    md5(key || ':' || salt). Salt lets one corpus carry many
+    independent assignments (split vs sample vs pack) without
+    correlation between them."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+
+
+def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer upper bounds (exclusive) for each split name,
+    in dict order; the final bound is forced to HASH_SPACE so the
+    fractions need not sum to exactly 1.0 in floating point."""
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    names = list(fractions)
+    for name in names:
+        acc += fractions[name]
+        bounds.append((name, int(acc * HASH_SPACE)))
+    bounds[-1] = (names[-1], HASH_SPACE)
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label ('train'/'val'/...)
+    by content-keyed hash bucketing. Adds a `split` column.
+
+    Map-only (no shuffle); stable across runs and re-partitioning —
+    the property rand()-based splitting lacks and the reason every
+    production pipeline keys splits on content hashes.
+    """
+    h = hash16(F.col(key_col), salt)
+    expr = None
+    for name, ub in split_bounds(fractions):
+        cond = h < F.lit(ub)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-domain weighted downsampling: keep a row iff
+    hash16(key) < floor(weight(domain) * 65536). Weight 1.0 keeps
+    everything, 0.25 keeps a deterministic quarter. Adds `keep`.
+
+    This is the mixture-reweighting pass of a pretraining pipeline
+    (downweight boilerplate-heavy domains, upweight curated ones)
+    expressed as row-local integer arithmetic — map-only, stable, and
+    composable with hash_split (different salt => independent hashes).
+    """
+    thresh = None
+    for dom, w in sorted(weights.items()):
+        cond = F.col(domain_col) == dom
+        t = F.lit(int(w * HASH_SPACE))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(F.lit(int(default_weight * HASH_SPACE)))
+    return df.withColumn("keep", hash16(F.col(key_col), salt) < thresh)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >=
+    `min_overlap` distinct n-token shingles with ANY benchmark doc.
+    Returns (id, n_hit_shingles) for flagged docs only.
+
+    The benchmark shingle set is deduped then BROADCAST — eval suites
+    are small by definition, so the corpus side (the 100 TB side)
+    never shuffles: explode → broadcast hash join → per-doc count.
+    The per-doc count groupBy shuffles only (doc_id, shingle-hit)
+    pairs, bounded by |benchmark shingles| x df, not corpus size.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .dropDuplicates()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hit_shingles"))
+        .filter(F.col("n_hit_shingles") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    n_groups: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence packing (fill-and-spill): concatenate docs into bins of
+    ~`capacity` tokens. Docs fan out to `n_groups` independent packers
+    by content hash; within a packer docs are taken in id order and a
+    doc starts bin k when the tokens packed before it reach [k*cap,
+    (k+1)*cap). Returns one row per doc: (id, pack_group, bin,
+    n_tokens).
+
+    Naive first-fit packing needs one global sequential scan — a
+    non-starter at 100 TB. Hash-grouping first gives n_groups-way
+    parallelism with zero coordination (each window is per-group), at
+    the cost of packing quality only at group boundaries; raise
+    n_groups with cluster size. Window state per task is one running
+    sum — O(1) memory, no spill risk.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    grouped = df.select(
+        F.col(id_col),
+        (hash16(F.col(id_col), salt) % n_groups).alias("pack_group"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return grouped.select(
+        id_col,
+        "pack_group",
+        F.floor(prev / capacity).cast("bigint").alias("bin"),
+        "n_tokens",
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import corpus as cp
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -370,6 +371,104 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus management (operators/corpus.py): split / mixture / decontam /
+# packing. All integer arithmetic — exact cross-engine.
+# --------------------------------------------------------------------
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT = 0.1
+BENCH_MOD = 50  # every 50th doc plays the held-out benchmark set
+DECON_MIN_OVERLAP = 2
+PACK_CAPACITY = 256
+PACK_GROUPS = 8
+
+
+def _sql_hex16(expr: str) -> str:
+    """DuckDB twin of corpus.hash16: first 4 hex chars of md5(expr) as
+    an integer in [0, 65536) via positional strpos arithmetic (DuckDB
+    has no hex->int conv; same expansion as the simhash oracle)."""
+    m = f"md5({expr})"
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({m},{i + 1},1))-1)"
+            f"*{16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split census: content-hash
+    bucketing (corpus.hash_split), then per-split doc and char counts.
+    Map-only assignment — no shuffle until the 3-row census agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cp.hash_split(docs, SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+        )
+    )
+
+
+def _sql_split_case(hv: str) -> str:
+    whens = " ".join(
+        f"WHEN {hv} < {ub} THEN '{name}'"
+        for name, ub in cp.split_bounds(SPLIT_FRACTIONS)[:-1]
+    )
+    last = cp.split_bounds(SPLIT_FRACTIONS)[-1][0]
+    return f"CASE {whens} ELSE '{last}' END"
+
+
+def mixture_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture reweighting census: how many docs each
+    source keeps under the configured sampling weights
+    (corpus.mixture_sample). Row-local integer thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = cp.mixture_sample(docs, MIX_WEIGHTS, MIX_DEFAULT)
+    return mixed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+def _sql_mix_threshold() -> str:
+    whens = " ".join(
+        f"WHEN '{dom}' THEN {int(w * cp.HASH_SPACE)}"
+        for dom, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE source {whens} ELSE {int(MIX_DEFAULT * cp.HASH_SPACE)} END"
+
+
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs where doc_id % BENCH_MOD == 0
+    play the eval suite; every other doc sharing >= DECON_MIN_OVERLAP
+    distinct 3-gram shingles with it is flagged (corpus.decontaminate:
+    broadcast the small benchmark shingle set, never shuffle the
+    corpus side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return cp.decontaminate(
+        corpus, bench, n=SHINGLE_N, min_overlap=DECON_MIN_OVERLAP
+    )
+
+
+def pack_sequences_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing assignment: every doc -> (pack_group, bin)
+    under fill-and-spill packing with PACK_GROUPS-way hash parallelism
+    (corpus.pack_sequences). Per-doc output so the oracle checks the
+    exact assignment, not just bin counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.pack_sequences(
+        docs, capacity=PACK_CAPACITY, n_groups=PACK_GROUPS
     )
 
 
@@ -1052,6 +1151,65 @@ ENTRIES: dict[str, QueryDef] = {
                     AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1
+        """,
+    ),
+    "ns_split_assign": QueryDef(
+        split_assign,
+        f"""
+        WITH h AS (
+          SELECT {_sql_hex16("CAST(doc_id AS VARCHAR) || ':split'")} AS hv,
+                 n_chars
+          FROM documents)
+        SELECT {_sql_split_case("hv")} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        FROM h GROUP BY 1
+        """,
+    ),
+    "ns_mixture_sample": QueryDef(
+        mixture_sample_census,
+        f"""
+        WITH h AS (
+          SELECT source,
+                 {_sql_hex16("CAST(doc_id AS VARCHAR) || ':mix'")} AS hv
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN hv < {_sql_mix_threshold()}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM h GROUP BY source
+        """,
+    ),
+    "ns_decontaminate": QueryDef(
+        decontaminate_flags,
+        f"""
+        WITH bench AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT unnest({_SQL_SHINGLES}) AS shingle
+            FROM documents WHERE doc_id % {BENCH_MOD} = 0)),
+        corp AS (
+          SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+          FROM documents WHERE doc_id % {BENCH_MOD} <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        FROM corp JOIN bench USING (shingle)
+        GROUP BY doc_id HAVING count(*) >= {DECON_MIN_OVERLAP}
+        """,
+    ),
+    "ns_pack_sequences": QueryDef(
+        pack_sequences_assign,
+        f"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST({_sql_hex16("CAST(doc_id AS VARCHAR) || ':pack'")}
+                      % {PACK_GROUPS} AS BIGINT) AS pack_group,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, pack_group,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                      PARTITION BY pack_group ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / {PACK_CAPACITY}) AS BIGINT) AS bin,
+               n_tokens
+        FROM g
         """,
     ),
     "ns_media_stats": QueryDef(

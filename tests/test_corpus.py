@@ -1,0 +1,94 @@
+"""Corpus-management operators (operators/corpus.py): deterministic
+splits, mixture sampling, decontamination, sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gsuites_gcp_graphdb_spark.operators import corpus as cp
+from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_bounds_cover_space():
+    b = cp.split_bounds(FR)
+    assert [n for n, _ in b] == ["train", "val", "test"]
+    assert b[-1][1] == cp.HASH_SPACE
+    assert all(b[i][1] < b[i + 1][1] for i in range(len(b) - 1))
+
+
+def test_hash_split_deterministic_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = cp.hash_split(docs, FR).select("doc_id", "split")
+    b = cp.hash_split(docs, FR).select("doc_id", "split")
+    # Deterministic: two independent runs agree row-for-row.
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # Exhaustive: every doc gets exactly one label.
+    counts = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert sum(counts.values()) == docs.count()
+    # Approximately proportional (500 docs, 16-bit hash: loose bounds).
+    assert counts["train"] / sum(counts.values()) == pytest.approx(
+        0.8, abs=0.08
+    )
+
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = cp.hash_split(docs, FR).select("doc_id", "split")
+    b = cp.hash_split(docs.repartition(7), FR).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_mixture_sample_weight_one_keeps_all(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = cp.mixture_sample(docs, {"src0": 1.0}, default_weight=0.25)
+    src0 = out.filter(F.col("source") == "src0")
+    assert src0.count() == src0.filter("keep").count()
+    rest = out.filter(F.col("source") != "src0")
+    kept = rest.filter("keep").count()
+    assert 0 < kept < rest.count()  # default 0.25 thins but not to zero
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # 3 shared shingles
+            (2, "alpha beta gamma zeta eta"),  # 1 shared shingle
+            (3, "one two three four five"),  # 0 shared
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = cp.decontaminate(corpus, bench, n=3, min_overlap=2)
+    rows = {r.doc_id: r.n_hit_shingles for r in out.collect()}
+    assert rows == {1: 3}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 256
+    out = cp.pack_sequences(docs, capacity=cap, n_groups=4).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r.pack_group, []).append(r)
+    assert set(by_group) <= set(range(4))
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r.doc_id)
+        running = 0
+        seen_bins = []
+        for r in rows:
+            assert r.bin == running // cap  # fill-and-spill definition
+            running += r.n_tokens
+            seen_bins.append(r.bin)
+        # Bins are contiguous from 0 and non-decreasing in id order.
+        assert seen_bins[0] == 0
+        assert all(
+            b2 - b1 >= 0 for b1, b2 in zip(seen_bins, seen_bins[1:])
+        )
