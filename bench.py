@@ -69,6 +69,10 @@ HEADLINE = [
     "g_triangle_count",
     "ns_dedup_clusters",
     "ns_events_sessions_stream",
+    # corpus-management surface: benchmark decontamination (broadcast
+    # shingle join) and sequence packing (hash-group windowed binning)
+    "ns_decontaminate",
+    "ns_pack_sequences",
 ]
 
 

@@ -296,12 +296,36 @@ def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed approximate k-NN (scale path)."""
+    """LSH-bucketed approximate k-NN (scale path). Oracle-checked:
+    the deterministic hyperplanes are embedded as literals in the
+    DuckDB twin, so the exact bucketing — not just row shape — is
+    verified cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return sim.lsh_bucketed_topk(queries, emb, k=5)
+
+
+def _sql_hyperplane_bucket(num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of similarity.hyperplane_sketch: bit i = 1 iff
+    dot(embedding, plane_i) > 0, packed into an integer. The planes
+    are the same xorshift64-derived literals the Spark side embeds
+    (similarity._deterministic_planes), emitted via repr so both
+    engines parse the identical double; the dot fold is the same
+    left-to-right reduce as _SQL_COS_EXACT, so the sign — and hence
+    the bucket — is bit-identical cross-engine."""
+    planes = sim._deterministic_planes(num_planes, dim)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        dotexpr = (
+            "list_reduce(list_transform(range(1, len(embedding)+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), "
+            "(x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dotexpr} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + "\n         + ".join(terms) + ")"
 
 
 # Exact cosine fold — identical operand order to functions/vectors.py.
@@ -486,19 +510,24 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: mapInPandas feature extraction (stubbed decode)."""
+    """mapInPandas feature extraction (stubbed decode), projected to
+    per-bucket columns f0..f7 so every histogram cell is checked. The
+    oracle mirrors the deterministic fake decoder (byte%8 histogram of
+    the first 256 payload bytes) in SQL — valid because the fixture
+    corpus is pure ASCII (byte == char); a real codec stays stubbed
+    and is exercised rows-only via ns_media_embedding_ann."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.documents_as_media(docs)
     feats = mm.extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(
-            F.aggregate(
-                "features", F.lit(0.0), lambda a, x: a + x.cast("double")
-            ),
-            2,
-        ).alias("feat_sum"),
+        *[
+            F.element_at(F.col("features"), k + 1)
+            .cast("double")
+            .alias(f"f{k}")
+            for k in range(8)
+        ],
     )
 
 
@@ -506,10 +535,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event windows
 # --------------------------------------------------------------------
 def media_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the full multimodal pipeline composed end-to-end —
-    opaque binary media -> mapInPandas feature extraction (stubbed
-    decoder) -> LSH-bucketed ANN over the extracted vectors. Proves
-    the media plumbing feeds the similarity operators unchanged."""
+    """The full multimodal pipeline composed end-to-end — opaque
+    binary media -> mapInPandas feature extraction (stubbed decoder)
+    -> LSH-bucketed ANN over the extracted vectors. Proves the media
+    plumbing feeds the similarity operators unchanged. Oracle-checked:
+    the fake decoder's byte histogram AND the hyperplane bucketing are
+    both mirrored exactly in the DuckDB twin (ASCII fixture)."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.documents_as_media(docs)
     feats = mm.extract_features(media, dim=8).select(
@@ -982,7 +1013,37 @@ ENTRIES: dict[str, QueryDef] = {
         WHERE bit_count(xor(a.sh16, b.sh16)) <= 2
         """,
     ),
-    "ns_media_embedding_ann": QueryDef(media_embedding_ann, None),
+    "ns_media_embedding_ann": QueryDef(
+        media_embedding_ann,
+        f"""
+        WITH feats AS (
+          SELECT CAST(doc_id AS BIGINT) AS vec_id,
+                 [{", ".join(
+                     f"CAST(len(list_filter(string_split(substr(text, 1, 256),"
+                     f" ''), c -> ascii(c) % 8 = {k})) AS DOUBLE)"
+                     for k in range(8)
+                 )}] AS embedding
+          FROM documents),
+        emb AS (
+          SELECT vec_id, embedding,
+                 {_sql_hyperplane_bucket(num_planes=6, dim=8)} AS bucket
+          FROM feats),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS qvec, bucket
+          FROM emb WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id, {_SQL_COS_EXACT} AS ex
+          FROM emb e JOIN q USING (bucket)
+        )
+        SELECT CAST(q_id AS BIGINT) AS q_id, vec_id,
+               round(ex, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+        """,
+    ),
     "ns_topk_cosine": QueryDef(
         topk_cosine,
         f"""
@@ -1020,7 +1081,29 @@ ENTRIES: dict[str, QueryDef] = {
         ) WHERE rnk <= 5
         """,
     ),
-    "ns_lsh_ann": QueryDef(lsh_ann, None),
+    "ns_lsh_ann": QueryDef(
+        lsh_ann,
+        f"""
+        WITH emb AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+                 {_sql_hyperplane_bucket()} AS bucket
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS qvec, bucket
+          FROM emb WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id, {_SQL_COS_EXACT} AS ex
+          FROM emb e JOIN q USING (bucket)
+        )
+        SELECT CAST(q_id AS BIGINT) AS q_id, vec_id,
+               round(ex, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+        """,
+    ),
     "ns_ivf_ann": QueryDef(ivf_ann, None),
     "ns_embedding_near_dup": QueryDef(
         embedding_near_dup,
@@ -1224,7 +1307,21 @@ ENTRIES: dict[str, QueryDef] = {
         FROM documents GROUP BY 1
         """,
     ),
-    "ns_media_features": QueryDef(media_features, None),
+    "ns_media_features": QueryDef(
+        media_features,
+        """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               """
+        + ",\n               ".join(
+            f"CAST(len(list_filter(string_split(substr(text, 1, 256), ''),"
+            f" c -> ascii(c) % 8 = {k})) AS DOUBLE) AS f{k}"
+            for k in range(8)
+        )
+        + """
+        FROM documents
+        """,
+    ),
     "ns_media_frames": QueryDef(
         media_frames,
         """

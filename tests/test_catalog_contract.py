@@ -39,12 +39,11 @@ def test_oracles_reference_only_known_views():
 
 def test_rows_only_queries_are_the_documented_set():
     rows_only = {n for n, qd in CATALOG.items() if qd.sql is None}
+    # xxhash64, float-mean k-means, and HLL are engine-specific by
+    # nature; each is anchored by a unit test instead of an oracle.
     assert rows_only == {
         "ns_dedup_simhash",
-        "ns_lsh_ann",
         "ns_ivf_ann",
-        "ns_media_features",
-        "ns_media_embedding_ann",
         "rel_approx_distinct",
     }
 
