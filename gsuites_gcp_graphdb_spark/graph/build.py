@@ -201,13 +201,16 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_name").alias("src_key"), F.col("n_name").alias("dst_key"))
 
     # user -in-> role: IAM binding (main.go:566-581 analog).
-    # Scale path: shrink the fact table to its distinct key pairs FIRST
-    # (map-side combinable, BEFORE the join shuffle — the probe side
-    # arrives pre-deduped), then join the (small) dimensions; a second
-    # distinct after the custkey projection collapses the orders fan-in.
+    # Scale path: PROJECT the fact table to the two join keys, then
+    # distinct, BEFORE the join — the map-side combine sees 16-byte
+    # pairs instead of full rows (a full-row dropDuplicates would make
+    # every column a grouping key and defeat column pruning entirely);
+    # a second distinct after the custkey projection collapses the
+    # orders fan-in.
     order_part = (
-        lineitem.dropDuplicates()
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .select("o_custkey", "l_partkey")
         .dropDuplicates()
     )

@@ -153,6 +153,33 @@ def decontaminate(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    per_stratum: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sampling: the first `per_stratum` rows of
+    each stratum in deterministic hash order (hash16, then key as the
+    total tiebreak). Balanced eval-set construction — every stratum
+    contributes exactly min(per_stratum, |stratum|) rows, unlike
+    fraction-based sampleBy which only hits counts in expectation.
+
+    One shuffle (hash partition by stratum); rank is a per-stratum
+    window, and Catalyst pushes the rank filter into the window sort
+    as a group-limit, so no stratum ever materializes fully sorted.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash16(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_stratum)
+        .drop("__rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

@@ -485,6 +485,50 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_N = 20
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count balanced subsample: STRAT_N docs per language in
+    deterministic hash order (corpus.stratified_sample) — the
+    balanced-eval-set construction fraction-based sampleBy can't
+    guarantee. Output size is SF-independent (n_langs x STRAT_N)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.stratified_sample(docs, STRAT_N, "lang").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: per-query recall of the LSH-bucketed
+    top-k against brute-force ground truth — 'measure, don't guess'
+    for the approximate path, runnable as a pipeline health check.
+    Both sides and the intersection are fully deterministic, so the
+    oracle checks the exact recall values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    approx = sim.lsh_bucketed_topk(queries, emb, k=5).select(
+        "q_id", "vec_id"
+    )
+    hits = brute.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    per_q = brute.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return per_q.join(hits, "q_id", "left").select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        "n_true",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 4
+        ).alias("recall"),
+    )
+
+
 def pack_sequences_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing assignment: every doc -> (pack_group, bin)
     under fill-and-spill packing with PACK_GROUPS-way hash parallelism
@@ -1275,6 +1319,55 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
         FROM corp JOIN bench USING (shingle)
         GROUP BY doc_id HAVING count(*) >= {DECON_MIN_OVERLAP}
+        """,
+    ),
+    "ns_stratified_sample": QueryDef(
+        stratified_sample_docs,
+        f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY {_sql_hex16("CAST(doc_id AS VARCHAR) || ':strat'")},
+                     doc_id) AS rk
+          FROM documents)
+        WHERE rk <= {STRAT_N}
+        """,
+    ),
+    "ns_lsh_recall": QueryDef(
+        lsh_recall,
+        f"""
+        WITH emb AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+                 {_sql_hyperplane_bucket()} AS bucket
+          FROM embeddings),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS qvec, bucket
+          FROM emb WHERE vec_id % 100 = 0),
+        brute AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id
+              ORDER BY {_SQL_COS_EXACT} DESC, e.vec_id) AS rnk
+            FROM emb e, q
+          ) WHERE rnk <= 5),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id, row_number() OVER (
+              PARTITION BY q.q_id
+              ORDER BY {_SQL_COS_EXACT} DESC, e.vec_id) AS rnk
+            FROM emb e JOIN q USING (bucket)
+          ) WHERE rnk <= 5),
+        hits AS (
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM brute JOIN approx USING (q_id, vec_id) GROUP BY q_id),
+        per_q AS (
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_true
+          FROM brute GROUP BY q_id)
+        SELECT CAST(p.q_id AS BIGINT) AS q_id, p.n_true,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(COALESCE(h.n_hits, 0) / p.n_true, 4) AS recall
+        FROM per_q p LEFT JOIN hits h USING (q_id)
         """,
     ),
     "ns_pack_sequences": QueryDef(

@@ -70,6 +70,20 @@ def test_decontaminate_flags_overlap(spark):
     assert rows == {1: 3}
 
 
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = cp.stratified_sample(docs, 7, "lang")
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r.lang for r in docs.select("lang").distinct().collect()}
+    # Every stratum contributes exactly min(7, |stratum|) rows.
+    assert set(counts) == strata
+    assert all(n == 7 for n in counts.values())  # fixture strata > 7
+    # Deterministic: same rows on a second run.
+    again = cp.stratified_sample(docs, 7, "lang")
+    assert out.exceptAll(again).count() == 0
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cap = 256
