@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.fixtures import load_table
+from .base import QueryDef
 
 DEC = "decimal(18,2)"
 DEC_HI = "decimal(38,6)"
@@ -343,3 +344,17 @@ EXCESS_AVAILABILITY_SQL = f"""
     JOIN nation ON s_nationkey = n_nationkey
     WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
 """
+
+
+ENTRIES: dict[str, QueryDef] = {
+    "rel_min_cost_supplier": QueryDef(
+        min_cost_supplier, MIN_COST_SUPPLIER_SQL
+    ),
+    "rel_profit_by_nation_year": QueryDef(
+        profit_by_nation_year, PROFIT_BY_NATION_YEAR_SQL
+    ),
+    "rel_important_stock": QueryDef(important_stock, IMPORTANT_STOCK_SQL),
+    "rel_excess_availability": QueryDef(
+        excess_availability_suppliers, EXCESS_AVAILABILITY_SQL
+    ),
+}
