@@ -82,9 +82,51 @@ def _parse(pattern: str) -> list[tuple[bool, str, str, str]]:
     return terms
 
 
-def find(g: Graph, pattern: str, edge_label: str | None = None) -> DataFrame:
+def _order_positive(
+    terms: list[tuple[str, str, str]], allow_disconnected: bool
+) -> list[tuple[str, str, str]]:
+    """Greedily order positive terms so every term after the first
+    shares a named vertex variable with the prefix. Preserves the
+    given order whenever it is already connected. A pattern with no
+    such ordering is disconnected: its compilation is a cartesian
+    product (|E|^k blow-up at scale), so raise unless the caller
+    explicitly opts in with ``allow_disconnected=True``."""
+    remaining = list(terms)
+    ordered: list[tuple[str, str, str]] = []
+    bound: set[str] = set()
+    while remaining:
+        pick = None
+        if ordered:
+            for t in remaining:
+                s, _, d = t
+                if (s and s in bound) or (d and d in bound):
+                    pick = t
+                    break
+        if pick is None:
+            if ordered and not allow_disconnected:
+                raise ValueError(
+                    "disconnected motif pattern: term shares no vertex "
+                    "variable with the rest, so matching is a cartesian "
+                    "product over the edge set; pass "
+                    "allow_disconnected=True if that is intended"
+                )
+            pick = remaining[0]
+        remaining.remove(pick)
+        ordered.append(pick)
+        s, _, d = pick
+        bound.update(v for v in (s, d) if v)
+    return ordered
+
+
+def find(
+    g: Graph,
+    pattern: str,
+    edge_label: str | None = None,
+    allow_disconnected: bool = False,
+) -> DataFrame:
     """Match ``pattern`` against the graph; returns one row per match
-    with a struct column per named variable."""
+    with a struct column per named variable. Disconnected patterns
+    (cartesian semantics) require ``allow_disconnected=True``."""
     terms = _parse(pattern)
     v_struct = F.struct(*[F.col(c) for c in g.vertices.columns])
     e_struct = F.struct(*[F.col(c) for c in g.edges.columns])
@@ -97,9 +139,11 @@ def find(g: Graph, pattern: str, edge_label: str | None = None) -> DataFrame:
     bound_vertices: set[str] = set()
     anon = 0
 
-    for src, ename, dst in [
-        (s, e, d) for neg, s, e, d in terms if not neg
-    ]:
+    pos_terms = _order_positive(
+        [(s, e, d) for neg, s, e, d in terms if not neg],
+        allow_disconnected,
+    )
+    for src, ename, dst in pos_terms:
         anon += 1
         e_id = ename or f"__e{anon}"
         e_df = edges.select(

@@ -116,3 +116,43 @@ def test_negation_validation(g):
         find(g, "(a)-[]->(b); !(a)-[x]->(b)")
     with pytest.raises(ValueError, match="bound by positive"):
         find(g, "(a)-[]->(b); !(a)-[]->(z)")
+
+
+def test_disconnected_pattern_raises(g):
+    with pytest.raises(ValueError, match="disconnected motif"):
+        find(g, "(a)-[]->(b); (c)-[]->(d)")
+    # all-anonymous terms never share a variable either
+    with pytest.raises(ValueError, match="disconnected motif"):
+        find(g, "()-[e1]->(); ()-[e2]->()")
+
+
+def test_disconnected_pattern_opt_in(g):
+    out = find(g, "(a)-[]->(b); (c)-[]->(d)", allow_disconnected=True)
+    n = g.edges.count()
+    assert out.count() == n * n
+
+
+def test_connected_but_badly_ordered_pattern_reorders(g):
+    # term 2 shares nothing with term 1 at its position, but the
+    # pattern is connected overall — must compile join-only, not raise
+    pat = "(a)-[]->(b); (c)-[]->(d); (b)-[]->(c)"
+    inorder = "(a)-[]->(b); (b)-[]->(c); (c)-[]->(d)"
+    got = find(g, pat)
+    want = find(g, inorder)
+    cols = ["a", "b", "c", "d"]
+
+    def keys(df):
+        return sorted(
+            tuple(r[v]["id"] for v in cols) for r in df.collect()
+        )
+
+    assert keys(got) == keys(want)
+
+
+def test_flagship_motif_plan_has_no_cartesian(spark, sf_dir):
+    from gsuites_gcp_graphdb_spark.plans.catalog import CATALOG
+
+    df = CATALOG["g_motif_flagship"].fn(spark, str(sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
