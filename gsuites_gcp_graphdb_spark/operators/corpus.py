@@ -60,7 +60,21 @@ def hash16(key: Column, salt: str) -> Column:
 def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     """Cumulative integer upper bounds (exclusive) for each split name,
     in dict order; the final bound is forced to HASH_SPACE so the
-    fractions need not sum to exactly 1.0 in floating point."""
+    fractions need not sum to exactly 1.0 in floating point.
+
+    Raises ValueError when a fraction falls outside [0, 1] or the
+    fractions don't sum to ~1.0 — a mis-specified split silently
+    swallowing later splits (acc past HASH_SPACE) is exactly the kind
+    of data bug that only surfaces downstream at scale.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction {name!r}={f} outside [0, 1]")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions sum to {total}, expected ~1.0")
     bounds: list[tuple[str, int]] = []
     acc = 0.0
     names = list(fractions)
@@ -108,7 +122,13 @@ def mixture_sample(
     (downweight boilerplate-heavy domains, upweight curated ones)
     expressed as row-local integer arithmetic — map-only, stable, and
     composable with hash_split (different salt => independent hashes).
+
+    Raises ValueError on weights outside [0, 1] — a weight of 1.3
+    would silently clamp to "keep everything" instead of upsampling.
     """
+    for dom, w in {**weights, "<default>": default_weight}.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight {dom!r}={w} outside [0, 1]")
     thresh = None
     for dom, w in sorted(weights.items()):
         cond = F.col(domain_col) == dom
@@ -183,7 +203,7 @@ def stratified_sample(
 def pack_sequences(
     df: DataFrame,
     capacity: int,
-    n_groups: int = 16,
+    n_groups: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
@@ -198,10 +218,19 @@ def pack_sequences(
     Naive first-fit packing needs one global sequential scan — a
     non-starter at 100 TB. Hash-grouping first gives n_groups-way
     parallelism with zero coordination (each window is per-group), at
-    the cost of packing quality only at group boundaries; raise
-    n_groups with cluster size. Window state per task is one running
-    sum — O(1) memory, no spill risk.
+    the cost of packing quality only at group boundaries. Window state
+    per task is one running sum — O(1) memory, no spill risk.
+
+    `n_groups` defaults to the cluster's `defaultParallelism` so the
+    packer scales with the cluster instead of a hard-coded 16 (on a
+    1000-executor cluster, 16 groups would cap the stage at 16 tasks).
+    Pass an explicit n_groups when the assignment must be reproducible
+    across differently-sized clusters (the t2 query does).
     """
+    if n_groups is None:
+        n_groups = df.sparkSession.sparkContext.defaultParallelism
+    if n_groups < 1:
+        raise ValueError(f"n_groups={n_groups} must be >= 1")
     n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
     grouped = df.select(
         F.col(id_col),

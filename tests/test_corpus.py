@@ -84,6 +84,23 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     assert out.exceptAll(again).count() == 0
 
 
+def test_split_bounds_validation():
+    with pytest.raises(ValueError):
+        cp.split_bounds({"train": 0.9, "val": 0.3})  # sums to 1.2
+    with pytest.raises(ValueError):
+        cp.split_bounds({"train": 1.2, "val": -0.2})  # out of range
+    with pytest.raises(ValueError):
+        cp.split_bounds({})
+
+
+def test_mixture_sample_weight_validation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        cp.mixture_sample(docs, {"src0": 1.3}, default_weight=0.5)
+    with pytest.raises(ValueError):
+        cp.mixture_sample(docs, {"src0": 0.5}, default_weight=-0.1)
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cap = 256
@@ -106,3 +123,22 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert all(
             b2 - b1 >= 0 for b1, b2 in zip(seen_bins, seen_bins[1:])
         )
+
+
+def test_pack_sequences_n_groups_scaling(spark, sf_dir):
+    """Per-group fill-and-spill invariants hold at different group
+    counts, and the default (no n_groups) uses defaultParallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    for ng in (2, 9):
+        out = cp.pack_sequences(docs, capacity=128, n_groups=ng)
+        rows = out.collect()
+        assert len(rows) == n_docs
+        groups = {r.pack_group for r in rows}
+        assert groups <= set(range(ng))
+        assert len(groups) > 1  # fan-out actually happened
+    default_out = cp.pack_sequences(docs, capacity=128)
+    dp = spark.sparkContext.defaultParallelism
+    assert {r.pack_group for r in default_out.collect()} <= set(range(dp))
+    with pytest.raises(ValueError):
+        cp.pack_sequences(docs, capacity=128, n_groups=0)
