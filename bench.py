@@ -73,6 +73,11 @@ HEADLINE = [
     # shingle join) and sequence packing (hash-group windowed binning)
     "ns_decontaminate",
     "ns_pack_sequences",
+    # round-4 additions: the skew-join pair (plain vs salted over the
+    # hub-skewed membership edges) and streaming ingest end-to-end
+    "g_skew_membership_plain",
+    "g_skew_membership_salted",
+    "g_stream_ingest_e2e",
 ]
 
 

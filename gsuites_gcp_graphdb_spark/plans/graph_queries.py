@@ -680,3 +680,115 @@ def top_roles_by_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "role", "n_members")
     )
+
+
+def _membership_by_role(edges_roles_joined: DataFrame) -> DataFrame:
+    return edges_roles_joined.groupBy("role").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+def skew_membership_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members-per-role over the hub-skewed membership edges (every
+    user->role edge hits one of ~25 role keys — the allUsers/broad-role
+    hot-key profile README.md:467-472 warns about), joined PLAIN. The
+    baseline half of the skew pair; oracle-identical to the salted
+    variant below."""
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    e = g.edges.join(users, g.edges.src == users.uid, "left_semi")
+    joined = e.select(F.col("dst").alias("rid"), "src").join(roles, "rid")
+    return _membership_by_role(joined)
+
+
+def skew_membership_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via operators.joins.salted_join: the skewed (edge)
+    side gets a deterministic hash salt, the small role side replicates
+    salt times, so the hot role keys spread over `salt` reducers
+    instead of one. Oracle equality with the plain variant is the
+    correctness proof; bench.py times both halves of the pair."""
+    from ..operators.joins import salted_join
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    e = g.edges.join(users, g.edges.src == users.uid, "left_semi").select(
+        F.col("dst").alias("rid"), "src"
+    )
+    return _membership_by_role(salted_join(e, roles, "rid", salt=16))
+
+
+def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest: derive the user->role membership
+    bindings (the `type:email` strings getIamPolicy emits,
+    main.go:557-561) from the fixtures, feed them through the REAL
+    Structured-Streaming ingest path (file source -> foreachBatch ->
+    idempotent upsert -> versioned snapshot store, streaming/ingest.py),
+    then traverse the INGESTED graph. The oracle computes the same
+    members-per-role directly from the base tables, so a green row
+    proves streaming graph state == batch derivation."""
+    import os
+    import tempfile
+
+    from ..sources.fixtures import load_table
+    from ..streaming.ingest import load_snapshot, start_binding_ingest
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bindings = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.concat(F.lit("user:"), F.col("c_name")).alias("member"),
+            F.col("p_brand").alias("dst_key"),
+        )
+        .distinct()
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_ingest_e2e_")
+    src = os.path.join(base, "bindings")
+    # several files -> several micro-batches under maxFilesPerTrigger,
+    # exercising snapshot accumulation across batches, not one big one.
+    bindings.repartition(4).write.parquet(src, mode="overwrite")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_binding_ingest(
+        spark,
+        stream,
+        os.path.join(base, "graph"),
+        os.path.join(base, "ck"),
+        "ingest_e2e",
+    )
+    finished = q.awaitTermination(300)
+    if not finished and q.isActive:
+        q.stop()
+        raise TimeoutError("ingest_e2e stream did not drain in 300s")
+    g = load_snapshot(spark, os.path.join(base, "graph"))
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    joined = (
+        g.edges.join(users, g.edges.src == users.uid, "left_semi")
+        .select(F.col("dst").alias("rid"))
+        .join(roles, "rid")
+    )
+    return _membership_by_role(joined)

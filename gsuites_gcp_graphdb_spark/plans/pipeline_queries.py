@@ -157,8 +157,12 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, stride=64, frame=16).select(
         F.col("media_id").cast("bigint").alias("media_id"),
         # hex rendering for cross-engine comparison (DuckDB cannot
-        # slice BLOBs; slicing the hex equals hexing the slices)
-        F.transform("frames", lambda b: F.hex(b)).alias("frames_hex"),
+        # slice BLOBs; slicing the hex equals hexing the slices).
+        # Joined to a flat string: the driver canonicalizes results in
+        # pandas, which can't sort/hash list cells.
+        F.array_join(
+            F.transform("frames", lambda b: F.hex(b)), ","
+        ).alias("frames_hex"),
     )
 
 
@@ -1419,9 +1423,9 @@ ENTRIES: dict[str, QueryDef] = {
         media_frames,
         """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
-          list_transform(
+          array_to_string(list_transform(
             range(0, greatest(octet_length(encode(text)) // 64 - 1, 0) + 1),
-            i -> substring(hex(encode(text)), i * 128 + 1, 32)) AS frames_hex
+            i -> substring(hex(encode(text)), i * 128 + 1, 32)), ',') AS frames_hex
         FROM documents
         """,
     ),

@@ -291,13 +291,31 @@ def cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- §2C approximate aggregates (engine-specific sketches: rows-only) -
+# --- §2C approximate aggregates --------------------------------------
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts with a bounds-style oracle: the sketch value
+    itself is engine-specific, so what both engines CAN agree on is the
+    exact cardinality plus the claim that the sketch landed within
+    tolerance (2x the default 5% rsd). The oracle asserts TRUE; a
+    drifting sketch flips the boolean and fails the hash match."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").cast("bigint").alias("apx_parts"),
-        F.approx_count_distinct("l_suppkey").cast("bigint").alias("apx_supps"),
+    a = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("apx_supps"),
         F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("exact_supps"),
+    )
+    return a.select(
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("apx_parts") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("parts_within_10pct"),
+        (
+            F.abs(F.col("apx_supps") - F.col("exact_supps"))
+            <= 0.1 * F.col("exact_supps")
+        ).alias("supps_within_10pct"),
     )
 
 
@@ -993,7 +1011,16 @@ ENTRIES: dict[str, QueryDef] = {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
     ),
-    "rel_approx_distinct": QueryDef(approx_distinct_parts, None),
+    "rel_approx_distinct": QueryDef(
+        approx_distinct_parts,
+        """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+               TRUE AS parts_within_10pct,
+               TRUE AS supps_within_10pct
+        FROM lineitem
+        """,
+    ),
     "rel_trade_volume": QueryDef(
         trade_volume,
         """

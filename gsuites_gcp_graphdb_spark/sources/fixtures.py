@@ -30,19 +30,36 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType regardless of
+    how the fixture stored it. Generations of the fixture have used
+    TIMESTAMP(NANOS) (read as long via nanosAsLong, exact integer
+    `div 1000` to micros — `div` not `/` because epoch nanos ~1.7e18
+    exceed double's 2^53 exact range), plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ by Spark's inferTimestampNTZ), or TIMESTAMP with tz.
+    Downstream window/session/unix_micros plans all assume
+    TimestampType, so dispatch on the actual scanned type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # Session tz is UTC in this environment; NTZ micros -> TIMESTAMP
+        # is an exact reinterpretation, matching the oracle's naive read.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS) which Spark's
-        # parquet reader rejects; read nanos as long and convert to a
-        # microsecond timestamp. Integer division (`div`), not `/`:
-        # epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
-        # float division truncates 1µs low for a double-digit share of
-        # rows and boundary events land in the wrong window.
+        # nanosAsLong is a no-op for micros-encoded fixtures but keeps
+        # the nanos-encoded generation readable at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -50,16 +50,17 @@ def stage_events_dir(sf_dir: str) -> str:
 def read_events_stream(
     spark: SparkSession, sf_dir: str, watermark: str | None = None
 ) -> DataFrame:
-    """Streaming scan of the events fixture with the same
-    TIMESTAMP(NANOS) handling as the batch loader (nanosAsLong + exact
-    integer `div 1000` to microseconds — sources/fixtures.py)."""
+    """Streaming scan of the events fixture with the same ts-type
+    normalization as the batch loader (sources/fixtures.py
+    normalize_events_ts — handles nanos-as-long, NTZ-micros, and
+    tz-aware fixture generations)."""
+    from ..sources.fixtures import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    s = (
-        spark.readStream.schema(schema)
-        .parquet(stage_events_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = normalize_events_ts(
+        spark.readStream.schema(schema).parquet(stage_events_dir(sf_dir))
     )
     if watermark is not None:
         s = s.withWatermark("ts", watermark)

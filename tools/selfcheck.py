@@ -86,6 +86,23 @@ def main():
         if qd.sql is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows)")
             continue
+        # The driver canonicalizes results in pandas (sort_values over
+        # every column), which raises on list/map/struct cells — an
+        # oracle-checked query must emit only scalar columns.
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: driver-incompatible complex columns "
+                f"{complex_cols} (flatten to string for comparison)"
+            )
+            failures += 1
+            continue
         try:
             cur = con.execute(qd.sql)
             dcols = [d[0] for d in cur.description]
