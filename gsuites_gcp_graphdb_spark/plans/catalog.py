@@ -677,6 +677,8 @@ _PRIORITY = [
     "g_stream_ingest_e2e",
     "g_skew_membership_plain",
     "g_skew_membership_salted",
+    # bounds-style IVF oracle (self-hit + recall floor), new round 4
+    "ns_ivf_recall",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

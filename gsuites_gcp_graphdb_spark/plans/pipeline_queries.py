@@ -148,6 +148,50 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-style oracle for the IVF path (the analog of
+    rel_approx_distinct's): the IVF result set depends on the trained
+    quantizer, so the cross-engine-checkable claims are (a) the query
+    census, (b) every query finds ITSELF at rank 1 (its own cluster is
+    by construction the closest centroid, hence always probed), and
+    (c) mean recall@5 vs brute force clears a bound with margin
+    (measured 0.56-0.60 at nprobe=2/8 across fixtures; bound 0.4).
+    Both sides are deterministic, so a quantizer regression flips a
+    boolean and fails the hash match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    approx = sim.ivf_topk(
+        queries, emb, k=5, num_centroids=8, nprobe=2, iterations=2
+    )
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("q_id") == F.col("vec_id"))
+    ).select("q_id")
+    hits = brute.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+    return (
+        queries.select("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+        .crossJoin(
+            F.broadcast(
+                self_hits.agg(F.count("*").alias("__n_self")).crossJoin(
+                    hits.agg(F.count("*").alias("__n_hit")).crossJoin(
+                        brute.agg(F.count("*").alias("__n_true"))
+                    )
+                )
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("__n_self") == F.col("n_queries")).alias("all_self_rank1"),
+            (F.col("__n_hit") >= 0.4 * F.col("__n_true")).alias(
+                "mean_recall_ge_040"
+            ),
+        )
+    )
+
+
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media payloads — byte-range slicing
     with built-ins only (no Python in the loop); the oracle mirrors
@@ -1153,6 +1197,15 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_ivf_ann": QueryDef(ivf_ann, None),
+    "ns_ivf_recall": QueryDef(
+        ivf_recall,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS all_self_rank1,
+               TRUE AS mean_recall_ge_040
+        FROM embeddings WHERE vec_id % 100 = 0
+        """,
+    ),
     "ns_embedding_near_dup": QueryDef(
         embedding_near_dup,
         f"""
