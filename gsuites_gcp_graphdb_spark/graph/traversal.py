@@ -192,12 +192,27 @@ class Traversal:
         assert self._kind == "V"
         return self._df.select(natural_key_col().alias("key"))
 
-    def valueMap(self) -> DataFrame:
+    def valueMap(self, with_ids: bool = False) -> DataFrame:
         """Project all properties as a map (README.md:344-349). Nulls
         (properties absent for the label) are omitted, matching
-        Gremlin's sparse valueMap."""
+        Gremlin's sparse valueMap. ``with_ids=True`` is
+        ``valueMap(true)``: the element id and label join the map under
+        the reserved ``T.id``/``T.label`` keys (TinkerPop's tokens)."""
         assert self._kind == "V"
         pairs = []
+        if with_ids:
+            pairs.append(
+                F.struct(
+                    F.lit("T.id").alias("key"),
+                    F.col("id").cast("string").alias("value"),
+                )
+            )
+            pairs.append(
+                F.struct(
+                    F.lit("T.label").alias("key"),
+                    F.col("label").cast("string").alias("value"),
+                )
+            )
         for c in ("email", "name", "projectid", "is_external"):
             pairs.append(
                 F.when(

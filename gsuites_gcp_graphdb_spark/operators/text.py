@@ -156,3 +156,72 @@ def top_ngrams(
     return topk.select(
         F.row_number().over(w).cast("bigint").alias("rank"), "ngram", "n"
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    within-document repetition signals used to drop boilerplate and
+    degenerate generations from a training corpus —
+
+    - ``dup_tok_frac``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total), computed with array ops
+      only (no explode, no shuffle);
+    - ``top2_gram``/``top2_count``: the document's most frequent
+      2-gram (ties break lexicographically) via explode -> per-doc
+      count -> per-doc rank. The shuffle key is (doc, gram) — at
+      100 TB this is the standard two-level agg, no hot keys because
+      grams are doc-scoped;
+    - ``top2_char_frac``: fraction of the document's characters
+      covered by copies of that top 2-gram — Gopher's
+      "fraction of characters in most common n-gram" filter.
+
+    Returns (id, n_tokens, dup_tok_frac, top2_gram, top2_count,
+    top2_char_frac); every expression has an exact DuckDB twin.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    stats = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("dup_tok_frac"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), 2, distinct=False)).alias(
+            "gram"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cnt"), "gram")
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").cast("bigint").alias("__cnt"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top2_gram"),
+            F.col("__cnt").alias("top2_count"),
+        )
+    )
+    return stats.join(top, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_tok_frac",
+        "top2_gram",
+        "top2_count",
+        F.round(
+            F.col("top2_count")
+            * F.length("top2_gram").cast("double")
+            / F.col("__n_chars").cast("double"),
+            6,
+        ).alias("top2_char_frac"),
+    )

@@ -679,6 +679,8 @@ _PRIORITY = [
     "g_skew_membership_salted",
     # bounds-style IVF oracle (self-hit + recall floor), new round 4
     "ns_ivf_recall",
+    # Gopher-style repetition filters, new round 4
+    "ns_text_repetition",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

@@ -431,6 +431,15 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.top_ngrams(docs, n=2, k=20)
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filters (operators/
+    text.repetition_stats): duplicate-token fraction + most-frequent-
+    2-gram character coverage, the standard boilerplate screens a
+    training pipeline runs before sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs)
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1305,6 +1314,39 @@ ENTRIES: dict[str, QueryDef] = {
                list_min(list_transform({_SQL_SHINGLES_FP}, s -> md5(s)))
                  AS fp_min_shingle
         FROM documents
+        """,
+    ),
+    "ns_text_repetition": QueryDef(
+        text_repetition,
+        """
+        WITH toks AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 string_split(text, ' ') AS t
+          FROM documents),
+        stats AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                           / CAST(len(t) AS DOUBLE), 6) AS dup_tok_frac
+          FROM toks),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(0, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+          FROM toks),
+        counted AS (
+          SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, gram AS top2_gram, cnt AS top2_count FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+            FROM counted) WHERE rn = 1)
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.n_tokens,
+               s.dup_tok_frac, t.top2_gram, t.top2_count,
+               round(t.top2_count * CAST(length(t.top2_gram) AS DOUBLE)
+                     / CAST(s.n_chars AS DOUBLE), 6) AS top2_char_frac
+        FROM stats s JOIN top t USING (doc_id)
         """,
     ),
     "ns_text_top_ngrams": QueryDef(

@@ -79,6 +79,11 @@ def test_traversal_steps(golden):
     # valueMap projects sparse properties
     vm = g.V().hasLabel("project").valueMap().collect()[0]
     assert vm.value_map == {"projectid": "gcp-project-200601"}
+    # valueMap(true): id + label join the map under TinkerPop's tokens
+    vmt = g.V().hasLabel("project").valueMap(with_ids=True).collect()[0]
+    assert vmt.value_map["T.id"] == str(vmt.id)
+    assert vmt.value_map["T.label"] == "project"
+    assert vmt.value_map["projectid"] == "gcp-project-200601"
     # where_inV_hasId semi-join (A14)
     role_id = g.V().hasLabel("role").id_()
     members = g.E().where_inV_hasId(role_id).outV().toDF().collect()

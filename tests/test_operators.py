@@ -212,3 +212,26 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(len(r.frames) >= 1 for r in frames)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
+
+
+def test_repetition_stats(spark):
+    rows = [
+        # "a b a b a b": 6 tokens, 2 distinct -> dup_tok_frac 2/3;
+        # bigrams: "a b" x3, "b a" x2 -> top "a b" count 3;
+        # chars 11, coverage 3*3/11
+        (1, "a b a b a b"),
+        # all-unique tokens -> dup 0; every bigram unique -> tie broken
+        # lexicographically ("one two" < "two three" ...)
+        (2, "one two three"),
+        # single token: partial shingle = the token itself
+        (3, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    assert out[1].n_tokens == 6
+    assert abs(out[1].dup_tok_frac - round(1 - 2 / 6, 6)) < 1e-9
+    assert out[1].top2_gram == "a b" and out[1].top2_count == 3
+    assert abs(out[1].top2_char_frac - round(9 / 11, 6)) < 1e-9
+    assert out[2].dup_tok_frac == 0.0
+    assert out[2].top2_gram == "one two" and out[2].top2_count == 1
+    assert out[3].top2_gram == "solo" and out[3].n_tokens == 1
