@@ -78,6 +78,64 @@ def write_graphml(g: Graph, path: str) -> None:
         f.write(to_graphml(g))
 
 
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphML import — the inverse of ``write_graphml``, closing the
+    A21 round-trip. The reference only ever *writes* GraphML
+    (README.md:383-388: export for Cytoscape/Gephi), so import exists
+    for interchange symmetry: GraphML is a small-subgraph format by
+    construction (the reference's own export is a 183-vertex
+    TinkerGraph held in driver memory), so parsing on the driver and
+    parallelizing into DataFrames is the honest boundary — NOT a
+    100 TB path; bulk graph I/O is the parquet ``save``/``load`` pair.
+
+    Tolerant of foreign GraphML: unknown <data> keys are ignored,
+    missing properties stay null, node ids accept both our ``n<id>``
+    convention and raw integers.
+    """
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(path).getroot()
+
+    def _nid(raw: str) -> int:
+        return int(raw[1:] if raw and raw[0] == "n" else raw)
+
+    v_rows, e_rows = [], []
+    for node in root.iter("{%s}node" % ns["g"]):
+        props = {
+            d.get("key"): (d.text or "")
+            for d in node.findall("g:data", ns)
+        }
+        ext = props.get("is_external")
+        v_rows.append(
+            (
+                _nid(node.get("id")),
+                props.get("label", "vertex"),
+                props.get("email"),
+                props.get("name"),
+                props.get("projectid"),
+                None if ext is None else ext == "true",
+            )
+        )
+    for edge in root.iter("{%s}edge" % ns["g"]):
+        props = {
+            d.get("key"): (d.text or "")
+            for d in edge.findall("g:data", ns)
+        }
+        e_rows.append(
+            (
+                _nid(edge.get("source")),
+                _nid(edge.get("target")),
+                edge.get("label", "in"),
+                int(props.get("weight", "1")),
+            )
+        )
+    return Graph(
+        spark.createDataFrame(v_rows, VERTEX_SCHEMA),
+        spark.createDataFrame(e_rows, EDGE_SCHEMA),
+    )
+
+
 def write_graphson(g: Graph, path: str) -> None:
     """Distributed JSON export: one record per element, tagged — scales
     to any graph size (no driver collect)."""

@@ -97,6 +97,22 @@ def test_graphml_export(spark, tmp_path):
     md.parseString(xml)  # well-formed
 
 
+def test_graphml_import_roundtrip(spark, tmp_path):
+    g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
+    path = str(tmp_path / "rt.graphml")
+    ex.write_graphml(g, path)
+    back = ex.read_graphml(spark, path)
+    orig_v = sorted(map(tuple, g.vertices.collect()))
+    back_v = sorted(map(tuple, back.vertices.collect()))
+    assert orig_v == back_v
+    orig_e = sorted(map(tuple, g.edges.collect()))
+    back_e = sorted(map(tuple, back.edges.collect()))
+    assert orig_e == back_e
+    assert [(f.name, f.dataType) for f in back.vertices.schema.fields] == [
+        (f.name, f.dataType) for f in g.vertices.schema.fields
+    ]
+
+
 def test_bucketed_layout_kills_join_shuffle(spark, sf_dir):
     """save_bucketed: the vertex⨝edge expansion join on the bucket
     column must plan with ZERO shuffle exchanges (co-located read)."""
