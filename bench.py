@@ -73,6 +73,10 @@ HEADLINE = [
     # shingle join) and sequence packing (hash-group windowed binning)
     "ns_decontaminate",
     "ns_pack_sequences",
+    # round-4: the composed corpus-prep pipeline (quality -> dedup ->
+    # split) and the Gopher-style repetition screens
+    "ns_pipeline_e2e",
+    "ns_text_repetition",
     # round-4 additions: the skew-join pair (plain vs salted over the
     # hub-skewed membership edges) and streaming ingest end-to-end
     "g_skew_membership_plain",

@@ -681,6 +681,8 @@ _PRIORITY = [
     "ns_ivf_recall",
     # Gopher-style repetition filters, new round 4
     "ns_text_repetition",
+    # composed corpus-prep pipeline (quality -> dedup -> split), new r4
+    "ns_pipeline_e2e",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

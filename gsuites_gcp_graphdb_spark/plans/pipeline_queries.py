@@ -499,6 +499,36 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_CUT = 0.7
+
+
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE plan:
+    quality screen (>= QUALITY_CUT on the rounded composite score) ->
+    exact dedup (min-id representative per identical text) ->
+    deterministic content-hash split -> per-split census. This is the
+    shape a real corpus-prep job runs; each stage is the already-
+    oracle-checked operator, and composing them catches interface
+    drift (column loss, filter/dedup ordering) that per-operator
+    checks can't see. Quality sums travel as integer micro-units so
+    the census is exact across engines (no float-sum ordering drift).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(
+        q.filter(F.col("quality") >= QUALITY_CUT), "doc_id"
+    )
+    deduped = dd.dedup_exact(kept)
+    split = cp.hash_split(deduped, SPLIT_FRACTIONS)
+    return split.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+        F.sum(F.round(F.col("quality") * 1_000_000).cast("bigint")).alias(
+            "sum_quality_micro"
+        ),
+    )
+
+
 def _sql_split_case(hv: str) -> str:
     whens = " ".join(
         f"WHEN {hv} < {ub} THEN '{name}'"
@@ -1377,6 +1407,38 @@ ENTRIES: dict[str, QueryDef] = {
                     AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1
+        """,
+    ),
+    "ns_pipeline_e2e": QueryDef(
+        pipeline_e2e,
+        f"""
+        WITH q AS (
+          SELECT doc_id, text, n_chars,
+            round(0.4 * least(
+                    CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CASE WHEN round(
+                    (CAST(length(text) AS DOUBLE)
+                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                    BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                + 0.3 * least(
+                    {_sql_stop_ratio(tx.STOPWORDS["en"])} * 10.0, 1.0),
+              6) AS quality
+          FROM documents),
+        kept AS (SELECT * FROM q WHERE quality >= {QUALITY_CUT}),
+        rep AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        ded AS (SELECT k.* FROM kept k SEMI JOIN rep USING (doc_id)),
+        sp AS (
+          SELECT {_sql_split_case(
+              _sql_hex16("CAST(doc_id AS VARCHAR) || ':split'"))} AS split,
+                 n_chars, quality
+          FROM ded)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+               CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_quality_micro
+        FROM sp GROUP BY 1
         """,
     ),
     "ns_split_assign": QueryDef(
