@@ -414,3 +414,83 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
             "n_members",
         )
     )
+
+
+def minhash_incremental_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Incremental ingest dedup: LSH candidates between an INCOMING
+    batch and the EXISTING corpus (plus earlier members of the same
+    batch) without ever re-comparing corpus x corpus — the production
+    ingestion shape. At 100 TB the corpus band table is a materialized
+    index (write it once, partitioned by band hash); each new batch
+    computes only its own signatures and equi-joins against the index,
+    so per-batch cost scales with |batch|, not |corpus|.
+
+    Returns (new_id, match_id): new_id is from `batch`; match_id is an
+    earlier doc sharing an LSH band (corpus member, or batch member
+    with a smaller id — so a batch containing its own duplicates still
+    reports them). Ids must be disjoint across the two inputs.
+    """
+    rows = num_hashes // bands
+    sig_fn = minhash_signature_md5 if use_md5 else minhash_signature_xxhash
+
+    def _banded(df: DataFrame, is_new: bool) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+        )
+        sig = sh.select("id", *sig_fn(F.col("sh"), num_hashes))
+        banded = sig.select(
+            "id",
+            *band_hashes(
+                [f"mh_{j}" for j in range(num_hashes)], bands, rows, use_md5
+            ),
+        )
+        return banded.select(
+            "id",
+            F.lit(is_new).alias("is_new"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"band_{b}").cast("string").alias("h"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(
+            "id", "is_new",
+            F.col("bh.band").alias("band"), F.col("bh.h").alias("h"),
+        )
+
+    # The corpus side only ever probes as the EXISTING side of the
+    # join; the batch side appears on both (new-vs-new within a batch).
+    old = _banded(corpus, False)
+    new = _scratch_persist(_banded(batch, True))
+    existing = old.unionByName(new)
+    a = existing.alias("a")
+    b = new.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (
+                (~F.col("a.is_new"))
+                | (F.col("a.id") < F.col("b.id"))
+            ),
+        )
+        .select(
+            F.col("b.id").alias("new_id"), F.col("a.id").alias("match_id")
+        )
+        .dropDuplicates()
+    )

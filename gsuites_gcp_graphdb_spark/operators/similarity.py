@@ -289,3 +289,85 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round("__exact", 6).alias("cos_sim"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_save(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a WRITE-TIME LAYOUT — the 100 TB
+    path ivf_topk's docstring promises: the corpus is written
+    partitioned by nearest-centroid id (``cid=NN/`` directories, the
+    IVF analog of export.save_bucketed), with the tiny trained
+    centroid table alongside. A probe then reads ONLY its nprobe
+    partitions via partition pruning — I/O ~ nprobe/num_centroids of
+    the corpus — instead of scanning everything and filtering.
+    """
+    cent = ivf_train(corpus, num_centroids, iterations, id_col, vec_col)
+    inv = _ivf_assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cent,
+    )
+    inv.select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col), "cid"
+    ).write.partitionBy("cid").parquet(f"{path}/lists", mode="overwrite")
+    cent.write.parquet(f"{path}/centroids", mode="overwrite")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a saved IVF index (ivf_save) reading only the probed
+    inverted-list partitions. The probed cid set (nprobe ids per
+    query, deduplicated across the batch) is computed from the
+    centroid table and pushed into the scan as a partition filter —
+    the collect is bounded by num_centroids, never by corpus size.
+    Results for the probed lists are EXACT (same scoring as
+    ivf_topk); with nprobe == num_centroids this equals brute force.
+    """
+    cent = spark.read.parquet(f"{path}/centroids")
+    qs = queries.select(
+        F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    qscore = qs.crossJoin(F.broadcast(cent)).select(
+        "__qid",
+        "__qvec",
+        "cid",
+        cosine_similarity(F.col("__qvec"), F.col("cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("cid")
+    )
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qvec", "cid")
+    )
+    probed_cids = sorted(
+        r.cid for r in probes.select("cid").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cid").isin(probed_cids)
+    )
+    cands = lists.join(F.broadcast(probes), ["cid"]).select(
+        F.col("__qid").alias(q_id),
+        c_id,
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("__exact"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("__exact").desc(), F.col(c_id))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("__exact", 6).alias("cos_sim"), "rank")
+    )

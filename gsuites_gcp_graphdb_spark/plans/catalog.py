@@ -683,6 +683,8 @@ _PRIORITY = [
     "ns_text_repetition",
     # composed corpus-prep pipeline (quality -> dedup -> split), new r4
     "ns_pipeline_e2e",
+    # incremental ingest dedup (batch-vs-index, no corpus x corpus), r4
+    "ns_dedup_incremental",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

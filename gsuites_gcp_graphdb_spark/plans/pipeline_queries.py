@@ -104,6 +104,25 @@ def minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.
+    minhash_incremental_candidates): every 10th doc plays the incoming
+    batch, the rest the already-indexed corpus; candidates are
+    batch-vs-corpus and batch-vs-earlier-batch only — corpus x corpus
+    is never recomputed."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dd.minhash_incremental_candidates(
+        corpus, batch, n=SHINGLE_N, num_hashes=MINHASH_K, bands=LSH_BANDS,
+        use_md5=True,
+    ).select(
+        F.col("new_id").cast("bigint").alias("new_id"),
+        F.col("match_id").cast("bigint").alias("match_id"),
+    )
+
+
 NEAR_DUP_TAU = 0.4  # embedding near-dup cosine threshold
 
 
@@ -1036,6 +1055,19 @@ ENTRIES: dict[str, QueryDef] = {
         {_SQL_MINHASH_CAND}
         SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
         FROM cand
+        """,
+    ),
+    "ns_dedup_incremental": QueryDef(
+        minhash_incremental,
+        _sql_minhash_sig()
+        + f""",
+        banded AS ({_sql_bands()})
+        SELECT DISTINCT CAST(b.doc_id AS BIGINT) AS new_id,
+               CAST(a.doc_id AS BIGINT) AS match_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.h = b.h
+        WHERE b.doc_id % 10 = 0
+          AND (a.doc_id % 10 != 0 OR a.doc_id < b.doc_id)
         """,
     ),
     "ns_dedup_minhash_verified": QueryDef(

@@ -235,3 +235,55 @@ def test_repetition_stats(spark):
     assert out[2].dup_tok_frac == 0.0
     assert out[2].top2_gram == "one two" and out[2].top2_count == 1
     assert out[3].top2_gram == "solo" and out[3].n_tokens == 1
+
+
+def test_ivf_saved_index_probe(spark, sf_dir, tmp_path):
+    """The write-time IVF layout: ivf_save partitions the corpus by
+    centroid; ivf_probe must (a) return exactly what in-query ivf_topk
+    returns for the same parameters, and (b) plan the list scan with a
+    partition filter on cid — the I/O-pruning receipt."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(emb, path, num_centroids=4, iterations=2)
+    probed = sim.ivf_probe(spark, path, queries, k=3, nprobe=2)
+    in_query = sim.ivf_topk(
+        queries, emb, k=3, num_centroids=4, nprobe=2, iterations=2
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, in_query.collect())
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_minhash_incremental(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # corpus dup
+            (5, "completely different content with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1,3
+            (12, "unrelated brand new text that matches nothing else"),
+            (14, "unrelated brand new text that matches nothing else"),  # dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_id, r.match_id)
+        for r in dd.minhash_incremental_candidates(corpus, batch).collect()
+    }
+    # batch doc matched against BOTH corpus copies
+    assert (10, 1) in pairs and (10, 3) in pairs
+    # within-batch dup reported once, earlier id as the match
+    assert (14, 12) in pairs and (12, 14) not in pairs
+    # corpus x corpus never reported
+    assert not any(m in (1, 3, 5) and n in (1, 3, 5) for n, m in pairs)
+    assert all(n in (10, 12, 14) for n, _ in pairs)
