@@ -685,6 +685,8 @@ _PRIORITY = [
     "ns_pipeline_e2e",
     # incremental ingest dedup (batch-vs-index, no corpus x corpus), r4
     "ns_dedup_incremental",
+    # streaming stateful dedup (doubled stream -> exact census), r4
+    "ns_events_stream_dedup",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

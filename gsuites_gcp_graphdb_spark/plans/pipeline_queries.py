@@ -951,6 +951,30 @@ def events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming deduplication: the events stream unioned with a
+    second read of itself (every event arrives exactly twice, possibly
+    in different micro-batches) -> stateful dropDuplicates on event_id
+    -> append-mode drain. The sink holds one copy per event iff the
+    dedup state caught every duplicate, so the per-type census equals
+    the plain batch census. Unbounded-key state is deliberate here:
+    the WITHIN-WATERMARK variant can re-emit a duplicate that lands in
+    a later micro-batch after state eviction, which would make the
+    result depend on file->batch assignment; exact dedup keeps the
+    query deterministic and oracle-checkable. At true scale you bound
+    state with dropDuplicatesWithinWatermark and accept
+    at-least-once-per-window semantics."""
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    tbl = run_to_memory(deduped, "events_dedup_stream", "append")
+    return tbl.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+
+
 def events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregation of ns_events_tumbling executed
     as a REAL streaming query (state store, complete mode, AvailableNow
@@ -1698,4 +1722,11 @@ ENTRIES: dict[str, QueryDef] = {
         events_tumbling_stream, _TUMBLING_SQL
     ),
     "ns_events_stream_join": QueryDef(events_stream_join, _RANGE_JOIN_SQL),
+    "ns_events_stream_dedup": QueryDef(
+        events_stream_dedup,
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+        """,
+    ),
 }
