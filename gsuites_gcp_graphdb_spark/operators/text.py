@@ -170,9 +170,11 @@ def repetition_stats(
       only (no explode, no shuffle);
     - ``top2_gram``/``top2_count``: the document's most frequent
       2-gram (ties break lexicographically) via explode -> per-doc
-      count -> per-doc rank. The shuffle key is (doc, gram) — at
-      100 TB this is the standard two-level agg, no hot keys because
-      grams are doc-scoped;
+      count -> per-doc argmax. The argmax is min(struct(-cnt, gram))
+      — a map-side-combinable hash aggregate, NOT a row_number window
+      (a window would sort every doc's gram partition; the struct-min
+      needs no sort and no second shuffle beyond the (doc, gram) agg,
+      which has no hot keys because grams are doc-scoped);
     - ``top2_char_frac``: fraction of the document's characters
       covered by copies of that top 2-gram — Gopher's
       "fraction of characters in most common n-gram" filter.
@@ -180,8 +182,6 @@ def repetition_stats(
     Returns (id, n_tokens, dup_tok_frac, top2_gram, top2_count,
     top2_char_frac); every expression has an exact DuckDB twin.
     """
-    from pyspark.sql.window import Window
-
     toks = tokens(F.col(text_col))
     stats = df.select(
         F.col(id_col),
@@ -200,16 +200,19 @@ def repetition_stats(
             "gram"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cnt"), "gram")
     top = (
         grams.groupBy(id_col, "gram")
         .agg(F.count("*").cast("bigint").alias("__cnt"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("__cnt")).alias("neg"), F.col("gram"))
+            ).alias("__best")
+        )
         .select(
             F.col(id_col),
-            F.col("gram").alias("top2_gram"),
-            F.col("__cnt").alias("top2_count"),
+            F.col("__best.gram").alias("top2_gram"),
+            (-F.col("__best.neg")).cast("bigint").alias("top2_count"),
         )
     )
     return stats.join(top, id_col).select(
