@@ -215,3 +215,47 @@ def test_dedup_clusters_partition_pairs(spark, pairs):
     assert sum(r.n_members for r in out) == len(ids)
     assert all(r.n_members >= 2 for r in out)
     assert all(r.cluster_rep in ids for r in out)
+
+
+token_strategy = st.lists(
+    st.sampled_from(("aa", "bb", "cc", "d")), min_size=1, max_size=12
+)
+
+
+@given(docs=st.lists(token_strategy, min_size=1, max_size=6))
+@_SETTINGS
+def test_repetition_stats_matches_python_model(spark, docs):
+    """repetition_stats == a pure-Python model on arbitrary token
+    streams: dup fraction, argmax 2-gram with (count desc, gram asc)
+    tie-break, and char coverage."""
+    from collections import Counter
+
+    from gsuites_gcp_graphdb_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        text = " ".join(toks)
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) > 1
+            else [toks[0]]
+        )
+        counts = Counter(grams)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dup_tok_frac - round(1 - len(set(toks)) / len(toks), 6)) < 1e-9
+        assert (r.top2_gram, r.top2_count) == best
+        assert (
+            abs(
+                r.top2_char_frac
+                - round(best[1] * len(best[0]) / len(text), 6)
+            )
+            < 1e-9
+        )
