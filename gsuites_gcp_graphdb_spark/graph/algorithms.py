@@ -552,3 +552,60 @@ def degrees(g: Graph) -> DataFrame:
         .join(ind, ["id"], "left_outer")
         .fillna(0, ["in_degree", "out_degree"])
     )
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Synchronous label propagation (community detection — the
+    GraphFrames/GraphX `labelPropagation` surface). Labels initialize
+    to the vertex id; each round EVERY vertex simultaneously adopts
+    the most frequent label among its undirected neighbors, ties
+    broken toward the smallest label; isolated vertices keep theirs.
+
+    Synchronous rounds + a total (count desc, label asc) tie order
+    make the result a pure function of the graph — async LPA (and
+    GraphX's hash-partition-order variant) is run-order dependent,
+    which would be unverifiable cross-engine. The per-round plan is
+    two map-side-combinable hash aggregates (neighbor-label counts,
+    then struct-min argmax) — no sorts, no windows; labels can be any
+    orderable type (longs here, natural-key strings in the catalog
+    query so the oracle can mirror without xxhash64).
+
+    Returns (v, lbl) — one row per vertex with its final community
+    label. Fixed `rounds` (not convergence-probed): LPA is not
+    guaranteed to converge (bipartite oscillation), so a bounded
+    round count IS the standard semantics.
+    """
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+    lbl = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = und.join(lbl, und.w == lbl.v).select(
+            F.col("u").alias("nv"), "lbl"
+        )
+        best = (
+            nb.groupBy("nv", "lbl")
+            .agg(F.count("*").alias("__cnt"))
+            .groupBy("nv")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("n"), F.col("lbl").alias("l")
+                    )
+                ).alias("__best")
+            )
+            .select(F.col("nv").alias("v"), F.col("__best.l").alias("__new"))
+        )
+        lbl = (
+            lbl.join(best, ["v"], "left_outer")
+            .select("v", F.coalesce("__new", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return lbl

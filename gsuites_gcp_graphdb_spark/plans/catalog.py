@@ -146,6 +146,58 @@ def _pagerank_sql(
 # SQL fragment: component census of the undirected membership graph
 # (transitive closure + min-label), shared by BOTH connected-components
 # implementations (hash-min and large-star/small-star).
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label-propagation oracle: `rounds` copies
+    of (neighbor-label count -> per-node argmax -> relabel) over the
+    same membership edges as _CC_SQL. The argmax window ORDER BY
+    (cnt DESC, lbl) mirrors the engine's min(struct(-cnt, lbl))."""
+    cte = [
+        """
+        edges_d AS (
+          SELECT c_name AS a, n_name AS b
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION
+          SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION
+          SELECT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        und AS (
+          SELECT a AS u, b AS w FROM edges_d
+          UNION ALL SELECT b, a FROM edges_d
+        ),
+        nodes AS (
+          SELECT c_name AS k FROM customer
+          UNION SELECT s_name FROM supplier
+          UNION SELECT n_name FROM nation
+          UNION SELECT r_name FROM region
+        ),
+        l0 AS (SELECT k AS v, k AS lbl FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"""
+        c{i} AS (
+          SELECT und.u AS v, l.lbl, count(*) AS cnt
+          FROM und JOIN l{i - 1} l ON und.w = l.v GROUP BY 1, 2),
+        p{i} AS (
+          SELECT v, lbl FROM (
+            SELECT v, lbl, row_number() OVER (
+              PARTITION BY v ORDER BY cnt DESC, lbl) AS rn FROM c{i})
+          WHERE rn = 1),
+        l{i} AS (
+          SELECT l.v, coalesce(p.lbl, l.lbl) AS lbl
+          FROM l{i - 1} l LEFT JOIN p{i} p USING (v))"""
+        )
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+        SELECT v AS member_key, lbl AS community_key FROM l{rounds}"""
+    )
+
+
 _CC_SQL = """
         WITH RECURSIVE
         edges_d AS (
@@ -473,6 +525,9 @@ CATALOG: dict[str, QueryDef] = {
         """,
     ),
     "g_connected_components": QueryDef(gq.membership_components, _CC_SQL),
+    "g_label_propagation": QueryDef(
+        gq.label_propagation_communities, _lpa_sql(3)
+    ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     # Same census, second algorithm (large-star/small-star): one
     # oracle pinning two independent CC implementations.
@@ -687,6 +742,8 @@ _PRIORITY = [
     "ns_dedup_incremental",
     # streaming stateful dedup (doubled stream -> exact census), r4
     "ns_events_stream_dedup",
+    # synchronous label propagation (per-node communities), r4
+    "g_label_propagation",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

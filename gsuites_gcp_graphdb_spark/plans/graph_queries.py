@@ -441,6 +441,41 @@ def membership_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (algorithms.label_propagation) over the membership subgraph —
+    same scope as the CC census, but LPA finds DENSE communities
+    rather than connectivity classes. Nodes are relabeled to their
+    natural keys before propagation so labels (and the argmax tie
+    order) are strings both engines can reproduce — xxhash64 vertex
+    ids never leak into the checked result. Per-node output: the
+    strongest per-row cross-engine check (not just a census)."""
+    from ..graph.algorithms import label_propagation
+
+    g = _graph(spark, sf_dir)
+    mem_v = g.vertices.filter(
+        F.col("label").isin("user", "serviceAccount", "group")
+    )
+    grp = g.vertices.filter(F.col("label") == "group").select("id")
+    e = g.edges
+    mem_e = e.join(grp, e.dst == grp.id, "left_semi")
+    keys = mem_v.select("id", natural_key_col().alias("k"))
+    src_k = keys.select(F.col("id").alias("src"), F.col("k").alias("sk"))
+    dst_k = keys.select(F.col("id").alias("dst"), F.col("k").alias("dk"))
+    e_k = (
+        mem_e.join(src_k, ["src"])
+        .join(dst_k, ["dst"])
+        .select(F.col("sk").alias("src"), F.col("dk").alias("dst"))
+    )
+    v_k = keys.select(F.col("k").alias("id"))
+    out = label_propagation(v_k, e_k, rounds=3)
+    return out.select(
+        F.col("v").alias("member_key"), F.col("lbl").alias("community_key")
+    )
+
+
 def motif_strict_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motif NEGATION: two-hop chains a→b→c with NO direct a→c edge —
     the 'access only via an intermediary' audit (e.g. a user whose

