@@ -74,9 +74,12 @@ HEADLINE = [
     "ns_decontaminate",
     "ns_pack_sequences",
     # round-4: the composed corpus-prep pipeline (quality -> dedup ->
-    # split) and the Gopher-style repetition screens
+    # split), the Gopher-style repetition screens, incremental
+    # batch-vs-index dedup, and label-propagation communities
     "ns_pipeline_e2e",
     "ns_text_repetition",
+    "ns_dedup_incremental",
+    "g_label_propagation",
     # round-4 additions: the skew-join pair (plain vs salted over the
     # hub-skewed membership edges) and streaming ingest end-to-end
     "g_skew_membership_plain",

@@ -744,6 +744,8 @@ _PRIORITY = [
     "ns_events_stream_dedup",
     # synchronous label propagation (per-node communities), r4
     "g_label_propagation",
+    # approx quantiles with bounds oracle (GK sketch vs exact), r4
+    "rel_approx_quantiles",
     # rows-only by design, resampled for the weaker rows check
     "ns_ivf_ann",
     "ns_dedup_simhash",

@@ -791,6 +791,45 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles with a bounds-style oracle (the approx-agg
+    policy of rel_approx_distinct): percentile_approx's
+    Greenwald-Khanna sketch is engine-specific, so the checkable
+    claims are the exact quantiles plus within-relative-tolerance
+    booleans. accuracy=1000 bounds rank error at n/1000; the 2%
+    VALUE tolerance is ~20x the observed error on this distribution.
+    The sketch is the 100 TB path: one pass, bounded memory per
+    group, no sort — `percentile` (exact) needs the full value
+    multiset per group."""
+    o = load_table(spark, sf_dir, "orders")
+    ex = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    ap = F.expr(
+        "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
+    )
+    tol = 0.02
+    agg = o.groupBy("o_orderstatus").agg(
+        ex.alias("__ex"), ap.alias("__ap"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    within = [
+        (
+            F.abs(F.col("__ap")[i] - F.col("__ex")[i])
+            <= tol * F.abs(F.col("__ex")[i])
+        ).alias(name)
+        for i, name in enumerate(
+            ("p25_within_2pct", "p50_within_2pct", "p75_within_2pct")
+        )
+    ]
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("__ex")[0], 4).alias("p25_exact"),
+        F.round(F.col("__ex")[1], 4).alias("p50_exact"),
+        F.round(F.col("__ex")[2], 4).alias("p75_exact"),
+        *within,
+        "n",
+    )
+
+
 # --- §2C scalar-average anti-join (TPC-H Q22 shape) ------------------
 def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shaped: customers with above-average positive balance and
@@ -1262,6 +1301,20 @@ ENTRIES: dict[str, QueryDef] = {
                round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
                round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
                round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ),
+    "rel_approx_quantiles": QueryDef(
+        approx_quantiles,
+        """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25_exact,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75_exact,
+               TRUE AS p25_within_2pct,
+               TRUE AS p50_within_2pct,
+               TRUE AS p75_within_2pct,
                CAST(count(*) AS BIGINT) AS n
         FROM orders GROUP BY o_orderstatus
         """,

@@ -141,6 +141,11 @@ def main() -> None:
         "ns_events_tumbling",
         "ns_events_sessions",
         "ns_events_asof_join",
+        # round-4 operators
+        "ns_pipeline_e2e",
+        "ns_dedup_incremental",
+        "ns_text_repetition",
+        "g_label_propagation",
     ]
 
     spark = get_spark("scalebench")
