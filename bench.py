@@ -143,6 +143,14 @@ def main() -> None:
         "ns_dedup_simhash_fast",
         lambda: dd.simhash_candidates(docs, max_hamming=3).count(),
     )
+    # Raw IVF ANN output (bench-only: the hit set depends on the
+    # trained quantizer so it has no SQL twin; correctness rides on
+    # ns_ivf_recall and test_ivf_topk).
+    from gsuites_gcp_graphdb_spark.plans import pipeline_queries as pq
+
+    median_timed(
+        "ns_ivf_ann", lambda: pq.ivf_ann(spark, sf_dir).collect()
+    )
     dd.release_scratch()
 
     total = round(sum(timings.values()), 3)

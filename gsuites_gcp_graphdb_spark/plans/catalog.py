@@ -746,9 +746,6 @@ _PRIORITY = [
     "g_label_propagation",
     # approx quantiles with bounds oracle (GK sketch vs exact), r4
     "rel_approx_quantiles",
-    # rows-only by design, resampled for the weaker rows check
-    "ns_ivf_ann",
-    "ns_dedup_simhash",
 ]
 
 

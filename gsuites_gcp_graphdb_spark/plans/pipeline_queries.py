@@ -149,9 +149,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF (trained coarse quantizer) approximate k-NN for
-    the deterministic query subset — the scale path whose exactness
-    anchor is the nprobe==num_centroids equality test."""
+    """Bench-only: IVF (trained coarse quantizer) approximate k-NN for
+    the deterministic query subset. The raw hit set depends on the
+    trained quantizer (no portable SQL twin); correctness is carried
+    by ns_ivf_recall (bounds oracle) and test_ivf_topk
+    (nprobe==num_centroids equals brute force exactly)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
@@ -230,7 +232,8 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64-based; no portable SQL twin)."""
+    """Bench-only (xxhash64-based; no portable SQL twin — the md5
+    variant ns_dedup_simhash_md5 is the oracle-checked sibling)."""
     dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_candidates(docs, max_hamming=3)
@@ -1158,7 +1161,6 @@ ENTRIES: dict[str, QueryDef] = {
         FROM events GROUP BY user_id
         """,
     ),
-    "ns_dedup_simhash": QueryDef(simhash_pairs, None),
     "ns_dedup_simhash_md5": QueryDef(
         simhash_md5_pairs,
         """
@@ -1291,7 +1293,6 @@ ENTRIES: dict[str, QueryDef] = {
         ) WHERE rnk <= 5
         """,
     ),
-    "ns_ivf_ann": QueryDef(ivf_ann, None),
     "ns_ivf_recall": QueryDef(
         ivf_recall,
         """
