@@ -609,3 +609,78 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return lbl
+
+
+def personalized_pagerank(
+    g: Graph,
+    sources: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the random walk restarts at the SOURCE
+    set instead of everywhere — "how much of the graph does principal
+    X influence, weighted by access-path multiplicity" rather than
+    global centrality. Teleport vector s(v) = 1/|S| on sources, 0
+    elsewhere; both the (1-d) restart and each round's dangling mass
+    return to s, so total mass stays 1 and unreachable vertices stay
+    at exactly 0 (GraphX personalized-variant semantics).
+
+    Same per-round shape as pagerank: one shuffle (groupBy dst), the
+    dangling total folded in as a one-row broadcast — no driver
+    barrier inside the loop. |S| is the only driver-side count.
+    Returns (id, rank).
+    """
+    v = g.vertices.select("id")
+    s = sources.select("id").dropDuplicates()
+    n_s = s.count()
+    if n_s == 0:
+        raise ValueError("personalized_pagerank needs >= 1 source")
+    ind = _truncate(
+        v.join(
+            s.select("id", F.lit(1.0 / n_s).alias("__ind")),
+            ["id"],
+            "left_outer",
+        ).select("id", F.coalesce("__ind", F.lit(0.0)).alias("__ind"))
+    )
+    edges = g.edges.select("src", "dst")
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    edges_d = _truncate(
+        edges.join(outd, ["src"]).select("src", "dst", "out_degree")
+    )
+    dangling_ids = _truncate(
+        v.join(
+            edges_d.select("src").dropDuplicates(),
+            v.id == F.col("src"),
+            "left_anti",
+        )
+    )
+    ranks = _truncate(ind.select("id", F.col("__ind").alias("rank")))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(edges_d, ranks.id == edges_d.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        d_row = ranks.join(dangling_ids, ["id"], "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+        )
+        ranks = _truncate(
+            ind.join(contribs, ["id"], "left_outer")
+            .crossJoin(F.broadcast(d_row))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("__ind")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("in_sum", F.lit(0.0))
+                        + F.col("__dangling") * F.col("__ind")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -143,6 +143,58 @@ def _pagerank_sql(
         """
 
 
+def _ppr_sql(
+    iterations: int = 5, damping: float = 0.85, topk: int = 15
+) -> str:
+    """Personalized PageRank oracle: _pagerank_sql's unrolled CTEs with
+    the uniform init/teleport replaced by the single-source indicator
+    (the min-c_name user — the same deterministic source the engine
+    query picks). Dangling mass teleports to the source; zero-rank
+    (unreachable) vertices are excluded before the top-k cut, exactly
+    as in the engine query."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        _EDGES_NK.strip(),
+        _VERTS_NK.strip(),
+        """outd AS (
+          SELECT sl, sk, CAST(count(*) AS DOUBLE) AS od
+          FROM edges_nk GROUP BY sl, sk)""",
+        "src0 AS (SELECT min(c_name) AS k FROM customer)",
+        """ind AS (
+          SELECT v.l, v.k,
+                 CASE WHEN v.l = 'user' AND v.k = (SELECT k FROM src0)
+                      THEN 1.0 ELSE 0.0 END AS i
+          FROM verts_nk v)""",
+        "r0 AS (SELECT l, k, i AS rank FROM ind)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""c{i} AS (
+          SELECT e.dl AS l, e.dk AS k, sum(r.rank / o.od) AS in_sum
+          FROM {p} r JOIN edges_nk e ON r.l = e.sl AND r.k = e.sk
+          JOIN outd o ON o.sl = e.sl AND o.sk = e.sk
+          GROUP BY e.dl, e.dk)""")
+        ctes.append(f"""d{i} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dang
+          FROM {p} r WHERE NOT EXISTS (
+            SELECT 1 FROM outd o WHERE o.sl = r.l AND o.sk = r.k))""")
+        ctes.append(f"""r{i} AS (
+          SELECT n.l, n.k,
+                 {one_minus} * n.i + {d} * (coalesce(c.in_sum, 0.0)
+                                            + d{i}.dang * n.i) AS rank
+          FROM ind n
+          LEFT JOIN c{i} c ON c.l = n.l AND c.k = n.k, d{i})""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT l AS label, k AS key, round(rank, 6) AS rank
+        FROM r{iterations} WHERE rank > 0
+        ORDER BY round(rank, 6) DESC, l, k
+        LIMIT {topk}
+        """
+
+
 # SQL fragment: component census of the undirected membership graph
 # (transitive closure + min-label), shared by BOTH connected-components
 # implementations (hash-min and large-star/small-star).
@@ -529,6 +581,7 @@ CATALOG: dict[str, QueryDef] = {
         gq.label_propagation_communities, _lpa_sql(3)
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
+    "g_ppr_access": QueryDef(gq.ppr_access_influence, _ppr_sql()),
     # Same census, second algorithm (large-star/small-star): one
     # oracle pinning two independent CC implementations.
     "g_connected_components_star": QueryDef(
@@ -746,6 +799,8 @@ _PRIORITY = [
     "g_label_propagation",
     # approx quantiles with bounds oracle (GK sketch vs exact), r4
     "rel_approx_quantiles",
+    # personalized PageRank (single-source teleport), r4
+    "g_ppr_access",
 ]
 
 

@@ -567,6 +567,33 @@ def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppr_access_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from one principal (the min-email user,
+    the catalog's deterministic-parameter pattern): "which parts of
+    the IAM graph does this user's access influence, weighted by path
+    multiplicity" — the per-principal analog of the global centrality
+    query. Unreachable vertices are exactly 0 and excluded, so top-k
+    ranks only the user's access cone. Oracle: the same 5 iterations
+    unrolled as CTEs with the same single-source teleport vector."""
+    from ..graph.algorithms import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user")
+    source = users.orderBy(F.col("email").asc()).limit(1).select("id")
+    pr = personalized_pagerank(g, source, iterations=5)
+    return (
+        pr.filter(F.col("rank") > 0)
+        .join(g.vertices, ["id"])
+        .select(
+            "label",
+            natural_key_col().alias("key"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "label", "key")
+        .limit(15)
+    )
+
+
 def upsert_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9+A11 (SURVEY.md §2.3 upsert kernel) as a checkable query:
     merge a batch of user vertices derived from supplier names into

@@ -134,3 +134,27 @@ def test_label_propagation_sync_semantics(spark):
         r.v: r.lbl for r in label_propagation(v, e, rounds=4).collect()
     }
     assert again == out
+
+
+def test_personalized_pagerank_semantics(spark):
+    """PPR on a path a->b->c plus an unreachable island {x,y}: mass
+    stays in the source's cone (island exactly 0), total mass sums to
+    1, and the source outranks its descendants."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        personalized_pagerank,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    v = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8)], "id long"
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    g = Graph(v.selectExpr("id", "'x' label", "null email", "null name",
+                           "null projectid", "cast(null as boolean) is_external"), e)
+    pr = {r.id: r.rank for r in personalized_pagerank(g, src, iterations=8).collect()}
+    assert pr[7] == 0.0 and pr[8] == 0.0
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[1] > pr[2] > 0 and pr[3] > 0
