@@ -80,6 +80,7 @@ HEADLINE = [
     "ns_text_repetition",
     "ns_dedup_incremental",
     "g_label_propagation",
+    "g_ppr_access",
     # round-4 additions: the skew-join pair (plain vs salted over the
     # hub-skewed membership edges) and streaming ingest end-to-end
     "g_skew_membership_plain",
