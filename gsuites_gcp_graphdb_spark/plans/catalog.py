@@ -195,9 +195,6 @@ def _ppr_sql(
         """
 
 
-# SQL fragment: component census of the undirected membership graph
-# (transitive closure + min-label), shared by BOTH connected-components
-# implementations (hash-min and large-star/small-star).
 def _lpa_sql(rounds: int = 3) -> str:
     """Unrolled synchronous label-propagation oracle: `rounds` copies
     of (neighbor-label count -> per-node argmax -> relabel) over the
@@ -250,6 +247,9 @@ def _lpa_sql(rounds: int = 3) -> str:
     )
 
 
+# SQL fragment: component census of the undirected membership graph
+# (transitive closure + min-label), shared by BOTH connected-components
+# implementations (hash-min and large-star/small-star).
 _CC_SQL = """
         WITH RECURSIVE
         edges_d AS (
