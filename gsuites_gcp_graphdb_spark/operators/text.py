@@ -228,3 +228,40 @@ def repetition_stats(
             6,
         ).alias("top2_char_frac"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LM-proxy quality scoring (the CCNet-style filter): each doc's
+    mean unigram log-likelihood under the CORPUS'S OWN unigram
+    distribution. Unlike the per-doc heuristics (quality_score), this
+    uses corpus-level statistics — docs made of globally rare tokens
+    score low, boilerplate made of dominant tokens scores high; both
+    tails are what a pipeline trims.
+
+    Scale shape: the vocabulary is a tiny aggregate of the corpus
+    (|V| << N), so the per-token scoring join broadcasts the vocab —
+    the corpus explodes once, joins map-side, and re-aggregates by
+    doc; the only wide shuffle is the (doc) re-agg. ln() agrees
+    across engines to ~1 ulp and the per-doc mean is rounded to 6
+    decimals, the catalog's standard float-absorption policy.
+
+    Returns (id, n_tokens, mean_logprob).
+    """
+    toks_long = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks_long.groupBy("tok").agg(F.count("*").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").cast("double").alias("__tot"))
+    return (
+        toks_long.join(F.broadcast(vocab), ["tok"])
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("__cnt") / F.col("__tot"))), 6
+            ).alias("mean_logprob"),
+        )
+    )

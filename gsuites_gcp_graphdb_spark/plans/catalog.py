@@ -801,6 +801,8 @@ _PRIORITY = [
     "rel_approx_quantiles",
     # personalized PageRank (single-source teleport), r4
     "g_ppr_access",
+    # corpus-statistics LM-proxy quality scoring, r4
+    "ns_text_unigram_logprob",
 ]
 
 

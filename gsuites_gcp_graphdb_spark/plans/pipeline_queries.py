@@ -462,6 +462,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(docs)
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (operators/text.
+    unigram_logprob): per-doc mean unigram log-likelihood under the
+    corpus's own distribution — the LM-proxy filter, with the vocab
+    as a broadcast dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs)
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1434,6 +1443,23 @@ ENTRIES: dict[str, QueryDef] = {
                round(t.top2_count * CAST(length(t.top2_gram) AS DOUBLE)
                      / CAST(s.n_chars AS DOUBLE), 6) AS top2_char_frac
         FROM stats s JOIN top t USING (doc_id)
+        """,
+    ),
+    "ns_text_unigram_logprob": QueryDef(
+        text_unigram_logprob,
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab)
+        SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
+        FROM toks t JOIN vocab v USING (tok), tot
+        GROUP BY t.doc_id
         """,
     ),
     "ns_text_top_ngrams": QueryDef(

@@ -287,3 +287,20 @@ def test_minhash_incremental(spark):
     # corpus x corpus never reported
     assert not any(m in (1, 3, 5) and n in (1, 3, 5) for n, m in pairs)
     assert all(n in (10, 12, 14) for n, _ in pairs)
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tx.unigram_logprob(docs).collect()}
+    # corpus: a=2, b=2, c=1, total=5
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert abs(out[1].mean_logprob - round(exp1, 6)) < 1e-6
+    assert abs(out[2].mean_logprob - round(exp2, 6)) < 1e-6
+    # rare-token doc scores lower than common-token doc
+    assert out[2].mean_logprob < out[1].mean_logprob
