@@ -79,6 +79,7 @@ HEADLINE = [
     "ns_pipeline_e2e",
     "ns_text_repetition",
     "ns_dedup_incremental",
+    "ns_text_unigram_logprob",
     "g_label_propagation",
     "g_ppr_access",
     # round-4 additions: the skew-join pair (plain vs salted over the
