@@ -420,6 +420,28 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_weighted_distances": QueryDef(
+        gq.weighted_distances,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        edges_w AS (
+          SELECT sl, sk, dl, dk,
+                 CAST(1 + (length(sk) + length(dk)) % 5 AS DOUBLE) AS w
+          FROM edges_nk
+        ),
+        walk(l, k, d) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer),
+                 CAST(0 AS DOUBLE)
+          UNION
+          SELECT e.dl, e.dk, wk.d + e.w
+          FROM walk wk JOIN edges_w e ON e.sl = wk.l AND e.sk = wk.k
+        )
+        SELECT l AS label, k AS key, min(d) AS dist
+        FROM walk GROUP BY l, k
+        ORDER BY label, key
+        """,
+    ),
     "g_snapshot_diff": QueryDef(
         gq.snapshot_diff_permissions,
         """
@@ -752,57 +774,72 @@ _merge_modules()
 
 
 # The driver's CORRECTNESS gate samples the first 50 catalog entries in
-# iteration order (observed: r2 = entries 0..49; r3 = the then-priority
-# block + next entries, confirming order drives the sample). Queries
-# that still lack a GREEN driver row after rounds 1-3 (89 of 105 have
-# one) are enumerated FIRST so every operator family accumulates the
-# hard cross-engine signal: the round-3 events-ts casualties (fixture
-# type change, fixed in sources/fixtures.py), the queries whose oracles
-# were added after their only driver visit, and this round's new
-# queries. Entries not named here keep their relative order after the
-# priority block. Reordering never changes the set of queries — only
-# dict iteration order.
+# iteration order (observed: r2 = entries 0..49; r3/r4 = the
+# then-priority block + next entries, confirming order drives the
+# sample). Round-5 rotation policy (from the round-4 verdict, item 3):
+# every query whose LATEST driver green is r1/r2 (34 queries), plus
+# queries whose behavior changes this round (streaming ingest rewrite,
+# repetition-stats zero guard, decoded-pixel media features, the new
+# weighted-distances query), padded to 50 with the oldest r3 greens.
+# Goal: after r5 no catalog query's latest green is older than r3; the
+# 18 remaining r3 entries rotate in next round. Entries not named here
+# keep their relative order after the priority block. Reordering never
+# changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # r3 failures from the events fixture ts-type change — fixed
-    "ns_events_tumbling",
-    "ns_events_sliding",
-    "ns_events_sessions",
-    "ns_events_tumbling_stream",
-    "ns_events_sessions_stream",
-    "ns_events_stream_join",
-    "ns_events_stateful_counts",
-    "ns_events_asof_join",
-    "ns_events_range_join",
-    "rel_grouping_sets",
-    # r3 comparator failure (array column) — flattened
-    "ns_media_frames",
-    # oracle added after the only (r1, rows-only) driver visit
-    "ns_lsh_ann",
-    "ns_media_embedding_ann",
-    # bounds-style oracle added this round (was rows-only)
-    "rel_approx_distinct",
-    # new this round: skew-join proof pair + streaming ingest e2e
-    "g_stream_ingest_e2e",
-    "g_skew_membership_plain",
-    "g_skew_membership_salted",
-    # bounds-style IVF oracle (self-hit + recall floor), new round 4
-    "ns_ivf_recall",
-    # Gopher-style repetition filters, new round 4
-    "ns_text_repetition",
-    # composed corpus-prep pipeline (quality -> dedup -> split), new r4
-    "ns_pipeline_e2e",
-    # incremental ingest dedup (batch-vs-index, no corpus x corpus), r4
-    "ns_dedup_incremental",
-    # streaming stateful dedup (doubled stream -> exact census), r4
-    "ns_events_stream_dedup",
-    # synchronous label propagation (per-node communities), r4
-    "g_label_propagation",
-    # approx quantiles with bounds oracle (GK sketch vs exact), r4
-    "rel_approx_quantiles",
-    # personalized PageRank (single-source teleport), r4
-    "g_ppr_access",
-    # corpus-statistics LM-proxy quality scoring, r4
-    "ns_text_unigram_logprob",
+    # behavior changes this round — must re-verify
+    "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
+    "ns_text_repetition",    # empty-doc zero guard added engine+oracle
+    "ns_media_features",     # features now computed from decoded pixels
+    "g_weighted_distances",  # new: weighted shortest paths
+    # latest driver green is r1
+    "ns_dedup_exact",
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_minhash_verified",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash_md5",
+    "ns_knn_join",
+    "ns_text_langid",
+    "ns_topk_cosine",
+    "rel_revenue_by_nation",
+    # latest driver green is r2
+    "etl_filter_open_orders",
+    "etl_member_parse",
+    "etl_nested_collect_explode",
+    "etl_role_permission_inversion",
+    "g_degree_histogram",
+    "g_offboard_user",
+    "g_top_roles",
+    "g_triangle_count",
+    "g_upsert_merge",
+    "rel_cube_returns",
+    "rel_customers_in_both_statuses",
+    "rel_customers_without_orders",
+    "rel_event_props_json",
+    "rel_forecast_revenue",
+    "rel_market_share",
+    "rel_orders_per_month",
+    "rel_part_name_tokens",
+    "rel_pricing_summary",
+    "rel_priority_returns",
+    "rel_rollup_returns",
+    "rel_shipping_priority",
+    "rel_supplier_part_classes",
+    "rel_top_customers",
+    "rel_top_order_per_customer",
+    "rel_trade_volume",
+    # oldest r3 greens, filling the 50-entry driver window
+    "ns_decontaminate",
+    "ns_dedup_clusters",
+    "ns_embedding_near_dup",
+    "ns_embedding_norm_stats",
+    "ns_lsh_recall",
+    "ns_media_stats",
+    "ns_mixture_sample",
+    "ns_pack_sequences",
+    "ns_split_assign",
+    "ns_stratified_sample",
+    "ns_text_fingerprints",
+    "ns_text_length_histogram",
 ]
 
 

@@ -854,3 +854,55 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(roles, "rid")
     )
     return _membership_by_role(joined)
+
+
+def weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the min-email user —
+    the edge-``weight`` capability (main.go:305: every reference edge
+    carries weight, fixed 1) exercised with non-trivial weights.
+
+    The build emits weight=1 everywhere (graph/build.py:75), so this
+    query derives a deterministic per-edge weight from the endpoint
+    NATURAL keys — ``1 + (len(src_key) + len(dst_key)) % 5`` — which
+    DuckDB reproduces exactly (catalog oracle: recursive CTE over
+    edges_nk with the same arithmetic; the derived graph is a DAG so
+    path enumeration terminates). Distances are integer-valued sums,
+    exact in double.
+
+    Plan: two broadcast-able key-projection joins to attach weights,
+    then Bellman-Ford rounds via aggregate_messages (one min-combined
+    shuffle per round, lineage truncated) — graph/algorithms.py
+    weighted_shortest_paths.
+    """
+    from ..graph.algorithms import weighted_shortest_paths
+    from ..graph.traversal import Graph as _G
+
+    g = _graph(spark, sf_dir)
+    keyed = g.vertices.select(
+        "id", "label", natural_key_col().alias("key")
+    )
+    sk = keyed.select(F.col("id").alias("src"), F.col("key").alias("__sk"))
+    dk = keyed.select(F.col("id").alias("dst"), F.col("key").alias("__dk"))
+    weighted_edges = (
+        g.edges.select("src", "dst")
+        .join(sk, ["src"])
+        .join(dk, ["dst"])
+        .select(
+            "src",
+            "dst",
+            (
+                F.lit(1) + (F.length("__sk") + F.length("__dk")) % F.lit(5)
+            ).cast("double").alias("weight"),
+        )
+    )
+    users = g.vertices.filter(F.col("label") == "user")
+    target = users.agg(F.min("email").alias("email"))
+    src = users.join(target, ["email"], "left_semi").select("id")
+    dist = weighted_shortest_paths(
+        _G(g.vertices, weighted_edges), src, weight_col="weight"
+    )
+    return (
+        keyed.join(dist, ["id"])
+        .select("label", "key", F.col("dist").cast("double").alias("dist"))
+        .orderBy("label", "key")
+    )

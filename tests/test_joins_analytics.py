@@ -158,3 +158,96 @@ def test_personalized_pagerank_semantics(spark):
     assert pr[7] == 0.0 and pr[8] == 0.0
     assert abs(sum(pr.values()) - 1.0) < 1e-9
     assert pr[1] > pr[2] > 0 and pr[3] > 0
+
+
+def test_weighted_shortest_paths(spark):
+    # weight can beat hop count: a->c direct costs 10, a->b->c costs 3
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        weighted_shortest_paths,
+    )
+
+    v = vertices_of(
+        spark, [("user", "a"), ("group", "b"), ("group", "c"), ("role", "d")]
+    )
+    e = edges_of(
+        spark,
+        [
+            ("user", "a", "group", "b"),
+            ("group", "b", "group", "c"),
+            ("group", "c", "role", "d"),
+            ("user", "a", "group", "c"),
+        ],
+    ).withColumn(
+        "weight",
+        F.when(F.col("label").isNotNull(), F.lit(1.0)),  # placeholder
+    )
+    # per-edge weights: direct a->c is expensive (10), the rest cost 1/2
+    w = {
+        ("user:a", "group:b"): 1.0,
+        ("group:b", "group:c"): 2.0,
+        ("group:c", "role:d"): 1.0,
+        ("user:a", "group:c"): 10.0,
+    }
+    sk = vertices_of(
+        spark, [("user", "a"), ("group", "b"), ("group", "c"), ("role", "d")]
+    ).select(
+        "id",
+        F.concat("label", F.lit(":"), F.coalesce("email", "name")).alias(
+            "nk"
+        ),
+    )
+    wdf = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in w.items()],
+        "snk string, dnk string, weight double",
+    )
+    e = (
+        e.drop("weight")
+        .join(sk.select(F.col("id").alias("src"), F.col("nk").alias("snk")), "src")
+        .join(sk.select(F.col("id").alias("dst"), F.col("nk").alias("dnk")), "dst")
+        .join(wdf, ["snk", "dnk"])
+        .select("src", "dst", "label", "weight")
+    )
+    g = Graph(v, e)
+    src = g.V().hasLabel("user").id_()
+    d = {
+        r.key: r.dist
+        for r in weighted_shortest_paths(g, src)
+        .join(v, ["id"])
+        .select(F.coalesce("email", "name").alias("key"), "dist")
+        .collect()
+    }
+    # a->b (1) -> c (3) -> d (4); the 10-cost shortcut loses
+    assert d == {"a": 0.0, "b": 1.0, "c": 3.0, "d": 4.0}
+
+
+def test_weighted_equals_bfs_on_unit_weights(spark):
+    # property (round-4 verdict item 7): on unit weights the weighted
+    # Bellman-Ford distances coincide with BFS hop counts.
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        shortest_paths,
+        weighted_shortest_paths,
+    )
+
+    verts = [
+        ("user", "a"), ("user", "b"), ("group", "g1"), ("group", "g2"),
+        ("group", "g3"), ("role", "r1"), ("role", "r2"),
+        ("project", "p1"),
+    ]
+    edges = [
+        ("user", "a", "group", "g1"),
+        ("user", "b", "group", "g2"),
+        ("group", "g1", "group", "g2"),
+        ("group", "g2", "group", "g3"),
+        ("group", "g1", "role", "r1"),
+        ("role", "r1", "project", "p1"),
+        ("role", "r2", "project", "p1"),
+        ("group", "g3", "role", "r2"),
+    ]
+    v = vertices_of(spark, verts)
+    e = edges_of(spark, edges)
+    g = Graph(v, e)
+    src = g.V().hasLabel("user").id_()
+    bfs = {r.id: r.distance for r in shortest_paths(g, src).collect()}
+    wsp = {r.id: r.dist for r in weighted_shortest_paths(g, src).collect()}
+    assert set(bfs) == set(wsp)
+    assert all(float(bfs[i]) == wsp[i] for i in bfs)
