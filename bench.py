@@ -13,10 +13,20 @@ catalog (correctness-gated code paths — no bench-special builds),
 except the *_fast entries which exercise the xxhash64 scale path
 of the same operators.
 
-Each timed entry is the MEDIAN of REPS runs (sub-second entries vary
-±30% run-to-run; medians make round-over-round deltas attributable).
-graph_build is single-shot: it is a build-once cost and later reps
-would only measure the cache.
+Each timed entry is the MEDIAN of REPS runs, and the JSON carries a
+parallel ``spread`` map {name: [min, max]} so round-over-round deltas
+are attributable: this box drifts ±40% under concurrent load (the
+round-4 "g_members_of_role 3.2x" scare reproduced at 1.3x when
+measured in isolation with n=7 — the median was taken during a load
+spike), so a delta is only a regression if the [min,max] intervals
+don't overlap. graph_build is single-shot: it is a build-once cost
+and later reps would only measure the cache.
+
+Before any timing, a selfcheck-smoke preflight (one query per fixture
+family at sf0.001, oracle-compared) aborts the run loudly if a
+fixture or plan is broken — round 3's bench died 24 queries in on an
+events-fixture type change that a 30-second smoke would have caught
+up front.
 """
 
 from __future__ import annotations
@@ -24,10 +34,41 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
-REPS = 3
+REPS = 5
+
+# One query per fixture family — a broken fixture/plan fails here in
+# ~30s instead of mid-suite at sf0.1 (FIXTURES.md "bench hygiene").
+SMOKE = [
+    "ns_events_tumbling",   # events (the round-3 ts-type casualty)
+    "g_count_by_label",     # graph build over the TPC-H-ish dims
+    "rel_pricing_summary",  # lineitem
+    "ns_dedup_exact",       # documents
+    "ns_topk_cosine",       # embeddings
+]
+
+
+def preflight() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rc = subprocess.call(
+        [
+            sys.executable,
+            os.path.join(here, "tools", "selfcheck.py"),
+            "/root/testdata/sf0.001",
+            *SMOKE,
+        ],
+        stdout=sys.stderr,
+    )
+    if rc != 0:
+        print(
+            f"bench preflight FAILED (selfcheck smoke rc={rc}) — aborting "
+            "before timing anything",
+            file=sys.stderr,
+        )
+        raise SystemExit(rc)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,10 +128,14 @@ HEADLINE = [
     "g_skew_membership_plain",
     "g_skew_membership_salted",
     "g_stream_ingest_e2e",
+    # round-5: weighted shortest paths (Bellman-Ford over
+    # aggregate_messages)
+    "g_weighted_distances",
 ]
 
 
 def main() -> None:
+    preflight()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
@@ -102,6 +147,7 @@ def main() -> None:
     load_table(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     def median_timed(name: str, action) -> None:
         reps = []
@@ -111,6 +157,7 @@ def main() -> None:
             action()
             reps.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(reps), 3)
+        spread[name] = [round(min(reps), 3), round(max(reps), 3)]
 
     # Materialize the graph once (deployed-system shape); timed as its
     # own entry so build cost is visible, not smeared into queries.
@@ -163,6 +210,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": sf,
             }
         )
