@@ -45,18 +45,30 @@ def upsert_vertices(vertices: DataFrame, incoming: DataFrame) -> DataFrame:
     First writer wins on property conflicts, matching the reference's
     get-or-create (properties are only set at creation).
     """
-    incoming = incoming.select(*VERTEX_SCHEMA.fieldNames()).dropDuplicates(["id"])
-    new_rows = incoming.join(vertices, ["id"], "left_anti")
-    return vertices.unionByName(new_rows)
+    return vertices.unionByName(vertex_delta(vertices, incoming))
 
 
 def upsert_edges(edges: DataFrame, incoming: DataFrame) -> DataFrame:
     """Get-or-create edges by (src, dst, label)."""
+    return edges.unionByName(edge_delta(edges, incoming))
+
+
+def vertex_delta(vertices: DataFrame, incoming: DataFrame) -> DataFrame:
+    """The rows `upsert_vertices` would ADD — batch-deduped incoming
+    anti-joined against the existing ids. Isolated so incremental
+    sinks (streaming/ingest.py) can persist O(delta), not O(graph)."""
+    incoming = incoming.select(*VERTEX_SCHEMA.fieldNames()).dropDuplicates(
+        ["id"]
+    )
+    return incoming.join(vertices, ["id"], "left_anti")
+
+
+def edge_delta(edges: DataFrame, incoming: DataFrame) -> DataFrame:
+    """The rows `upsert_edges` would ADD (see vertex_delta)."""
     incoming = incoming.select(*EDGE_SCHEMA.fieldNames()).dropDuplicates(
         ["src", "dst", "label"]
     )
-    new_rows = incoming.join(edges, ["src", "dst", "label"], "left_anti")
-    return edges.unionByName(new_rows)
+    return incoming.join(edges, ["src", "dst", "label"], "left_anti")
 
 
 def upsert(

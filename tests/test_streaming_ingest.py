@@ -145,3 +145,64 @@ def test_batch_merge_into_store(spark, tmp_path):
     merge_graph_into_store(spark, gpath, v2, e2, version=2)
     g = load_snapshot(spark, gpath)
     assert (g.vertices.count(), g.edges.count()) == (n_v2, n_e2)
+
+
+def test_delta_append_writes_o_batch(spark, tmp_path):
+    """Round-4 verdict item 2: after a large base is committed, a
+    small batch must persist O(batch) rows (a delta dir), NOT rewrite
+    the O(graph) snapshot; replays commit nothing; compaction folds
+    deltas back into one base."""
+    import os
+
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+    from gsuites_gcp_graphdb_spark.graph.schema import VERTEX_SCHEMA
+    from gsuites_gcp_graphdb_spark.streaming.ingest import (
+        _COMPACT_EVERY,
+        _read_manifest,
+        merge_graph_into_store,
+    )
+
+    gpath = str(tmp_path / "store")
+    no_edges = edges_of(spark, [])
+    big = vertices_of(
+        spark, [("user", f"u{i}@x.com") for i in range(500)]
+    )
+    merge_graph_into_store(spark, gpath, big, no_edges)
+    m0 = _read_manifest(gpath)
+    assert m0 == {"base": "v0", "deltas": [], "seq": 0}
+
+    # small batch: only the 2 new rows hit disk, the base is untouched
+    base_mtime = os.path.getmtime(os.path.join(gpath, "v0"))
+    small = vertices_of(
+        spark, [("user", "new1@x.com"), ("user", "new2@x.com")]
+    )
+    merge_graph_into_store(spark, gpath, small, no_edges)
+    m1 = _read_manifest(gpath)
+    assert m1["base"] == "v0" and m1["deltas"] == ["d1"]
+    delta_rows = (
+        spark.read.schema(VERTEX_SCHEMA)
+        .parquet(os.path.join(gpath, "d1", "vertices"))
+        .count()
+    )
+    assert delta_rows == 2  # O(batch), not O(graph)=502
+    assert os.path.getmtime(os.path.join(gpath, "v0")) == base_mtime
+    assert load_snapshot(spark, gpath).counts() == (502, 0)
+
+    # replaying the same payload commits NOTHING (no new delta dir)
+    merge_graph_into_store(spark, gpath, small, no_edges)
+    assert _read_manifest(gpath) == m1
+
+    # unique batches accumulate deltas until compaction folds them
+    n = 502
+    for i in range(_COMPACT_EVERY - 1):
+        merge_graph_into_store(
+            spark,
+            gpath,
+            vertices_of(spark, [("user", f"extra{i}@x.com")]),
+            no_edges,
+        )
+        n += 1
+    m = _read_manifest(gpath)
+    assert m["deltas"] == [], f"compaction should have fired: {m}"
+    assert m["base"] == f"v{m['seq']}"
+    assert load_snapshot(spark, gpath).counts() == (n, 0)
