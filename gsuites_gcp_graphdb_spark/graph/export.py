@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import hashlib
 from xml.sax.saxutils import escape
 
 from pyspark.sql import SparkSession
@@ -89,8 +90,11 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     100 TB path; bulk graph I/O is the parquet ``save``/``load`` pair.
 
     Tolerant of foreign GraphML: unknown <data> keys are ignored,
-    missing properties stay null, node ids accept both our ``n<id>``
-    convention and raw integers.
+    missing properties stay null, node ids accept our ``n<id>``
+    convention and raw integers, and non-numeric ids (``a1``,
+    ``node-7``) degrade to a stable 64-bit hash of the raw id string
+    (the same id-is-a-hash discipline as schema.vertex_id, so equal
+    foreign ids still join). Unparseable weights default to 1.
     """
     import xml.etree.ElementTree as ET
 
@@ -98,7 +102,20 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     root = ET.parse(path).getroot()
 
     def _nid(raw: str) -> int:
-        return int(raw[1:] if raw and raw[0] == "n" else raw)
+        s = raw[1:] if raw and raw[0] == "n" else raw
+        try:
+            return int(s)
+        except (TypeError, ValueError):
+            # stable signed-64 hash of the raw id (NOT Python's
+            # per-process-salted hash()) — foreign ids join by equality
+            digest = hashlib.md5(str(raw).encode()).digest()
+            return int.from_bytes(digest[:8], "big", signed=True)
+
+    def _weight(raw: str) -> int:
+        try:
+            return int(float(raw))
+        except (TypeError, ValueError):
+            return 1
 
     v_rows, e_rows = [], []
     for node in root.iter("{%s}node" % ns["g"]):
@@ -127,7 +144,7 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
                 _nid(edge.get("source")),
                 _nid(edge.get("target")),
                 edge.get("label", "in"),
-                int(props.get("weight", "1")),
+                _weight(props.get("weight", "1")),
             )
         )
     return Graph(

@@ -152,10 +152,12 @@ def ivf_train(
     Ties break on cid so re-runs agree. A centroid that loses every
     member keeps its previous position."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    seed = c.orderBy("id").limit(num_centroids)
-    w0 = Window.orderBy("id")
-    cent = seed.select(
-        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
+    from ..functions.ranking import ranked_limit
+
+    cent = ranked_limit(
+        c, ["id"], num_centroids, rank_col="cid", zero_based=True
+    ).select(
+        F.col("cid").cast("int").alias("cid"),
         F.transform("v", lambda x: x.cast("double")).alias("cvec"),
     )
     for _ in range(iterations):

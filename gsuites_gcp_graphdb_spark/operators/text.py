@@ -149,12 +149,10 @@ def top_ngrams(
         ).alias("ngram")
     )
     counts = sh.groupBy("ngram").agg(F.count("*").cast("bigint").alias("n"))
-    topk = counts.orderBy(F.desc("n"), "ngram").limit(k)
-    from pyspark.sql.window import Window
+    from ..functions.ranking import ranked_limit
 
-    w = Window.orderBy(F.desc("n"), "ngram")
-    return topk.select(
-        F.row_number().over(w).cast("bigint").alias("rank"), "ngram", "n"
+    return ranked_limit(counts, [F.desc("n"), "ngram"], k).select(
+        "rank", "ngram", "n"
     )
 
 
@@ -188,9 +186,11 @@ def repetition_stats(
         F.length(F.col(text_col)).alias("__n_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(
+            # nullif guard: an empty/degenerate doc yields NULL (not
+            # inf/nan), identically on the DuckDB oracle side
             F.lit(1.0)
             - F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double"),
+            / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
             6,
         ).alias("dup_tok_frac"),
     )
@@ -224,7 +224,7 @@ def repetition_stats(
         F.round(
             F.col("top2_count")
             * F.length("top2_gram").cast("double")
-            / F.col("__n_chars").cast("double"),
+            / F.nullif(F.col("__n_chars").cast("double"), F.lit(0.0)),
             6,
         ).alias("top2_char_frac"),
     )

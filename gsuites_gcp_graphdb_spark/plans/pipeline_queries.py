@@ -1423,7 +1423,8 @@ ENTRIES: dict[str, QueryDef] = {
           SELECT doc_id, n_chars,
                  CAST(len(t) AS BIGINT) AS n_tokens,
                  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
-                           / CAST(len(t) AS DOUBLE), 6) AS dup_tok_frac
+                           / nullif(CAST(len(t) AS DOUBLE), 0)
+                       , 6) AS dup_tok_frac
           FROM toks),
         grams AS (
           SELECT doc_id, unnest(list_transform(
@@ -1441,7 +1442,8 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.n_tokens,
                s.dup_tok_frac, t.top2_gram, t.top2_count,
                round(t.top2_count * CAST(length(t.top2_gram) AS DOUBLE)
-                     / CAST(s.n_chars AS DOUBLE), 6) AS top2_char_frac
+                     / nullif(CAST(s.n_chars AS DOUBLE), 0)
+                     , 6) AS top2_char_frac
         FROM stats s JOIN top t USING (doc_id)
         """,
     ),

@@ -76,3 +76,23 @@ def test_minhash_single_doc(spark):
     docs = spark.createDataFrame([(1, "just one doc here")], "doc_id long, text string")
     assert dd.minhash_lsh_candidates(docs).count() == 0
     assert dd.minhash_dedup_pairs(docs).count() == 0
+
+
+def test_repetition_stats_empty_doc_is_null_not_inf(spark):
+    """Round-4 advice: empty text must yield NULL fractions via the
+    nullif guards (identically to DuckDB's nullif), never inf/nan —
+    a fixture regeneration with an empty document must not diverge
+    the ns_text_repetition oracle."""
+    from gsuites_gcp_graphdb_spark.operators.text import repetition_stats
+
+    rows = {
+        r.doc_id: r
+        for r in repetition_stats(
+            spark.createDataFrame(
+                [(1, ""), (2, "x y x y")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert rows[1].top2_char_frac is None
+    assert rows[1].dup_tok_frac == 0.0  # split('') -> [''], 1 token
+    assert rows[2].top2_char_frac is not None

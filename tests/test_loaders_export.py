@@ -167,3 +167,29 @@ def test_interchange_formats_roundtrip(spark, tmp_path):
         g2 = ex.load_format(spark, path, fmt=fmt)
         d = graph_diff(g.vertices, g.edges, g2.vertices, g2.edges)
         assert all(df.count() == 0 for df in d.values()), fmt
+
+
+def test_graphml_foreign_ids_degrade(spark, tmp_path):
+    """Foreign GraphML (non-numeric ids, float/garbage weights) loads
+    instead of crashing: ids hash stably (equal ids join), weights
+    default to 1 (round-4 advice)."""
+    xml = """<?xml version='1.0' encoding='UTF-8'?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="weight" for="edge" attr.name="weight" attr.type="int"/>
+  <graph edgedefault="directed">
+    <node id="a1"><data key="label">user</data></node>
+    <node id="node-7"><data key="label">role</data></node>
+    <edge source="a1" target="node-7"><data key="weight">oops</data></edge>
+    <edge source="node-7" target="a1"><data key="weight">2.5</data></edge>
+  </graph>
+</graphml>"""
+    path = str(tmp_path / "foreign.graphml")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    g = ex.read_graphml(spark, path)
+    assert g.counts() == (2, 2)
+    vids = {r.id for r in g.vertices.collect()}
+    erows = g.edges.collect()
+    # hashed ids are stable: edge endpoints land on the node ids
+    assert {r.src for r in erows} == vids
+    assert sorted(r.weight for r in erows) == [1, 2]

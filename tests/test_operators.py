@@ -139,7 +139,11 @@ def test_similarity_topk(spark):
 def test_ivf_topk(spark, sf_dir):
     """IVF correctness anchor: probing EVERY centroid equals brute
     force exactly; probing fewer returns a subset-quality result."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    # deterministic subset: limit-without-sort re-evaluates per job and
+    # can pick different rows across actions (round-4 advice)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -242,7 +246,11 @@ def test_ivf_saved_index_probe(spark, sf_dir, tmp_path):
     centroid; ivf_probe must (a) return exactly what in-query ivf_topk
     returns for the same parameters, and (b) plan the list scan with a
     partition filter on cid — the I/O-pruning receipt."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    # deterministic subset: limit-without-sort re-evaluates per job and
+    # can pick different rows across actions (round-4 advice)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
