@@ -672,18 +672,22 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (stubbed decode), projected to
-    per-bucket columns f0..f7 so every histogram cell is checked. The
-    oracle mirrors the deterministic fake decoder (byte%8 histogram of
-    the first 256 payload bytes) in SQL — valid because the fixture
-    corpus is pure ASCII (byte == char); a real codec stays stubbed
-    and is exercised rows-only via ns_media_embedding_ann."""
+    """The REAL decode path (round-4 verdict item 5): documents are
+    toy-PPM (P6) ENCODED into binary image payloads, then
+    extract_decoded_features parses each header and computes the
+    byte%8 histogram over the DECODED pixels (doc bytes + zero padding
+    to whole 16-pixel rows). The oracle reproduces width (constant),
+    height (ceil(len/48)), and the pixel histogram (char counts + the
+    pad-zeros landing in bucket 0) from the raw text — valid because
+    the fixture corpus is pure ASCII (byte == char). A wrong header
+    parse, wrong pad math, or wrong pixel slice all hash-mismatch."""
     docs = load_table(spark, sf_dir, "documents")
-    media = mm.documents_as_media(docs)
-    feats = mm.extract_features(media)
+    media = mm.documents_as_ppm_media(docs, width=16)
+    feats = mm.extract_decoded_features(media)
     return feats.select(
         "media_id",
-        "n_bytes",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
         *[
             F.element_at(F.col("features"), k + 1)
             .cast("double")
@@ -1648,17 +1652,29 @@ ENTRIES: dict[str, QueryDef] = {
     ),
     "ns_media_features": QueryDef(
         media_features,
+        # decoded-pixel twin: pixels = text bytes zero-padded to
+        # h*48 (h = ceil(len/48), 16 px/row * 3 B/px); the pad zeros
+        # are real pixels and land in histogram bucket 0
         """
+        WITH m AS (
+          SELECT doc_id, text,
+                 octet_length(encode(text)) AS n,
+                 (octet_length(encode(text)) + 47) // 48 AS h
+          FROM documents)
         SELECT CAST(doc_id AS BIGINT) AS media_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(16 AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(len(list_filter(string_split(text, ''),
+                      c -> c <> '' AND ascii(c) % 8 = 0))
+                    + (h * 48 - n) AS DOUBLE) AS f0,
                """
         + ",\n               ".join(
-            f"CAST(len(list_filter(string_split(substr(text, 1, 256), ''),"
+            f"CAST(len(list_filter(string_split(text, ''),"
             f" c -> ascii(c) % 8 = {k})) AS DOUBLE) AS f{k}"
-            for k in range(8)
+            for k in range(1, 8)
         )
         + """
-        FROM documents
+        FROM m
         """,
     ),
     "ns_media_frames": QueryDef(

@@ -312,3 +312,36 @@ def test_unigram_logprob(spark):
     assert abs(out[2].mean_logprob - round(exp2, 6)) < 1e-6
     # rare-token doc scores lower than common-token doc
     assert out[2].mean_logprob < out[1].mean_logprob
+
+
+def test_toy_ppm_codec_roundtrip():
+    """encode_ppm/decode_ppm invert each other; padding fills the last
+    pixel row with zero bytes."""
+    payload = bytes(range(100))
+    enc = mm.encode_ppm(payload, width=16)
+    assert enc.startswith(b"P6\n16 3\n255\n")  # ceil(100/48) = 3 rows
+    img = mm.decode_ppm(enc)
+    assert (img.width, img.height) == (16, 3)
+    assert len(img.pixels) == 3 * 48
+    assert img.pixels[:100] == payload
+    assert img.pixels[100:] == b"\x00" * 44
+    # decode_image routes P6 through the toy codec without PIL
+    img2 = mm.decode_image(enc)
+    assert img2.pixels == img.pixels
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_decoded_features_from_real_pixels(spark):
+    """extract_decoded_features parses the header (width/height) and
+    histograms the DECODED pixels — hand-checked on a tiny doc."""
+    docs = spark.createDataFrame(
+        [(1, "abc", "t")], "doc_id long, text string, source string"
+    )
+    media = mm.documents_as_ppm_media(docs, width=16)
+    row = mm.extract_decoded_features(media, dim=8).collect()[0]
+    assert (row.width, row.height) == (16, 1)
+    # pixels = 'a','b','c' + 45 zero pad bytes
+    # ascii a=97 (%8=1), b=98 (%8=2), c=99 (%8=3)
+    expect = [45.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    assert [float(x) for x in row.features] == expect
