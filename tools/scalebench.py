@@ -112,11 +112,17 @@ def time_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     replicas = 4
     out_md = None
+    only = None
+    append = False
     args = sys.argv[1:]
     if "--replicas" in args:
         replicas = int(args[args.index("--replicas") + 1])
     if "--out" in args:
         out_md = args[args.index("--out") + 1]
+    if "--names" in args:
+        only = args[args.index("--names") + 1].split(",")
+    if "--append" in args:
+        append = True
 
     from gsuites_gcp_graphdb_spark.session import get_spark
 
@@ -148,6 +154,8 @@ def main() -> None:
         "g_label_propagation",
     ]
 
+    if only:
+        names = [n for n in names if n in set(only)]
     spark = get_spark("scalebench")
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = f"/tmp/spark_graft_scaled_x{replicas}"
@@ -172,25 +180,34 @@ def main() -> None:
     }
     print(json.dumps(report))
     if out_md:
-        lines = [
-            "# SCALING — one scale step up (synthesized, facts x%d)" % replicas,
-            "",
-            "Generated by tools/scalebench.py: sf0.1 fact tables",
-            "replicated %dx with disjoint key spaces (dims fixed, see" % replicas,
-            "the tool docstring), headline subset timed at both scales.",
-            "Row volume grows ~%dx; ratio <= ~%d means at-worst-linear" % (replicas, replicas),
-            "scaling. Sub-second small-side entries carry ~30% noise;",
-            "near-1.0 ratios mean the query is overhead-dominated at",
-            "this absolute size (headroom), not that work was skipped.",
-            "",
-            "| query | sf0.1 (s) | x%d (s) | ratio |" % replicas,
-            "| --- | --- | --- | --- |",
-        ]
+        if append:
+            lines = [
+                "",
+                "## x%d step (--names subset)" % replicas,
+                "",
+                "| query | sf0.1 (s) | x%d (s) | ratio |" % replicas,
+                "| --- | --- | --- | --- |",
+            ]
+        else:
+            lines = [
+                "# SCALING — one scale step up (synthesized, facts x%d)" % replicas,
+                "",
+                "Generated by tools/scalebench.py: sf0.1 fact tables",
+                "replicated %dx with disjoint key spaces (dims fixed, see" % replicas,
+                "the tool docstring), headline subset timed at both scales.",
+                "Row volume grows ~%dx; ratio <= ~%d means at-worst-linear" % (replicas, replicas),
+                "scaling. Sub-second small-side entries carry ~30% noise;",
+                "near-1.0 ratios mean the query is overhead-dominated at",
+                "this absolute size (headroom), not that work was skipped.",
+                "",
+                "| query | sf0.1 (s) | x%d (s) | ratio |" % replicas,
+                "| --- | --- | --- | --- |",
+            ]
         for n, r in report["queries"].items():
             lines.append(
                 f"| {n} | {r['sf0.1_s']} | {r['scaled_s']} | {r['ratio']} |"
             )
-        with open(out_md, "w", encoding="utf-8") as f:
+        with open(out_md, "a" if append else "w", encoding="utf-8") as f:
             f.write("\n".join(lines) + "\n")
 
 
