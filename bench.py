@@ -129,8 +129,9 @@ HEADLINE = [
     "g_skew_membership_salted",
     "g_stream_ingest_e2e",
     # round-5: weighted shortest paths (Bellman-Ford over
-    # aggregate_messages)
+    # aggregate_messages) and SemDeDup cluster->representative
     "g_weighted_distances",
+    "ns_semantic_dedup",
 ]
 
 

@@ -416,6 +416,38 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dedup_members(pairs: DataFrame) -> DataFrame:
+    """SemDeDup-style per-member decisions (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv 2303.09540): given semantic
+    near-dup pairs (id_a, id_b) from embedding cosine, group them
+    into clusters (transitive closure — same rationale as
+    :func:`dedup_clusters`) and KEEP exactly one representative (min
+    id) per cluster. Returns (id, cluster_rep, keep) for every
+    clustered member; singletons never appear (nothing to remove).
+
+    Scale: pair generation is the LSH-bucketed path
+    (similarity.embedding_near_duplicates); closure is hash-min CC
+    (one shuffle/round, tiny diameter); the decision column is a
+    comparison, no extra shuffle."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    from ..graph.algorithms import connected_components
+    from ..graph.traversal import Graph
+
+    comp = connected_components(Graph(v, e))
+    return comp.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("component").cast("bigint").alias("cluster_rep"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 def minhash_incremental_candidates(
     corpus: DataFrame,
     batch: DataFrame,

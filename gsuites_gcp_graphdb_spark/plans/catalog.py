@@ -791,6 +791,7 @@ _PRIORITY = [
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels
     "g_weighted_distances",  # new: weighted shortest paths
+    "ns_semantic_dedup",     # new: SemDeDup cluster->representative
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",
@@ -839,7 +840,6 @@ _PRIORITY = [
     "ns_split_assign",
     "ns_stratified_sample",
     "ns_text_fingerprints",
-    "ns_text_length_histogram",
 ]
 
 

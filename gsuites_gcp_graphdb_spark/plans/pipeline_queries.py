@@ -148,6 +148,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding table
+    (Abbas et al. 2023, arXiv 2303.09540): cosine near-dup pairs →
+    transitive-closure clusters → keep exactly the min-id
+    representative per cluster. Returns the per-member decision table
+    (id, cluster_rep, keep) — the artifact a pipeline joins back to
+    drop semantic duplicates before training.
+
+    This catalog entry runs the EXACT all-pairs anchor (same pair
+    relation as ns_embedding_near_dup, so the oracle is exact); the
+    sub-quadratic production path swaps in the LSH-bucketed candidate
+    generator (similarity.embedding_near_duplicates) ahead of the
+    identical closure + decision (operators/dedup.py
+    semantic_dedup_members — unit-tested on both pair sources)."""
+    pairs = embedding_near_dup(spark, sf_dir)
+    return dd.semantic_dedup_members(pairs).orderBy("id")
+
+
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: IVF (trained coarse quantizer) approximate k-NN for
     the deterministic query subset. The raw hit set depends on the
@@ -1351,6 +1369,45 @@ ENTRIES: dict[str, QueryDef] = {
                         * CAST(b.embedding[i] AS DOUBLE)),
                    (x, y) -> x + y)))
               >= {NEAR_DUP_TAU}
+        """,
+    ),
+    "ns_semantic_dedup": QueryDef(
+        semantic_dedup,
+        f"""
+        WITH RECURSIVE
+        nv AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)) AS nrm
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+          WHERE list_reduce(list_transform(
+                  range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (a.nrm * b.nrm)
+                >= {NEAR_DUP_TAU}),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT id_a AS v FROM p UNION SELECT id_b FROM p),
+        reach(v, m) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v)
+        SELECT CAST(v AS BIGINT) AS id,
+               CAST(m AS BIGINT) AS cluster_rep,
+               v = m AS keep
+        FROM comp ORDER BY id
         """,
     ),
     "ns_text_langid": QueryDef(

@@ -345,3 +345,28 @@ def test_decoded_features_from_real_pixels(spark):
     # ascii a=97 (%8=1), b=98 (%8=2), c=99 (%8=3)
     expect = [45.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
     assert [float(x) for x in row.features] == expect
+
+
+def test_semantic_dedup_members(spark):
+    """SemDeDup decisions: transitive chain A~B~C forms ONE cluster,
+    exactly the min id is kept, singletons never appear; the LSH-
+    bucketed pair source feeds the same closure."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    out = {r.id: r for r in dd.semantic_dedup_members(pairs).collect()}
+    assert set(out) == {1, 2, 3, 7, 9}  # 5 is absent: singleton
+    assert all(r.cluster_rep == 1 for r in map(out.get, (1, 2, 3)))
+    assert all(r.cluster_rep == 7 for r in map(out.get, (7, 9)))
+    assert {i for i, r in out.items() if r.keep} == {1, 7}
+    # identical vectors collide in any LSH bucketing -> same decisions
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    lsh_pairs = sim.embedding_near_duplicates(
+        emb, threshold=0.99, num_planes=4, dim=2
+    )
+    out2 = {r.id: r for r in dd.semantic_dedup_members(lsh_pairs).collect()}
+    assert set(out2) == {1, 2}
+    assert out2[1].keep and not out2[2].keep
