@@ -152,6 +152,11 @@ def main() -> None:
         "ns_dedup_incremental",
         "ns_text_repetition",
         "g_label_propagation",
+        # round-5 operators (ns_semantic_dedup is excluded: the
+        # catalog entry is the deliberately-quadratic exact anchor;
+        # its scale path is benched as ns_semantic_dedup_fast)
+        "g_weighted_distances",
+        "ns_media_features",
     ]
 
     if only:
