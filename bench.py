@@ -128,6 +128,9 @@ HEADLINE = [
     "g_skew_membership_plain",
     "g_skew_membership_salted",
     "g_stream_ingest_e2e",
+    # round-5: the PII scrub (map-only regex chain — the must-touch-
+    # every-byte compliance pass, benched to prove it stays map-only)
+    "ns_text_pii",
     # round-5: weighted shortest paths (Bellman-Ford over
     # aggregate_messages). ns_semantic_dedup is NOT here: the catalog
     # entry is the exact all-pairs correctness anchor (quadratic by

@@ -744,3 +744,49 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def k_core(
+    g: Graph, k: int = 2, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """The k-core: the maximal induced subgraph in which every vertex
+    has undirected degree >= k (Seidman 1983) — the standard
+    "dense-enough to matter" screen for audit graphs: peeling leaf
+    users/buckets away isolates the hub structure (shared roles,
+    nested groups) that actually carries access risk.
+
+    Iterative peeling: drop all vertices with degree < k, restrict
+    edges to survivors, repeat to fixpoint. Converges in at most
+    O(peel-depth) rounds — each round is one hash-agg (degree) + two
+    semi-joins (induced subgraph), lineage truncated per round, no
+    driver-side data beyond the 1-row convergence probe. At 100 TB
+    the same plan holds: degrees are map-side-combinable counts and
+    the semi-joins shuffle on vertex id, the partitioning every round
+    reuses.
+
+    Returns (id, core_deg) for k-core members, core_deg the vertex's
+    degree WITHIN the core (>= k by construction).
+    """
+    und = (
+        g.edges.select("src", "dst")
+        .unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates()
+    )
+    und = _truncate(und)
+    for _ in range(max_iter):
+        deg = und.groupBy("src").agg(F.count("*").alias("__deg"))
+        if not deg.filter(F.col("__deg") < k).take(1):
+            break
+        keep = deg.filter(F.col("__deg") >= k).select("src")
+        und = _truncate(
+            und.join(keep, ["src"], "left_semi").join(
+                keep.select(F.col("src").alias("dst")), ["dst"], "left_semi"
+            )
+        )
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )

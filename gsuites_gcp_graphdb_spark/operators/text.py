@@ -265,3 +265,84 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+# PII patterns, shared verbatim with the oracle SQL (RE2 and Java
+# regex agree on these constructs: char classes, bounded repeats,
+# alternation — no lookarounds, no \b ambiguity on the inputs we
+# feed). Redaction order matters (an email's host could otherwise
+# look dotted-quad-ish), so scrub applies them in this list's order
+# and the oracle mirrors it.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"\+[0-9]{7,15}"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction — the compliance pass every
+    training-data pipeline runs before anything ships (emails, IPs,
+    phone numbers → typed placeholders, plus per-doc match counts so
+    the pipeline can quarantine PII-dense sources).
+
+    Pure built-in regexp expressions (regexp_count/regexp_replace):
+    per-row, map-only, whole-stage codegen — zero shuffles, which is
+    the only acceptable shape for a scrub that must touch every byte
+    of a 100 TB corpus. Patterns are applied in PII_PATTERNS order;
+    counts are taken BEFORE any redaction so overlapping matches
+    (an IP inside an email host) count under the first pattern that
+    owns them textually.
+
+    Returns (id, n_email, n_ipv4, n_phone, clean_hash, n_chars_clean)
+    — the redacted text itself is hashed, not returned, so the
+    operator's output stays narrow however wide the documents are.
+    """
+    txt = F.col(text_col)
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = txt
+    for name, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(clean).alias("clean_hash"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization (the pre-dedup pass): lowercase,
+    strip everything outside [a-z0-9 ], collapse whitespace runs,
+    trim. Dedup keyed on raw bytes misses trivially-reformatted
+    copies; keying on this normal form is what DataComp-LM-style
+    pipelines actually hash.
+
+    Map-only built-ins (lower/regexp_replace/trim) — same zero-shuffle
+    argument as pii_scrub. Returns (id, norm_hash, n_tokens_norm,
+    changed): the hash is the dedup key, ``changed`` flags docs whose
+    normal form differs from their raw text (an audit signal for how
+    dirty a source is).
+    """
+    txt = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(txt), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("norm_hash"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("bigint")
+        .alias("n_tokens_norm"),
+        (norm != txt).alias("changed"),
+    )

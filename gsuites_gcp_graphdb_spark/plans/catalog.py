@@ -143,6 +143,45 @@ def _pagerank_sql(
         """
 
 
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """k-core oracle: the SAME degree-floor peel as graph/
+    algorithms.k_core, unrolled as bounded SQL rounds over the
+    undirected (label, key) edge list. Each round drops vertices
+    whose surviving degree is < k and restricts edges to survivors;
+    once the floor holds, further rounds are no-ops, so the unroll
+    equals the engine's fixpoint whenever convergence happens within
+    ``rounds`` (pinned by test_kcore_converges_within_oracle_bound:
+    <= 2 rounds at the driver's scale factors, bound 6)."""
+    ctes = [
+        _EDGES_NK.strip(),
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference; each
+        # round references the previous ~3x, so an inlined unroll is
+        # 3^rounds re-scans of the base tables (observed: fd
+        # exhaustion). Materializing makes each round compute once —
+        # the same thing Spark's per-round localCheckpoint does.
+        """e0 AS MATERIALIZED (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM edges_nk
+          UNION
+          SELECT dl, dk, sl, sk FROM edges_nk)""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(f"""k{i} AS MATERIALIZED (
+          SELECT al, ak FROM {p} GROUP BY al, ak
+          HAVING count(*) >= {k})""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+          SELECT e.al, e.ak, e.bl, e.bk FROM {p} e
+          JOIN k{i} a ON e.al = a.al AND e.ak = a.ak
+          JOIN k{i} b ON e.bl = b.al AND e.bk = b.ak)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT al AS label, ak AS key,
+               CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{rounds} GROUP BY al, ak
+        """
+
+
 def _ppr_sql(
     iterations: int = 5, damping: float = 0.85, topk: int = 15
 ) -> str:
@@ -603,6 +642,7 @@ CATALOG: dict[str, QueryDef] = {
         gq.label_propagation_communities, _lpa_sql(3)
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
+    "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
     "g_ppr_access": QueryDef(gq.ppr_access_influence, _ppr_sql()),
     # Same census, second algorithm (large-star/small-star): one
     # oracle pinning two independent CC implementations.
@@ -792,6 +832,9 @@ _PRIORITY = [
     "ns_media_features",     # features now computed from decoded pixels
     "g_weighted_distances",  # new: weighted shortest paths
     "ns_semantic_dedup",     # new: SemDeDup cluster->representative
+    "ns_text_pii",           # new: PII detection + redaction
+    "ns_text_normalize",     # new: canonical normalization census
+    "g_kcore",               # new: k-core decomposition
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -915,3 +915,24 @@ def weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "key", F.col("dist").cast("double").alias("dist"))
         .orderBy("label", "key")
     )
+
+
+def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the IAM graph (graph/algorithms.k_core): peel
+    vertices of undirected degree < 3 to fixpoint, keep the hub
+    structure — the densest audit surface (shared roles, nested
+    groups); leaf users/buckets peel away. Returns every core member
+    as (label, key, core_deg).
+
+    Oracle: the SAME peel unrolled as bounded SQL rounds (6 rounds;
+    at the driver's scale factors the peel converges in <= 2 — extra
+    rounds are no-ops once the degree floor holds, so the unroll is a
+    fixpoint whenever convergence happens within the bound, which
+    test_kcore_converges_within_oracle_bound pins)."""
+    from ..graph.algorithms import k_core
+
+    g = _graph(spark, sf_dir)
+    core = k_core(g, k=3)
+    return core.join(g.vertices, ["id"]).select(
+        "label", natural_key_col().alias("key"), "core_deg"
+    )

@@ -489,6 +489,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.pii_scrub) over a
+    deterministically PII-laced derivation of the documents table.
+
+    The fixture text is clean word-salad, so the query first embeds
+    synthetic PII derived from doc_id — an email, a dotted-quad IP, a
+    phone number, and (for every third doc) a second cc email — then
+    counts and redacts. Both engines build the identical dirty string,
+    so the oracle checks the full regex scan/replace chain, not a
+    trivially-zero corpus. Map-only end to end: derivation, counting,
+    redaction, and hashing all sit in one codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"),
+        F.lit(".com from 10."), (did % 200).cast("string"),
+        F.lit(".0."), (did % 250).cast("string"),
+        F.lit(" tel +15550"), (did % 100000 + 100000).cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" cc u"), did.cast("string"), F.lit("@alt.org")),
+        ).otherwise(F.lit("")),
+    )
+    return tx.pii_scrub(docs.select("doc_id", dirty.alias("text")))
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization census (operators/text.normalize_text)
+    over a deterministically-dirtied derivation of documents: every
+    third doc is left in its (already-normal) raw form, the rest get
+    case-flipped and a punctuated trailer appended — so ``changed``
+    splits the corpus and the lowercase/strip/collapse/trim chain is
+    exercised on real work, not no-ops. Map-only, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.when(did % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.when(did % 2 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+            F.lit("  [EOF-"), did.cast("string"), F.lit("]!!"),
+        )
+    )
+    return tx.normalize_text(docs.select("doc_id", messy.alias("text")))
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1506,6 +1554,65 @@ ENTRIES: dict[str, QueryDef] = {
                      / nullif(CAST(s.n_chars AS DOUBLE), 0)
                      , 6) AS top2_char_frac
         FROM stats s JOIN top t USING (doc_id)
+        """,
+    ),
+    "ns_text_pii": QueryDef(
+        text_pii_scrub,
+        r"""
+        WITH dirty AS (
+          SELECT doc_id,
+            text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+              || '.com from 10.' || (doc_id % 200) || '.0.'
+              || (doc_id % 250) || ' tel +15550'
+              || (doc_id % 100000 + 100000)
+              || CASE WHEN doc_id % 3 = 0
+                   THEN ' cc u' || doc_id || '@alt.org' ELSE '' END AS t
+          FROM documents),
+        red AS (
+          SELECT doc_id, t,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+              '<IPV4>', 'g'),
+              '\+[0-9]{7,15}', '<PHONE>', 'g') AS clean
+          FROM dirty)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+            AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}'))
+            AS BIGINT) AS n_phone,
+          md5(clean) AS clean_hash,
+          CAST(length(clean) AS BIGINT) AS n_chars_clean
+        FROM red
+        """,
+    ),
+    "ns_text_normalize": QueryDef(
+        text_normalize,
+        """
+        WITH messy AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                         ELSE text END)
+                   || '  [EOF-' || doc_id || ']!!' END AS t
+          FROM documents),
+        norm AS (
+          SELECT doc_id, t,
+            trim(regexp_replace(regexp_replace(lower(t),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+          FROM messy)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          md5(n) AS norm_hash,
+          CAST(CASE WHEN n = '' THEN 0
+               ELSE len(string_split(n, ' ')) END AS BIGINT)
+            AS n_tokens_norm,
+          (n <> t) AS changed
+        FROM norm
         """,
     ),
     "ns_text_unigram_logprob": QueryDef(

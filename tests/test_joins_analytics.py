@@ -251,3 +251,73 @@ def test_weighted_equals_bfs_on_unit_weights(spark):
     wsp = {r.id: r.dist for r in weighted_shortest_paths(g, src).collect()}
     assert set(bfs) == set(wsp)
     assert all(float(bfs[i]) == wsp[i] for i in bfs)
+
+
+def test_k_core_semantics(spark):
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_core
+
+    # triangle a-b-c (the 2-core) with pendant chain c-d-e: peeling
+    # degree-<2 removes e, which drops d to degree 1, which peels in
+    # the NEXT round — exercises the cascade, not just one pass.
+    v = vertices_of(
+        spark,
+        [("group", x) for x in "abcde"],
+    )
+    e = edges_of(
+        spark,
+        [
+            ("group", "a", "group", "b"),
+            ("group", "b", "group", "c"),
+            ("group", "c", "group", "a"),
+            ("group", "c", "group", "d"),
+            ("group", "d", "group", "e"),
+        ],
+    )
+    g = Graph(v, e)
+    core = {
+        r.key: r.core_deg
+        for r in k_core(g, k=2)
+        .join(v, ["id"])
+        .select(F.coalesce("email", "name").alias("key"), "core_deg")
+        .collect()
+    }
+    assert core == {"a": 2, "b": 2, "c": 2}
+    # 3-core of this graph is empty (triangle degrees are exactly 2)
+    assert k_core(g, k=3).count() == 0
+
+
+def test_kcore_converges_within_oracle_bound(spark, sf_dir):
+    """The g_kcore oracle unrolls exactly 6 peel rounds; the engine
+    runs to fixpoint. They agree iff the peel converges within the
+    bound at the driver's scale factors — pin that here by asserting
+    round-6 == round-7 of the brute peel."""
+    from gsuites_gcp_graphdb_spark.plans import graph_queries as gq
+
+    g = gq._graph(spark, sf_dir)
+    und = (
+        g.edges.select("src", "dst")
+        .unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    k = 3
+    rounds_needed = None
+    for i in range(1, 8):
+        deg = und.groupBy("src").agg(F.count("*").alias("d"))
+        if not deg.filter(F.col("d") < k).take(1):
+            rounds_needed = i - 1
+            break
+        keep = deg.filter(F.col("d") >= k).select("src")
+        und = (
+            und.join(keep, ["src"], "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), ["dst"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    assert rounds_needed is not None and rounds_needed <= 6, (
+        f"k-core peel needs {rounds_needed} rounds; the SQL oracle "
+        "unrolls only 6 — raise _kcore_sql(rounds=...)"
+    )

@@ -370,3 +370,42 @@ def test_semantic_dedup_members(spark):
     out2 = {r.id: r for r in dd.semantic_dedup_members(lsh_pairs).collect()}
     assert set(out2) == {1, 2}
     assert out2[1].keep and not out2[2].keep
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "reach me at bob.smith+x@corp.example.org or 192.168.1.200"),
+        (2, "call +14155550123 twice: +4915112345678"),
+        (3, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.pii_scrub(docs).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 0)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 2)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    # redaction hash is md5 of the placeholder-substituted text
+    import hashlib
+
+    exp1 = "reach me at <EMAIL> or <IPV4>"
+    assert out[1].clean_hash == hashlib.md5(exp1.encode()).hexdigest()
+    assert out[1].n_chars_clean == len(exp1)
+    # clean docs hash to their own text unchanged
+    assert out[3].clean_hash == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_normalize_text(spark):
+    rows = [
+        (1, "  Hello,   WORLD!! 42 "),
+        (2, "already normal text"),
+        (3, "!!!"),  # collapses to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.normalize_text(docs).collect()}
+    import hashlib
+
+    assert out[1].norm_hash == hashlib.md5(b"hello world 42").hexdigest()
+    assert out[1].n_tokens_norm == 3 and out[1].changed
+    assert out[2].norm_hash == hashlib.md5(b"already normal text").hexdigest()
+    assert out[2].n_tokens_norm == 3 and not out[2].changed
+    assert out[3].n_tokens_norm == 0 and out[3].changed
+    assert out[3].norm_hash == hashlib.md5(b"").hexdigest()
