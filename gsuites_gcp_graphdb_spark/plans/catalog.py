@@ -835,6 +835,7 @@ _PRIORITY = [
     "ns_text_pii",           # new: PII detection + redaction
     "ns_text_normalize",     # new: canonical normalization census
     "g_kcore",               # new: k-core decomposition
+    "ns_cms_heavy_hitters",  # new: count-min-sketch heavy hitters
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

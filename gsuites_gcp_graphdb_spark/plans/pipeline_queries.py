@@ -537,6 +537,52 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.normalize_text(docs.select("doc_id", messy.alias("text")))
 
 
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches): the
+    bounded-memory frequency path for when the key space outgrows an
+    exact hash-agg. Here the exact top-10 tokens anchor the oracle
+    (deterministic cnt-then-token boundary) and the sketch estimate
+    is checked against the CMS guarantees as cross-engine booleans:
+    ``lower_ok`` (est >= exact — unconditional) and ``within_tol``
+    (est <= exact + 2*(e/width)*N — the eps*N bound with 2x margin;
+    deterministic for the fixed xxhash64 seeds, verified at every
+    driver SF). The sketch build is one explode + one map-side-
+    combinable hash-agg capped at depth*width counters; the probe
+    broadcast-joins that counter table."""
+    import math
+
+    from ..operators import sketches as sk
+
+    depth, width = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(10)
+    sketch = sk.cms_build(toks, "token", depth=depth, width=width)
+    est = sk.cms_estimate(
+        sketch, top.select("token"), "token", depth=depth, width=width
+    )
+    tot = toks.agg(F.count("*").cast("double").alias("__n"))
+    return (
+        top.join(est, ["token"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("lower_ok"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt")
+                + F.lit(2.0 * math.e / width) * F.col("__n")
+            ).alias("within_tol"),
+        )
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1613,6 +1659,19 @@ ENTRIES: dict[str, QueryDef] = {
             AS n_tokens_norm,
           (n <> t) AS changed
         FROM norm
+        """,
+    ),
+    "ns_cms_heavy_hitters": QueryDef(
+        cms_heavy_hitters,
+        """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        c AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY 1)
+        SELECT token, exact_cnt,
+               TRUE AS lower_ok, TRUE AS within_tol
+        FROM c ORDER BY exact_cnt DESC, token LIMIT 10
         """,
     ),
     "ns_text_unigram_logprob": QueryDef(

@@ -409,3 +409,29 @@ def test_normalize_text(spark):
     assert out[2].n_tokens_norm == 3 and not out[2].changed
     assert out[3].n_tokens_norm == 0 and out[3].changed
     assert out[3].norm_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_count_min_sketch(spark):
+    from gsuites_gcp_graphdb_spark.operators import sketches as sk
+
+    rows = [(t,) for t in ["a"] * 50 + ["b"] * 10 + ["c"] * 3 + ["d"]]
+    df = spark.createDataFrame(rows, "k string")
+    # roomy sketch: no collisions expected, estimates exact
+    sketch = sk.cms_build(df, "k", depth=4, width=256)
+    cand = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "k string")
+    est = {
+        r.k: r.cms_est
+        for r in sk.cms_estimate(sketch, cand, "k", depth=4, width=256).collect()
+    }
+    assert est == {"a": 50, "b": 10, "c": 3, "d": 1}
+    # cramped sketch (width=2): collisions force over-counts, but the
+    # CMS lower bound est >= true must still hold for every key
+    tight = sk.cms_build(df, "k", depth=2, width=2)
+    est2 = {
+        r.k: r.cms_est
+        for r in sk.cms_estimate(tight, cand, "k", depth=2, width=2).collect()
+    }
+    truth = {"a": 50, "b": 10, "c": 3, "d": 1}
+    assert all(est2[k] >= truth[k] for k in truth)
+    # sketch state is bounded by depth*width regardless of input size
+    assert tight.count() <= 4
