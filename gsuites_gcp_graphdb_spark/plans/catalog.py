@@ -836,6 +836,7 @@ _PRIORITY = [
     "ns_text_normalize",     # new: canonical normalization census
     "g_kcore",               # new: k-core decomposition
     "ns_cms_heavy_hitters",  # new: count-min-sketch heavy hitters
+    "ns_layout_zorder",      # new: z-order multi-dim layout keys
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

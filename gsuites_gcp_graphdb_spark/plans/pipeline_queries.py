@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
+from ..operators.layout import zvalue_sql as _zvalue_sql
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -580,6 +581,25 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(2.0 * math.e / width) * F.col("__n")
             ).alias("within_tol"),
         )
+    )
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order keys for the events table (operators/layout.zvalue):
+    interleave (user_id, floor(value)) bits into the Morton code that
+    write_zordered clusters by — the multi-dimension data-skipping
+    layout (min/max prunes on BOTH dims). Per-row so the oracle pins
+    every interleave exactly; one codegen'd bit expression, zero
+    shuffles. The write/prune round-trip itself is pinned by
+    test_zorder_layout_prunes_partitions."""
+    from ..operators.layout import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id").cast("long"), F.lit(65536))
+    b = F.least(F.floor(F.col("value")).cast("long"), F.lit(65535))
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        zvalue(a, b).alias("z"),
     )
 
 
@@ -1659,6 +1679,15 @@ ENTRIES: dict[str, QueryDef] = {
             AS n_tokens_norm,
           (n <> t) AS changed
         FROM norm
+        """,
+    ),
+    "ns_layout_zorder": QueryDef(
+        layout_zorder,
+        f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               {_zvalue_sql('user_id % 65536',
+                   'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
+        FROM events
         """,
     ),
     "ns_cms_heavy_hitters": QueryDef(

@@ -435,3 +435,47 @@ def test_count_min_sketch(spark):
     assert all(est2[k] >= truth[k] for k in truth)
     # sketch state is bounded by depth*width regardless of input size
     assert tight.count() <= 4
+
+
+def test_zorder_layout_prunes_partitions(spark, tmp_path):
+    from gsuites_gcp_graphdb_spark.operators import layout as lo
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    path = str(tmp_path / "zordered")
+    lo.write_zordered(df, path, "a", "b", bits=16, prefix_bits=4)
+    # box query equals the brute-force filter exactly
+    got = lo.read_zbox(spark, path, "a", "b", 10, 20, 30, 40)
+    want = df.filter(F.col("a").between(10, 20) & F.col("b").between(30, 40))
+    assert got.count() == want.count()
+    assert {(r.a, r.b) for r in got.collect()} == {
+        (r.a, r.b) for r in want.collect()
+    }
+    # and it PRUNES: the zp IN (...) predicate reaches the scan as a
+    # partition filter covering a strict subset of the 16 cells
+    cells = lo.zbox_prefixes(10, 20, 30, 40, bits=16, prefix_bits=4)
+    assert 0 < len(cells) < 16
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zp" in plan
+
+
+def test_zvalue_matches_python_morton(spark):
+    from gsuites_gcp_graphdb_spark.operators import layout as lo
+
+    def pyz(a, b, bits=16):
+        v = 0
+        for i in range(bits):
+            v |= ((a >> i) & 1) << (2 * i)
+            v |= ((b >> i) & 1) << (2 * i + 1)
+        return v
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1024)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", lo.zvalue(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): pyz(a, b) for a, b in rows}
