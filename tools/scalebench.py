@@ -160,7 +160,14 @@ def main() -> None:
     ]
 
     if only:
-        names = [n for n in names if n in set(only)]
+        # --names may name ANY catalog query, not just the default
+        # subset — unknown names fail loudly rather than silently
+        # shrinking the run.
+        from gsuites_gcp_graphdb_spark.plans.catalog import CATALOG
+
+        unknown = [n for n in only if n not in CATALOG]
+        assert not unknown, f"--names not in catalog: {unknown}"
+        names = list(only)
     spark = get_spark("scalebench")
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = f"/tmp/spark_graft_scaled_x{replicas}"
