@@ -837,6 +837,7 @@ _PRIORITY = [
     "g_kcore",               # new: k-core decomposition
     "ns_cms_heavy_hitters",  # new: count-min-sketch heavy hitters
     "ns_layout_zorder",      # new: z-order multi-dim layout keys
+    "ns_events_stream_left_join",  # new: outer stream join w/ eviction
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -1172,6 +1172,79 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_clicks"))
 
 
+def events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null
+    emission — the join shape the inner variant can't show: signups
+    with ZERO clicks in their hour window must still appear, and in a
+    real stream those null rows only materialize when the watermark
+    proves no match can still arrive and the signup's state is
+    evicted.
+
+    Determinism engineering: outer-null emission needs the watermark
+    to ADVANCE ACROSS BATCHES (a single unordered batch jumps it to
+    max-ts and stops, stranding every unmatched row in state), so the
+    fixture is staged as 4 ts-ordered quartile files drained
+    one-per-trigger (streaming/run.stage_events_sorted_split). After
+    batch 2 the watermark is wm2 = q2max - delay; batches 3 and 4
+    then evict-and-emit every signup whose window closed before wm2.
+    Signups NEWER than that are in the batch-boundary twilight where
+    emission depends on eviction timing, so BOTH engine and oracle
+    restrict to start_ts < q2max - delay - window — the guaranteed
+    region. The oracle reproduces q2max with the same ANSI ntile.
+
+    Returns (signup_event_id, n_clicks) INCLUDING n_clicks = 0 rows.
+    """
+    import os as _os
+
+    from ..streaming.run import (
+        read_staged_stream,
+        run_to_memory,
+        stage_events_sorted_split,
+    )
+
+    staged = stage_events_sorted_split(spark, sf_dir, n_files=4)
+    signups = (
+        read_staged_stream(spark, staged, watermark="2 hours")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+    )
+    clicks = (
+        read_staged_stream(spark, staged, watermark="2 hours")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    j = signups.join(
+        clicks,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts")),
+        "left_outer",
+    )
+    drained = run_to_memory(j, "stream_left_join", "append")
+    q2max = spark.read.parquet(
+        _os.path.join(staged, "w1.parquet"),
+        _os.path.join(staged, "w2.parquet"),
+    ).agg(F.max("ts").alias("__q2max"))
+    return (
+        drained.crossJoin(F.broadcast(q2max))
+        .filter(
+            F.col("start_ts")
+            < F.col("__q2max") - F.expr("INTERVAL 3 HOURS")
+        )
+        .groupBy(
+            F.col("signup_event_id").cast("bigint").alias(
+                "signup_event_id"
+            )
+        )
+        .agg(F.count(F.col("ts")).cast("bigint").alias("n_clicks"))
+    )
+
+
 # Shared by the batch operator and its streaming twin — one oracle
 # pinning both execution paths.
 _RANGE_JOIN_SQL = """
@@ -2019,6 +2092,30 @@ ENTRIES: dict[str, QueryDef] = {
         events_tumbling_stream, _TUMBLING_SQL
     ),
     "ns_events_stream_join": QueryDef(events_stream_join, _RANGE_JOIN_SQL),
+    "ns_events_stream_left_join": QueryDef(
+        events_stream_left_join,
+        """
+        WITH q AS (
+          SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS qt
+          FROM events),
+        cut AS (
+          SELECT max(ts) - INTERVAL 3 HOUR AS cutoff
+          FROM q WHERE qt <= 2),
+        s AS (
+          SELECT user_id, event_id AS signup_event_id, ts AS start_ts,
+                 ts + INTERVAL 1 HOUR AS end_ts
+          FROM events WHERE event_type = 'signup'),
+        c AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT CAST(s.signup_event_id AS BIGINT) AS signup_event_id,
+               CAST(count(c.ts) AS BIGINT) AS n_clicks
+        FROM s CROSS JOIN cut
+        LEFT JOIN c ON s.user_id = c.user_id
+                   AND c.ts >= s.start_ts AND c.ts < s.end_ts
+        WHERE s.start_ts < cut.cutoff
+        GROUP BY 1
+        """,
+    ),
     "ns_events_stream_dedup": QueryDef(
         events_stream_dedup,
         """

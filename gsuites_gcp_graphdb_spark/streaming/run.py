@@ -20,8 +20,10 @@ deliberately not used here.)
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,16 @@ from pyspark.sql import functions as F
 
 _MEM_COUNTER = itertools.count()
 _STAGED_DIRS: dict[str, str] = {}
+
+
+def _cleanup_staged() -> None:
+    # session-cached scratch dirs must not accumulate across repeated
+    # bench/selfcheck runs (same hygiene as the ingest-e2e scratch)
+    for d in (*_STAGED_DIRS.values(), *_SORTED_STAGED.values()):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_staged)
 
 
 def stage_events_dir(sf_dir: str) -> str:
@@ -93,3 +105,75 @@ def run_to_memory(
         if q.isActive:
             q.stop()
     return spark.table(qname)
+
+
+_SORTED_STAGED: dict[tuple[str, int], str] = {}
+
+
+def stage_events_sorted_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Stage the events fixture as ``n_files`` ts-ordered quartile
+    files with strictly increasing mtimes — a deterministic ARRIVAL
+    ORDER for multi-batch streaming runs (maxFilesPerTrigger=1 then
+    drains them oldest-quartile-first, so the watermark advances
+    monotonically batch over batch, which outer-join null emission
+    and state eviction need; one big unordered batch would jump the
+    watermark to max-ts immediately and stop).
+
+    The quartile assignment is ntile(n) over (ts, event_id) — the
+    same ANSI ntile the oracle can reproduce — and this is fixture
+    staging (simulating a source that delivers in event-time order),
+    not part of any query plan, so the total-order sort here is not a
+    scale concern. Files are written NORMALIZED (fixtures.
+    normalize_events_ts) so the streaming read needs no further
+    coercion. Cached per (sf_dir, n_files)."""
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    from ..sources.fixtures import load_table
+
+    key = (sf_dir, n_files)
+    d = _SORTED_STAGED.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix="spark_graft_events_sorted_")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    bucketed = ev.withColumn("__q", F.ntile(n_files).over(w))
+    for i in range(1, n_files + 1):
+        part = bucketed.filter(F.col("__q") == i).drop("__q")
+        out = os.path.join(d, f"q{i}")
+        part.coalesce(1).write.parquet(out, mode="overwrite")
+        # one visible parquet file per quartile, mtime-ordered
+        files = [
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(files) == 1
+        src = os.path.join(out, files[0])
+        dst = os.path.join(d, f"w{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return _SORTED_STAGED.setdefault(key, d)
+
+
+def read_staged_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    watermark: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming scan of a stage_events_sorted_split dir: one file per
+    micro-batch in mtime order."""
+    schema = spark.read.parquet(
+        os.path.join(staged_dir, "w1.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+        .withWatermark("ts", watermark)
+    )
