@@ -346,3 +346,61 @@ def normalize_text(
         .alias("n_tokens_norm"),
         (norm != txt).alias("changed"),
     )
+
+
+def tfidf_top_term(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Each document's most characteristic term by tf-idf
+    (Sparck Jones 1972): tf = term count / doc length, idf =
+    ln(N / doc-frequency) — the classic "what is this document
+    about" signal a pipeline uses for topic binning and near-dup
+    triage beyond raw hashes.
+
+    Scale shape mirrors unigram_logprob: the document-frequency table
+    is a small corpus aggregate joined BROADCAST onto the per-doc
+    term counts, so the corpus shuffles only for the (doc, term) and
+    (doc) hash-aggs. The per-doc argmax is min(struct(-score, term))
+    — map-side-combinable, no window. Scores are rounded to 6
+    decimals BEFORE the argmax on both engines so the comparison the
+    tie-break sees is identical cross-engine (ln() differs by ~1 ulp
+    between libms; 6-decimal rounding absorbs it).
+
+    Returns (id, top_term, top_tfidf).
+    """
+    toks_long = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks_long.groupBy(id_col, "term").agg(
+        F.count("*").alias("__cnt")
+    )
+    doclen = toks_long.groupBy(id_col).agg(F.count("*").alias("__len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), ["term"])
+        .join(doclen, [id_col])
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                (F.col("__cnt") / F.col("__len"))
+                * F.log(F.col("__n") / F.col("__df")),
+                6,
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("__s")).alias("neg"), F.col("term"))
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.term").alias("top_term"),
+            (-F.col("__best.neg")).alias("top_tfidf"),
+        )
+    )

@@ -838,6 +838,8 @@ _PRIORITY = [
     "ns_cms_heavy_hitters",  # new: count-min-sketch heavy hitters
     "ns_layout_zorder",      # new: z-order multi-dim layout keys
     "ns_events_stream_left_join",  # new: outer stream join w/ eviction
+    "ns_text_tfidf",         # new: per-doc top tf-idf term
+    "ns_events_funnel",      # new: sequential funnel attribution
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

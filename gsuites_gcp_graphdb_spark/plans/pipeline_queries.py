@@ -603,6 +603,69 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top tf-idf term (operators/text.tfidf_top_term):
+    the 'what is this doc about' signal for topic binning. Broadcast
+    document-frequency join; struct-argmax, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_term(docs)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis over the events stream: per user,
+    first signup -> first click within 1 hour of it -> first purchase
+    within 24 hours of that click; stage = how far the user got
+    (1/2/3). The product-analytics query shape (ordered multi-step
+    attribution) — pure min-aggregates over timestamp predicates, so
+    every boundary is exact cross-engine.
+
+    Plan: three (user) hash-aggs chained by joins on user_id — the
+    same shuffle key each stage, so Catalyst reuses the partitioning;
+    each stage's input is already the previous stage's (small)
+    survivor set."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, ["user_id"])
+        .filter(
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id"])
+        .filter(
+            (F.col("ts") >= F.col("c_ts"))
+            & (
+                F.col("ts")
+                < F.col("c_ts") + F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, ["user_id"], "left_outer")
+        .join(p, ["user_id"], "left_outer")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.when(F.col("p_ts").isNotNull(), F.lit(3))
+            .when(F.col("c_ts").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("stage"),
+        )
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1761,6 +1824,58 @@ ENTRIES: dict[str, QueryDef] = {
                {_zvalue_sql('user_id % 65536',
                    'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
         FROM events
+        """,
+    ),
+    "ns_text_tfidf": QueryDef(
+        text_tfidf,
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        dfq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round((tf.cnt / CAST(dl.len AS DOUBLE))
+                       * ln(nd.n / dfq.df), 6) AS s
+          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), nd),
+        best AS (
+          SELECT doc_id, term AS top_term, s AS top_tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+          FROM scored)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, top_term, top_tfidf
+        FROM best WHERE rn = 1
+        """,
+    ),
+    "ns_events_funnel": QueryDef(
+        events_funnel,
+        """
+        WITH s AS (
+          SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts >= s.s_ts AND e.ts < s.s_ts + INTERVAL 1 HOUR
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= c.c_ts AND e.ts < c.c_ts + INTERVAL 24 HOUR
+          GROUP BY 1)
+        SELECT CAST(s.user_id AS BIGINT) AS user_id,
+               CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                         WHEN c.c_ts IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS stage
+        FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         """,
     ),
     "ns_cms_heavy_hitters": QueryDef(

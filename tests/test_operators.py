@@ -479,3 +479,67 @@ def test_zvalue_matches_python_morton(spark):
         ).collect()
     }
     assert got == {(a, b): pyz(a, b) for a, b in rows}
+
+
+def test_tfidf_top_term(spark):
+    import math
+
+    rows = [
+        (1, "apple apple banana"),   # apple tf=2/3, banana 1/3
+        (2, "banana cherry cherry"),
+        (3, "apple banana cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.tfidf_top_term(docs).collect()}
+    # df: apple 2, banana 3, cherry 2; N=3 -> idf(banana)=ln(1)=0, so
+    # banana can never win; doc1 -> apple, doc2 -> cherry
+    assert out[1].top_term == "apple"
+    assert out[2].top_term == "cherry"
+    assert abs(out[1].top_tfidf - round((2 / 3) * math.log(3 / 2), 6)) < 1e-9
+    # doc3: apple and cherry tie exactly (1/3 * ln(1.5) each) -> the
+    # struct-argmax breaks toward the lexicographically smaller term
+    assert out[3].top_term == "apple"
+
+
+def test_events_funnel_stages(spark):
+    from datetime import datetime as dt
+
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import events_funnel
+
+    def t(h, m=0):
+        return dt(2024, 1, 1, h, m)
+
+    rows = [
+        # u1: full funnel
+        (1, t(1), 1, "signup", 0.0, "{}"),
+        (2, t(1, 30), 1, "click", 0.0, "{}"),
+        (3, t(2), 1, "purchase", 0.0, "{}"),
+        # u2: click too late (>1h after signup) -> stage 1
+        (4, t(1), 2, "signup", 0.0, "{}"),
+        (5, t(3), 2, "click", 0.0, "{}"),
+        # u3: signup+click, purchase missing -> stage 2
+        (6, t(1), 3, "signup", 0.0, "{}"),
+        (7, t(1, 10), 3, "click", 0.0, "{}"),
+        # u4: click BEFORE signup doesn't count -> stage 1
+        (8, t(2), 4, "signup", 0.0, "{}"),
+        (9, t(1), 4, "click", 0.0, "{}"),
+        # u5: no signup -> excluded entirely
+        (10, t(1), 5, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_test_")
+    ev.write.parquet(os.path.join(d, "events.parquet"), mode="overwrite")
+    try:
+        out = {r.user_id: r.stage for r in events_funnel(spark, d).collect()}
+        assert out == {1: 3, 2: 1, 3: 2, 4: 1}
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
