@@ -259,3 +259,61 @@ def test_repetition_stats_matches_python_model(spark, docs):
             )
             < 1e-9
         )
+
+
+# ---- round-5 scrub operators vs pure-Python models ------------------
+
+_text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", categories=("L", "N", "P", "Z")
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_text_strategy)
+@_SETTINGS
+def test_normalize_text_matches_python_model(spark, texts):
+    """normalize_text == the pure-Python lower/strip/collapse/trim
+    model on arbitrary ASCII text (the oracle only pins fixture
+    inputs; this pins the general contract)."""
+    import hashlib
+    import re
+
+    from gsuites_gcp_graphdb_spark.operators.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    for i, t in rows:
+        n = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+        assert got[i].norm_hash == hashlib.md5(n.encode()).hexdigest()
+        assert got[i].n_tokens_norm == (len(n.split(" ")) if n else 0)
+        assert got[i].changed == (n != t)
+
+
+@given(texts=_text_strategy)
+@_SETTINGS
+def test_pii_scrub_counts_match_python_model(spark, texts):
+    """pii_scrub's match counts == Python re counts with the same
+    patterns (regex dialect agreement on arbitrary ASCII input)."""
+    import re
+
+    from gsuites_gcp_graphdb_spark.operators.text import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for i, t in rows:
+        for name, pat in PII_PATTERNS:
+            assert getattr(got[i], f"n_{name}") == len(re.findall(pat, t)), (
+                name,
+                t,
+            )
