@@ -840,6 +840,7 @@ _PRIORITY = [
     "ns_events_stream_left_join",  # new: outer stream join w/ eviction
     "ns_text_tfidf",         # new: per-doc top tf-idf term
     "ns_events_funnel",      # new: sequential funnel attribution
+    "ns_events_multires_rollup",  # new: hypertable rollup cascade
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -666,6 +666,69 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: per-event-type
+    continuous aggregates at 1-hour and 1-day granularity in one
+    result (level column), with the DAY level computed FROM THE HOUR
+    LEVEL's partial aggregates — sum of sums, sum of counts — never
+    from raw events. That re-aggregation property is the whole point
+    of a rollup hierarchy at scale: the day pass touches 24x fewer
+    rows than the raw table, and the same cascade extends to
+    month/year without ever re-reading raw data. min/max/sum/count
+    all cascade exactly; values go through the catalog's proven
+    DECIMAL(18,2) cast (the tumbling-window pattern) into integer
+    cents so the hour->day re-sum is associativity-proof cross-engine.
+
+    Returns (level, event_type, bucket, n_events, sum_value_cents,
+    min_value_cents, max_value_cents)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (
+        F.col("value").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            cents.alias("__c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("__c").cast("bigint").alias("sum_value_cents"),
+            F.min("__c").cast("bigint").alias("min_value_cents"),
+            F.max("__c").cast("bigint").alias("max_value_cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", F.col("bucket")).alias("bucket")
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_cents").cast("bigint").alias(
+                "sum_value_cents"
+            ),
+            F.min("min_value_cents").cast("bigint").alias(
+                "min_value_cents"
+            ),
+            F.max("max_value_cents").cast("bigint").alias(
+                "max_value_cents"
+            ),
+        )
+    )
+    return hourly.withColumn("level", F.lit("hour")).unionByName(
+        daily.withColumn("level", F.lit("day"))
+    ).select(
+        "level",
+        "event_type",
+        "bucket",
+        "n_events",
+        "sum_value_cents",
+        "min_value_cents",
+        "max_value_cents",
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1824,6 +1887,31 @@ ENTRIES: dict[str, QueryDef] = {
                {_zvalue_sql('user_id % 65536',
                    'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
         FROM events
+        """,
+    ),
+    "ns_events_multires_rollup": QueryDef(
+        events_multires_rollup,
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                 CAST(min(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS min_value_cents,
+                 CAST(max(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS max_value_cents
+          FROM events GROUP BY 1, 2),
+        daily AS (
+          SELECT event_type, date_trunc('day', bucket) AS bucket,
+                 CAST(sum(n_events) AS BIGINT) AS n_events,
+                 CAST(sum(sum_value_cents) AS BIGINT) AS sum_value_cents,
+                 CAST(min(min_value_cents) AS BIGINT) AS min_value_cents,
+                 CAST(max(max_value_cents) AS BIGINT) AS max_value_cents
+          FROM hourly GROUP BY 1, 2)
+        SELECT 'hour' AS level, * FROM hourly
+        UNION ALL
+        SELECT 'day' AS level, * FROM daily
         """,
     ),
     "ns_text_tfidf": QueryDef(
