@@ -27,7 +27,11 @@ def test_oracles_reference_only_known_views():
         if qd.sql is None:
             continue
         ctes = set(
-            re.findall(r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", qd.sql)
+            re.findall(
+                    r"([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?"
+                    r"\s+AS\s*(?:(?:NOT\s+)?MATERIALIZED\s*)?\(",
+                    qd.sql,
+                )
         )
         for _kw, table in ident.findall(qd.sql):
             assert (
