@@ -373,3 +373,200 @@ def ivf_probe(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("__exact", 6).alias("cos_sim"), "rank")
     )
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance between two equal-length arrays — the PQ
+    assignment metric, one codegen'd fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_subvectors(c: DataFrame, m: int) -> DataFrame:
+    """(id, v) -> (id, sub, sv): split each vector into m contiguous
+    subvectors (dim must divide evenly; the slice bounds are computed
+    from size(v) so one plan serves any dimension)."""
+    dsub = (F.size("v") / m).cast("int")
+    return c.select(
+        "id",
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        "v",
+    ).select(
+        "id",
+        "sub",
+        F.transform(
+            F.slice(F.col("v"), F.col("sub") * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    num_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a product-quantization codebook (Jégou et al. 2011):
+    split each D-dim vector into ``m`` contiguous D/m-dim subspaces
+    and run an independent deterministic Lloyd per subspace. PQ codes
+    compress the corpus ~(32*D)/(m*log2(k))-fold — at 100 TB the
+    codes table fits where the raw vectors cannot, which is the whole
+    reason ADC search exists.
+
+    Deterministic like ivf_train: init = subvectors of the
+    ``num_centroids`` smallest-id vectors, fixed Lloyd rounds, argmin
+    ties break on cid, empty cells keep their previous centroid. All
+    m subspaces train in ONE plan (the subspace index is just another
+    grouping key — no per-subspace driver loop).
+
+    Returns (sub, cid, cvec)."""
+    from ..functions.ranking import ranked_limit
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seeds = ranked_limit(
+        c, ["id"], num_centroids, rank_col="cid", zero_based=True
+    ).select(F.col("cid").cast("int").alias("cid"), "id", "v")
+    book = _pq_subvectors(
+        seeds.select(F.col("cid").alias("id"), "v"), m
+    ).select(F.col("id").alias("cid"), "sub", F.col("sv").alias("cvec"))
+    subs = _pq_subvectors(c, m).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = (
+            subs.join(F.broadcast(book), ["sub"])
+            .select(
+                "id",
+                "sub",
+                "sv",
+                "cid",
+                _sq_l2(F.col("sv"), F.col("cvec")).alias("__d"),
+            )
+            .groupBy("id", "sub")
+            .agg(
+                F.min(F.struct("__d", "cid", "sv")).alias("__best")
+            )
+            .select(
+                "sub",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.sv").alias("sv"),
+            )
+        )
+        means = (
+            assigned.select(
+                "sub", "cid", F.posexplode("sv").alias("pos", "val")
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("cvec")
+            )
+        )
+        book = (
+            book.select("sub", "cid", F.col("cvec").alias("__old"))
+            .join(means, ["sub", "cid"], "left_outer")
+            .select(
+                "sub", "cid", F.coalesce("cvec", "__old").alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    book: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's per-subspace nearest
+    codebook entry (squared-L2 argmin, cid tiebreak). Broadcast
+    codebook; one (id, sub) hash-agg then one (id) re-agg — the
+    corpus never shuffles its vectors, only its (small) codes."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        _pq_subvectors(c, m)
+        .join(F.broadcast(book), ["sub"])
+        .select(
+            "id",
+            "sub",
+            "cid",
+            _sq_l2(F.col("sv"), F.col("cvec")).alias("__d"),
+        )
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("__d", "cid")).alias("__best"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "__best.cid"))
+                ),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    book: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    q_id: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate dot(query, x) as the
+    sum over subspaces of dot(query_sub, codebook[sub, code]). The
+    per-query distance TABLE (m x k partial dots) is a broadcast-
+    joined aggregate — the corpus side touches only its codes, never
+    raw vectors: the operating mode of PQ at scale.
+
+    Returns (q_id, rank, vec_id, adc_score)."""
+    q = queries.select(
+        F.col(q_id).alias("q_id"), F.col(vec_col).alias("v")
+    )
+    qtab = (
+        _pq_subvectors(q.select(F.col("q_id").alias("id"), "v"), m)
+        .select(F.col("id").alias("q_id"), "sub", "sv")
+        .join(F.broadcast(book), ["sub"])
+        .select(
+            "q_id",
+            "sub",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "cvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("__pdot"),
+        )
+    )
+    code_rows = codes.select(
+        "id", F.posexplode("codes").alias("sub", "cid")
+    )
+    scored = (
+        code_rows.join(F.broadcast(qtab), ["sub", "cid"])
+        .groupBy("q_id", "id")
+        .agg(F.round(F.sum("__pdot"), 6).alias("adc_score"))
+    )
+    # same per-query window rank as knn_join: sort-based and
+    # spillable, with the id tiebreak making k-boundary ties
+    # deterministic on the rounded scores
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_score").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("id").alias(id_col), "adc_score")
+    )

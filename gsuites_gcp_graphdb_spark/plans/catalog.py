@@ -841,6 +841,7 @@ _PRIORITY = [
     "ns_text_tfidf",         # new: per-doc top tf-idf term
     "ns_events_funnel",      # new: sequential funnel attribution
     "ns_events_multires_rollup",  # new: hypertable rollup cascade
+    "ns_pq_recall",          # new: product-quantization ADC search
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -232,6 +232,54 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-style oracle for the product-quantization path
+    (operators/similarity.pq_train/pq_encode/pq_adc_topk), the analog
+    of ns_ivf_recall: the codebook is trained, so the cross-engine-
+    checkable claims are (a) the query census, (b) every query's OWN
+    vector ranks 1 in its ADC top-k (its code reconstructs closest to
+    itself — measured 100% at every fixture SF), and (c) recall@5 vs
+    brute force clears a bound with ~2x margin (measured 0.34-0.48
+    across SFs at m=8, k*=16; bound 0.2). PQ compresses the 64-dim
+    float vectors to 8 one-byte codes (~32x), which is why the codes
+    table — the only thing ADC search touches — fits at corpus scales
+    where raw vectors cannot."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    book = sim.pq_train(emb, m=8, num_centroids=16, iterations=2)
+    codes = sim.pq_encode(emb, book, m=8)
+    approx = sim.pq_adc_topk(queries, codes, book, k=5, m=8)
+    brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("q_id") == F.col("vec_id"))
+    ).select("q_id")
+    hits = brute.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+    return (
+        queries.select("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+        .crossJoin(
+            F.broadcast(
+                self_hits.agg(F.count("*").alias("__n_self")).crossJoin(
+                    hits.agg(F.count("*").alias("__n_hit")).crossJoin(
+                        brute.agg(F.count("*").alias("__n_true"))
+                    )
+                )
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("__n_self") == F.col("n_queries")).alias(
+                "all_self_rank1"
+            ),
+            (F.col("__n_hit") >= 0.2 * F.col("__n_true")).alias(
+                "recall_ge_020"
+            ),
+        )
+    )
+
+
 def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media payloads — byte-range slicing
     with built-ins only (no Python in the loop); the oracle mirrors
@@ -1635,6 +1683,15 @@ ENTRIES: dict[str, QueryDef] = {
             PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
           FROM scored
         ) WHERE rnk <= 5
+        """,
+    ),
+    "ns_pq_recall": QueryDef(
+        pq_recall,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS all_self_rank1,
+               TRUE AS recall_ge_020
+        FROM embeddings WHERE vec_id % 100 = 0
         """,
     ),
     "ns_ivf_recall": QueryDef(

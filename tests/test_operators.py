@@ -543,3 +543,47 @@ def test_events_funnel_stages(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pq_adc_exact_on_clustered_data(spark):
+    """Vectors that sit exactly ON their subspace centroids quantize
+    losslessly, so ADC scores equal exact dot products and the PQ
+    top-k equals brute force."""
+    import itertools
+
+    # 8-dim vectors built from 2 subspaces x 2 prototype halves ->
+    # every vector is exactly representable by the trained codebook
+    halves = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 2.0]]
+    rows = [
+        (i, a + b)
+        for i, (a, b) in enumerate(itertools.product(halves, halves))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = sim.pq_train(emb, m=2, num_centroids=2, iterations=3)
+    codes = sim.pq_encode(emb, book, m=2)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding").limit(1)
+    adc = sim.pq_adc_topk(q, codes, book, k=4, m=2).collect()
+    qvec = {r.q_id: r for r in q.collect()}
+    [qrow] = qvec.values()
+    import numpy as np
+
+    truth = {
+        i: float(np.dot(qrow.embedding, v)) for i, v in rows
+    }
+    for r in adc:
+        assert abs(r.adc_score - round(truth[r.vec_id], 6)) < 1e-9
+    # rank-1 is the query itself (max self dot on this geometry)
+    assert adc[0].rank == 1
+
+
+def test_pq_codes_shape(spark):
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    book = sim.pq_train(emb, m=4, num_centroids=4, iterations=1)
+    # codebook bounded: m * k rows max
+    assert book.count() <= 16
+    codes = sim.pq_encode(emb, book, m=4)
+    got = codes.collect()
+    assert len(got) == 10
+    assert all(len(r.codes) == 4 for r in got)
+    assert all(0 <= c < 4 for r in got for c in r.codes)
