@@ -842,6 +842,7 @@ _PRIORITY = [
     "ns_events_funnel",      # new: sequential funnel attribution
     "ns_events_multires_rollup",  # new: hypertable rollup cascade
     "ns_pq_recall",          # new: product-quantization ADC search
+    "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -777,6 +777,66 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: distinct users per day via HLL
+    SKETCHES (hll_sketch_agg, Apache DataSketches), then the MONTH
+    total by UNIONING the daily sketches (hll_union_agg) — the
+    companion to ns_events_multires_rollup for the one aggregate that
+    does NOT naively cascade: day-level distinct counts cannot be
+    summed, but their sketches can be merged, which is how a 100 TB
+    hypertable serves "uniques this month" without re-reading raw
+    events. Sketch estimates are engine-specific, so the oracle is
+    bounds-style (rel_approx_distinct's pattern): exact counts + the
+    claims that every daily estimate and the merged-month estimate
+    land within 10%, and that merged-month == estimate over raw
+    (union of partials loses nothing vs one pass).
+
+    Returns one row: (n_days, exact_month_users, all_days_within_10pct,
+    month_within_10pct, merge_equals_direct)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = keyed.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact"),
+    )
+    daily_ok = daily.select(
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+            <= 0.1 * F.col("exact")
+        ).alias("ok")
+    ).agg(F.min("ok").alias("all_days_within_10pct"))
+    month = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
+    )
+    direct = keyed.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "__direct"
+        ),
+        F.count_distinct("user_id").cast("bigint").alias(
+            "exact_month_users"
+        ),
+    )
+    return (
+        month.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(daily_ok))
+        .select(
+            "n_days",
+            "exact_month_users",
+            "all_days_within_10pct",
+            (
+                F.abs(F.col("__merged") - F.col("exact_month_users"))
+                <= 0.1 * F.col("exact_month_users")
+            ).alias("month_within_10pct"),
+            (F.col("__merged") == F.col("__direct")).alias(
+                "merge_equals_direct"
+            ),
+        )
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: docs bucketed by whitespace-token count
     (bucket = floor(n/10)*10) — the histogram a pipeline consults to
@@ -1943,6 +2003,20 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT CAST(event_id AS BIGINT) AS event_id,
                {_zvalue_sql('user_id % 65536',
                    'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
+        FROM events
+        """,
+    ),
+    "ns_events_hll_rollup": QueryDef(
+        events_hll_rollup,
+        """
+        WITH d AS (
+          SELECT date_trunc('day', ts) AS day FROM events GROUP BY 1)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS exact_month_users,
+               TRUE AS all_days_within_10pct,
+               TRUE AS month_within_10pct,
+               TRUE AS merge_equals_direct
         FROM events
         """,
     ),
