@@ -129,8 +129,11 @@ HEADLINE = [
     "g_skew_membership_salted",
     "g_stream_ingest_e2e",
     # round-5: the PII scrub (map-only regex chain — the must-touch-
-    # every-byte compliance pass, benched to prove it stays map-only)
+    # every-byte compliance pass, benched to prove it stays map-only),
+    # the hypertable rollup cascade, and tf-idf topic terms
     "ns_text_pii",
+    "ns_events_multires_rollup",
+    "ns_text_tfidf",
     # round-5: weighted shortest paths (Bellman-Ford over
     # aggregate_messages). ns_semantic_dedup is NOT here: the catalog
     # entry is the exact all-pairs correctness anchor (quadratic by
