@@ -643,6 +643,37 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
+    "g_diameter": QueryDef(
+        gq.diameter_estimate,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        und AS (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM edges_nk
+          UNION
+          SELECT dl, dk, sl, sk FROM edges_nk),
+        walk1(l, k, d) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer), 0
+          UNION
+          SELECT u.bl, u.bk, w.d + 1 FROM walk1 w JOIN und u
+            ON u.al = w.l AND u.ak = w.k
+          WHERE w.d < 12),
+        d1 AS (SELECT l, k, min(d) AS d FROM walk1 GROUP BY 1, 2),
+        u AS (SELECT l, k FROM d1 ORDER BY d DESC, l, k LIMIT 1),
+        walk2(l, k, d) AS (
+          SELECT l, k, 0 FROM u
+          UNION
+          SELECT un.bl, un.bk, w.d + 1 FROM walk2 w JOIN und un
+            ON un.al = w.l AND un.ak = w.k
+          WHERE w.d < 12),
+        d2 AS (SELECT l, k, min(d) AS d FROM walk2 GROUP BY 1, 2),
+        v AS (SELECT l, k, d FROM d2 ORDER BY d DESC, l, k LIMIT 1)
+        SELECT u.l AS u_label, u.k AS u_key,
+               v.l AS v_label, v.k AS v_key,
+               CAST(v.d AS BIGINT) AS diameter_lb
+        FROM u, v
+        """,
+    ),
     "g_ppr_access": QueryDef(gq.ppr_access_influence, _ppr_sql()),
     # Same census, second algorithm (large-star/small-star): one
     # oracle pinning two independent CC implementations.
@@ -843,6 +874,7 @@ _PRIORITY = [
     "ns_events_multires_rollup",  # new: hypertable rollup cascade
     "ns_pq_recall",          # new: product-quantization ADC search
     "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
+    "g_diameter",            # new: double-sweep diameter estimate
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

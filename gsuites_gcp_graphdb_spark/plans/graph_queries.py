@@ -936,3 +936,81 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.join(g.vertices, ["id"]).select(
         "label", natural_key_col().alias("key"), "core_deg"
     )
+
+
+def diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien et al. 2009) over
+    the UNDIRECTED IAM graph: BFS from the min-email user to its
+    farthest vertex u (tiebreak (label, key)), then BFS from u — the
+    second sweep's eccentricity is the classic tight diameter
+    estimate, at the cost of TWO BFS passes instead of all-pairs.
+    That 2-BFS-instead-of-n-BFS trade is the only way the question is
+    answerable at 100 TB at all.
+
+    Returns one row (u_label, u_key, v_label, v_key, diameter_lb):
+    the sweep endpoints and the bound. Oracle: the same two sweeps as
+    chained recursive CTEs with a depth cap of 12 — the undirected
+    graph has cycles, so the walk dedups (node, d) pairs and the cap
+    bounds re-expansion; test_diameter_within_oracle_cap pins
+    eccentricity < 12 at the driver's SFs."""
+    from ..graph.algorithms import shortest_paths
+    from ..graph.traversal import Graph as _G
+
+    g = _graph(spark, sf_dir)
+    und = _G(
+        g.vertices,
+        g.edges.select("src", "dst")
+        .unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(),
+    )
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    src = users.join(target, ["email"], "left_semi").select("id")
+
+    keyed = g.vertices.select(
+        "id", "label", natural_key_col().alias("key")
+    )
+
+    def farthest(dist):
+        return (
+            dist.join(keyed, ["id"])
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("distance")).alias("nd"),
+                        F.col("label"),
+                        F.col("key"),
+                        F.col("id"),
+                    )
+                ).alias("__far")
+            )
+            .select(
+                F.col("__far.id").alias("id"),
+                F.col("__far.label").alias("label"),
+                F.col("__far.key").alias("key"),
+                (-F.col("__far.nd")).cast("bigint").alias("ecc"),
+            )
+        )
+
+    u = farthest(shortest_paths(und, src, edge_label=None)).localCheckpoint(
+        eager=True
+    )
+    v = farthest(
+        shortest_paths(und, u.select("id"), edge_label=None)
+    )
+    return (
+        u.select(
+            F.col("label").alias("u_label"), F.col("key").alias("u_key")
+        )
+        .crossJoin(
+            v.select(
+                F.col("label").alias("v_label"),
+                F.col("key").alias("v_key"),
+                F.col("ecc").alias("diameter_lb"),
+            )
+        )
+    )

@@ -321,3 +321,42 @@ def test_kcore_converges_within_oracle_bound(spark, sf_dir):
         f"k-core peel needs {rounds_needed} rounds; the SQL oracle "
         "unrolls only 6 — raise _kcore_sql(rounds=...)"
     )
+
+
+def test_diameter_double_sweep_on_path(spark):
+    """On a path graph the double sweep is exact: sweep 1 from any
+    vertex reaches one end, sweep 2 spans the whole path."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import shortest_paths
+
+    names = list("abcdef")
+    v = vertices_of(spark, [("group", x) for x in names])
+    e = edges_of(
+        spark,
+        [("group", a, "group", b) for a, b in zip(names, names[1:])],
+    )
+    und = Graph(
+        v,
+        e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+    )
+    # start mid-path at 'c': farthest is 'f' (d=3); from 'f' ecc = 5
+    src = v.filter(F.col("email") == "c").select("id")
+    d1 = shortest_paths(und, src, edge_label=None).join(v, ["id"])
+    far = d1.orderBy(F.col("distance").desc(), "email").limit(1)
+    far_row = far.collect()[0]
+    assert far_row.email == "f" and far_row.distance == 3
+    d2 = shortest_paths(und, far.select("id"), edge_label=None)
+    assert max(r.distance for r in d2.collect()) == 5
+
+
+def test_diameter_within_oracle_cap(spark, sf_dir):
+    """g_diameter's oracle caps both sweeps at depth 12; the engine's
+    sweeps must converge inside that, or the recursive CTE would
+    truncate distances and diverge."""
+    from gsuites_gcp_graphdb_spark.plans.graph_queries import (
+        diameter_estimate,
+    )
+
+    row = diameter_estimate(spark, sf_dir).collect()[0]
+    assert row.diameter_lb < 12
