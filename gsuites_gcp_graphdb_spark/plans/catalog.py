@@ -875,6 +875,7 @@ _PRIORITY = [
     "ns_pq_recall",          # new: product-quantization ADC search
     "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
     "g_diameter",            # new: double-sweep diameter estimate
+    "rel_pivot_status",      # new: explicit-domain pivot
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

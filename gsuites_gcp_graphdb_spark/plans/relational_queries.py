@@ -861,7 +861,66 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per customer nation, order counts and
+    revenue spread across the order-status domain as COLUMNS —
+    Spark's ``groupBy().pivot()`` with the pivot values given
+    EXPLICITLY (['F','O','P']), which is the scale-correct form: an
+    unspecified pivot triggers a driver-side distinct scan over the
+    full table to discover the domain before planning. With the
+    domain literal, the pivot compiles to one hash-agg of conditional
+    aggregates — exactly the CASE-WHEN shape the oracle writes by
+    hand, and shuffle-equivalent to a plain groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    wide = (
+        j.groupBy(F.col("c_nationkey").cast("bigint").alias("nation"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(*) is rejected inside pivot; count(lit(1)) is the
+            # same aggregate
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    return wide.select(
+        "nation",
+        F.coalesce("F_n", F.lit(0)).alias("f_n"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("f_rev"),
+        F.coalesce("O_n", F.lit(0)).alias("o_n"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("o_rev"),
+        F.coalesce("P_n", F.lit(0)).alias("p_n"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("p_rev"),
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_pivot_status": QueryDef(
+        pivot_status_by_nation,
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          CAST(coalesce(count(*) FILTER (o_orderstatus = 'F'), 0)
+            AS BIGINT) AS f_n,
+          CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS f_rev,
+          CAST(coalesce(count(*) FILTER (o_orderstatus = 'O'), 0)
+            AS BIGINT) AS o_n,
+          CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS o_rev,
+          CAST(coalesce(count(*) FILTER (o_orderstatus = 'P'), 0)
+            AS BIGINT) AS p_n,
+          CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS p_rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+        """,
+    ),
     "etl_filter_open_orders": QueryDef(
         filter_open_orders,
         """
