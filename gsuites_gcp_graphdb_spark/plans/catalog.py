@@ -876,6 +876,7 @@ _PRIORITY = [
     "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
     "g_diameter",            # new: double-sweep diameter estimate
     "rel_pivot_status",      # new: explicit-domain pivot
+    "rel_unpivot_status",    # new: unpivot/melt round-trip
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

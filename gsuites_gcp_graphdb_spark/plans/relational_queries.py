@@ -900,7 +900,40 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot result back to long
+    (nation, status, n) rows via DataFrame.unpivot — the inverse
+    reshape, all projection (no shuffle beyond the pivot's own agg).
+    The oracle is the direct long-form aggregate, so the pair pins
+    pivot->unpivot as a lossless round-trip."""
+    wide = pivot_status_by_nation(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "nation",
+            ["f_n", "o_n", "p_n"],
+            "status",
+            "n",
+        )
+        .select(
+            "nation",
+            F.upper(F.substring("status", 1, 1)).alias("status"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_unpivot_status": QueryDef(
+        unpivot_status_counts,
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        """,
+    ),
     "rel_pivot_status": QueryDef(
         pivot_status_by_nation,
         """
