@@ -96,3 +96,51 @@ def test_repetition_stats_empty_doc_is_null_not_inf(spark):
     assert rows[1].top2_char_frac is None
     assert rows[1].dup_tok_frac == 0.0  # split('') -> [''], 1 token
     assert rows[2].top2_char_frac is not None
+
+
+def test_round5_ops_on_empty_and_degenerate_input(spark, empty_graph):
+    """Round-5 operators must degrade to empty/identity results, not
+    crash, on empty graphs and empty corpora."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_core
+    from gsuites_gcp_graphdb_spark.operators import sketches as sk
+    from gsuites_gcp_graphdb_spark.operators.text import (
+        normalize_text,
+        pii_scrub,
+        tfidf_top_term,
+    )
+
+    assert k_core(empty_graph, k=2).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert normalize_text(empty_docs).count() == 0
+    assert pii_scrub(empty_docs).count() == 0
+    assert tfidf_top_term(empty_docs).count() == 0
+    sketch = sk.cms_build(empty_docs.select(F.col("text").alias("k")), "k")
+    assert sketch.count() == 0
+    # probing an empty sketch reads every candidate as 0, not null
+    cand = spark.createDataFrame([("x",)], "k string")
+    [row] = sk.cms_estimate(sketch, cand, "k").collect()
+    assert row.cms_est == 0
+
+
+def test_kcore_isolated_and_self_contained(spark):
+    """Vertices with no edges never enter any k-core; a clique IS its
+    own (n-1)-core."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_core
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of
+
+    v = vertices_of(
+        spark, [("group", x) for x in "abcd"] + [("user", "lonely")]
+    )
+    e = edges_of(
+        spark,
+        [
+            ("group", a, "group", b)
+            for a in "abcd"
+            for b in "abcd"
+            if a < b
+        ],
+    )
+    g = Graph(v, e)
+    core3 = k_core(g, k=3)
+    assert core3.count() == 4  # the K4 clique, all degree 3
+    assert {r.core_deg for r in core3.collect()} == {3}
