@@ -877,6 +877,7 @@ _PRIORITY = [
     "g_diameter",            # new: double-sweep diameter estimate
     "rel_pivot_status",      # new: explicit-domain pivot
     "rel_unpivot_status",    # new: unpivot/melt round-trip
+    "ns_events_rolling_1h",  # new: RANGE-interval trailing window
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

@@ -777,6 +777,37 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour activity per event: a RANGE-interval window
+    frame (value-based, not row-count-based — the frame every event
+    shares with others in its trailing hour, however many rows that
+    is). Complements the ROWS frames elsewhere in the catalog: RANGE
+    frames are the time-series shape (rolling rate limits, trailing
+    velocity features for fraud/abuse scoring).
+
+    Frame bounds are computed on integer epoch-seconds on both
+    engines (Spark unix_timestamp floors; DuckDB epoch cast to BIGINT
+    truncates — equal for post-epoch data), and sums fold in DECIMAL
+    cents, so frames and values are both exact. Partition key is
+    user_id — per-user event streams; a pathologically hot user would
+    call for the same salting treatment as the skew-join pair."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("sum_1h_cents"),
+    )
+
+
 def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: distinct users per day via HLL
     SKETCHES (hll_sketch_agg, Apache DataSketches), then the MONTH
@@ -2004,6 +2035,19 @@ ENTRIES: dict[str, QueryDef] = {
                {_zvalue_sql('user_id % 65536',
                    'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
         FROM events
+        """,
+    ),
+    "ns_events_rolling_1h": QueryDef(
+        events_rolling_window,
+        """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) OVER w AS BIGINT) AS sum_1h_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(ts) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
     ),
     "ns_events_hll_rollup": QueryDef(
