@@ -878,6 +878,7 @@ _PRIORITY = [
     "rel_pivot_status",      # new: explicit-domain pivot
     "rel_unpivot_status",    # new: unpivot/melt round-trip
     "ns_events_rolling_1h",  # new: RANGE-interval trailing window
+    "ns_events_stream_enrich",  # new: stream-static broadcast join
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

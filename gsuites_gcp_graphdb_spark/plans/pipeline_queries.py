@@ -1437,6 +1437,36 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_clicks"))
 
 
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joined to a
+    static dimension (per-user market segment derived from customer)
+    with the static side BROADCAST — the standard streaming-ETL
+    pattern (enrich each event with reference data as it arrives; no
+    state store, no watermark, because the static side is complete by
+    definition). Inner stream-static joins emit deterministically
+    under AvailableNow, so the drained census shares a plain batch
+    oracle. Returns (segment, n_events, n_users)."""
+    from ..streaming.run import read_events_stream, run_to_memory
+
+    customer = load_table(spark, sf_dir, "customer")
+    dim = (
+        customer.select(
+            (F.col("c_custkey") % 150).alias("user_id"), "c_mktsegment"
+        )
+        .groupBy("user_id")
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    s = read_events_stream(spark, sf_dir)
+    j = s.join(F.broadcast(dim), ["user_id"]).select(
+        "event_id", "user_id", "segment"
+    )
+    drained = run_to_memory(j, "stream_enrich", "append")
+    return drained.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 def events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with watermark-driven null
     emission — the join shape the inner variant can't show: signups
@@ -2470,6 +2500,20 @@ ENTRIES: dict[str, QueryDef] = {
         events_tumbling_stream, _TUMBLING_SQL
     ),
     "ns_events_stream_join": QueryDef(events_stream_join, _RANGE_JOIN_SQL),
+    "ns_events_stream_enrich": QueryDef(
+        events_stream_enrich,
+        """
+        WITH dim AS (
+          SELECT c_custkey % 150 AS user_id,
+                 min(c_mktsegment) AS segment
+          FROM customer GROUP BY 1)
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events JOIN dim USING (user_id)
+        GROUP BY 1
+        """,
+    ),
     "ns_events_stream_left_join": QueryDef(
         events_stream_left_join,
         """
