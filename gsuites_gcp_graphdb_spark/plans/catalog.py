@@ -879,6 +879,7 @@ _PRIORITY = [
     "rel_unpivot_status",    # new: unpivot/melt round-trip
     "ns_events_rolling_1h",  # new: RANGE-interval trailing window
     "ns_events_stream_enrich",  # new: stream-static broadcast join
+    "rel_returned_items",    # new: Q10 returned-item ranking
     # latest driver green is r1
     "ns_dedup_exact",
     "ns_dedup_minhash_lsh",

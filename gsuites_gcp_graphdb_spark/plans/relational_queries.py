@@ -861,6 +861,46 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by revenue lost to returned items
+    in 1995Q4 (inside the fixture's 1995-2001 date range), the
+    returned-item reporting query — completing
+    the TPC-H pattern set. Revenue folds in exact DECIMAL before the
+    double cast, and the top-20 boundary is totally ordered by
+    (revenue DESC, custkey), so the LIMIT cut is deterministic
+    cross-engine."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-10-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
 def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide aggregation): per customer nation, order counts and
     revenue spread across the order-status domain as COLUMNS —
@@ -924,6 +964,25 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENTRIES: dict[str, QueryDef] = {
+    "rel_returned_items": QueryDef(
+        returned_item_ranking,
+        """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    ),
     "rel_unpivot_status": QueryDef(
         unpivot_status_counts,
         """
