@@ -790,3 +790,108 @@ def k_core(
     return und.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )
+
+
+def link_prediction(
+    g: Graph,
+    max_degree: int = 2000,
+    min_common: int = 2,
+    topk: int | None = 200,
+    key_col=None,
+) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg
+    2003): score non-adjacent vertex pairs by shared neighbourhood —
+    ``common`` (co-neighbor count) and ``jaccard``
+    (|N(u)∩N(v)| / |N(u)∪N(v)|) — the 'these two principals probably
+    belong in the same group/role' audit signal.
+
+    Scale guard: all metrics are computed on the subgraph INDUCED ON
+    VERTICES OF DEGREE <= max_degree. The wedge join that enumerates
+    co-neighbor pairs is Θ(d²) per center, so one IAM role hub with
+    10⁵ members would emit 10¹⁰ wedges; capping degree bounds wedge
+    volume at max_degree² per center — and a hub-mediated common
+    neighbor is weak evidence anyway (everyone shares it), the same
+    argument as the dedup df-cut. The cap is mirrored in the oracle.
+
+    Pairs are ordered u < v by natural key (label, key) — NOT by the
+    engine's hash ids, which would assign u/v differently than any
+    SQL twin. Returns (u_label, u_key, v_label, v_key, common,
+    jaccard) for non-adjacent pairs with common >= min_common,
+    top-``topk`` by (jaccard, common, keys) — the total tiebreak
+    makes the cut deterministic; Catalyst plans it as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    At THIS fixture's scale the role hubs fit under the cap, so the
+    query is an exact anchor; at 100 TB the cap earns its keep (a
+    10^5-member hub would emit 10^10 wedges) and recall on
+    hub-mediated pairs moves to the MinHash path: a user's
+    neighbor SET is a document, operators/dedup.minhash_lsh_candidates
+    finds similar-neighborhood pairs sub-quadratically.
+    """
+    from .schema import natural_key_col
+
+    if key_col is None:
+        key_col = natural_key_col()
+    keyed = g.vertices.select(
+        "id", F.struct("label", key_col.alias("key")).alias("nk")
+    )
+    und = (
+        g.edges.select("src", "dst")
+        .unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("__d"))
+    keep = deg.filter(F.col("__d") <= max_degree).select("src")
+    e2 = (
+        und.join(keep, ["src"], "left_semi")
+        .join(keep.select(F.col("src").alias("dst")), ["dst"], "left_semi")
+    )
+    # keyed endpoints (c = wedge center)
+    ek = (
+        e2.join(keyed.select(F.col("id").alias("dst"), "nk"), ["dst"])
+        .select(F.col("src").alias("c"), F.col("dst").alias("v_id"), "nk")
+    )
+    a = ek.select("c", F.col("v_id").alias("u_id"), F.col("nk").alias("u_nk"))
+    b = ek.select("c", F.col("v_id").alias("v_id"), F.col("nk").alias("v_nk"))
+    pairs = (
+        a.join(b, ["c"])
+        .filter(F.col("u_nk") < F.col("v_nk"))
+        .groupBy("u_id", "v_id", "u_nk", "v_nk")
+        .agg(F.count("*").cast("bigint").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    deg2 = e2.groupBy("src").agg(F.count("*").alias("__d2"))
+    adj = e2.select(F.col("src").alias("u_id"), F.col("dst").alias("v_id"))
+    out = (
+        pairs.join(adj, ["u_id", "v_id"], "left_anti")
+        .join(deg2.select(F.col("src").alias("u_id"),
+                          F.col("__d2").alias("__du")), ["u_id"])
+        .join(deg2.select(F.col("src").alias("v_id"),
+                          F.col("__d2").alias("__dv")), ["v_id"])
+        .select(
+            F.col("u_nk.label").alias("u_label"),
+            F.col("u_nk.key").alias("u_key"),
+            F.col("v_nk.label").alias("v_label"),
+            F.col("v_nk.key").alias("v_key"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("__du") + F.col("__dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.col("jaccard").desc(),
+            F.col("common").desc(),
+            "u_label",
+            "u_key",
+            "v_label",
+            "v_key",
+        ).limit(topk)
+    return out

@@ -643,6 +643,48 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
+    "g_link_prediction": QueryDef(
+        gq.link_prediction_pairs,
+        f"""
+        WITH {_EDGES_NK.strip()},
+        und AS MATERIALIZED (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM edges_nk
+          UNION
+          SELECT dl, dk, sl, sk FROM edges_nk),
+        deg AS MATERIALIZED (
+          SELECT al, ak, count(*) AS d FROM und GROUP BY 1, 2),
+        keep AS MATERIALIZED (
+          SELECT al, ak FROM deg WHERE d <= 2000),
+        e2 AS MATERIALIZED (
+          SELECT u.al, u.ak, u.bl, u.bk FROM und u
+          JOIN keep x ON u.al = x.al AND u.ak = x.ak
+          JOIN keep y ON u.bl = y.al AND u.bk = y.ak),
+        deg2 AS MATERIALIZED (
+          SELECT al, ak, count(*) AS d FROM e2 GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT a.bl AS ul, a.bk AS uk, b.bl AS vl, b.bk AS vk,
+                 CAST(count(*) AS BIGINT) AS common
+          FROM e2 a JOIN e2 b ON a.al = b.al AND a.ak = b.ak
+          WHERE (a.bl, a.bk) < (b.bl, b.bk)
+          GROUP BY 1, 2, 3, 4
+          HAVING count(*) >= 2),
+        nonadj AS (
+          SELECT p.* FROM pairs p
+          WHERE NOT EXISTS (SELECT 1 FROM e2 e
+            WHERE e.al = p.ul AND e.ak = p.uk
+              AND e.bl = p.vl AND e.bk = p.vk))
+        SELECT p.ul AS u_label, p.uk AS u_key,
+               p.vl AS v_label, p.vk AS v_key, p.common,
+               round(p.common / CAST(du.d + dv.d - p.common AS DOUBLE), 6)
+                 AS jaccard
+        FROM nonadj p
+        JOIN deg2 du ON du.al = p.ul AND du.ak = p.uk
+        JOIN deg2 dv ON dv.al = p.vl AND dv.ak = p.vk
+        ORDER BY jaccard DESC, p.common DESC,
+                 u_label, u_key, v_label, v_key
+        LIMIT 200
+        """,
+    ),
     "g_diameter": QueryDef(
         gq.diameter_estimate,
         f"""
@@ -875,6 +917,7 @@ _PRIORITY = [
     "ns_pq_recall",          # new: product-quantization ADC search
     "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
     "g_diameter",            # new: double-sweep diameter estimate
+    "g_link_prediction",     # new: common-neighbor link prediction
     "rel_pivot_status",      # new: explicit-domain pivot
     "rel_unpivot_status",    # new: unpivot/melt round-trip
     "ns_events_rolling_1h",  # new: RANGE-interval trailing window

@@ -1014,3 +1014,16 @@ def diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the IAM graph
+    (graph/algorithms.link_prediction): top-200 non-adjacent pairs
+    by neighborhood Jaccard (total-tiebreak cut), 'should these two
+    be in the same group/role'. The degree cap and the MinHash escape
+    hatch for hub-mediated recall at 100 TB are documented on the
+    operator; both cap and cut are mirrored in the oracle."""
+    from ..graph.algorithms import link_prediction
+
+    g = _graph(spark, sf_dir)
+    return link_prediction(g)

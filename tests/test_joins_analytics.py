@@ -360,3 +360,42 @@ def test_diameter_within_oracle_cap(spark, sf_dir):
 
     row = diameter_estimate(spark, sf_dir).collect()[0]
     assert row.diameter_lb < 12
+
+
+def test_link_prediction_semantics(spark):
+    from gsuites_gcp_graphdb_spark.graph.algorithms import link_prediction
+
+    v = vertices_of(
+        spark,
+        [("user", u) for u in ("u1", "u2", "u3")]
+        + [("role", r) for r in ("r1", "r2")],
+    )
+    e = edges_of(
+        spark,
+        [
+            ("user", "u1", "role", "r1"),
+            ("user", "u1", "role", "r2"),
+            ("user", "u2", "role", "r1"),
+            ("user", "u2", "role", "r2"),
+            ("user", "u3", "role", "r1"),
+        ],
+    )
+    g = Graph(v, e)
+    out = {
+        (r.u_key, r.v_key): (r.common, r.jaccard)
+        for r in link_prediction(g, min_common=2).collect()
+    }
+    # u1,u2 share r1+r2 and are not adjacent -> common=2, jaccard=1.0
+    assert out[("u1", "u2")] == (2, 1.0)
+    # u3 shares only r1 with the others -> below min_common
+    assert all("u3" not in k for pair in out for k in pair)
+    # r1,r2 share u1+u2 -> also a predicted pair (common=2); their
+    # degrees are 3 and 2 -> jaccard = 2/(3+2-2)
+    assert out[("r1", "r2")] == (2, round(2 / 3, 6))
+    # adding the u1-u2 edge removes the pair (adjacent now)
+    e2 = e.unionByName(edges_of(spark, [("user", "u1", "user", "u2")]))
+    out2 = {
+        (r.u_key, r.v_key)
+        for r in link_prediction(Graph(v, e2), min_common=2).collect()
+    }
+    assert ("u1", "u2") not in out2
