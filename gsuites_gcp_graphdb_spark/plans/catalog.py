@@ -182,6 +182,62 @@ def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
         """
 
 
+def _neighbor_minhash_sql(
+    num_hashes: int = 12, bands: int = 6, topk: int = 50
+) -> str:
+    """Oracle for g_neighbor_minhash: the SAME md5 MinHash family and
+    band construction as operators/dedup (proven bit-identical by the
+    ns_dedup_minhash_* greens), applied to resource-set documents derived
+    from the base tables, then exact set-Jaccard verification."""
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '|{j}'))) AS mh_{j}"
+        for j in range(num_hashes)
+    )
+    bsel = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"mh_{j}" for j in range(b * rows, (b + 1) * rows)
+        )
+        bsel.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS h FROM sig")
+    bands_sql = " UNION ALL ".join(bsel)
+    return f"""
+        WITH ur AS (
+          SELECT DISTINCT c_custkey, CAST(p_partkey AS VARCHAR) AS rk FROM customer
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN part ON p_partkey = l_partkey),
+        docs AS (
+          SELECT c_custkey AS doc_id,
+                 array_to_string(list_sort(list(DISTINCT rk)), ' ')
+                   AS text
+          FROM ur GROUP BY 1),
+        shed AS MATERIALIZED (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+          FROM docs),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+               {mins}
+          FROM shed),
+        banded AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 6)
+                   AS jaccard
+          FROM cand c
+          JOIN shed x ON x.doc_id = c.id_a
+          JOIN shed y ON y.doc_id = c.id_b)
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b, jaccard
+        FROM scored ORDER BY jaccard DESC, id_a, id_b LIMIT {topk}
+        """
+
+
 def _ppr_sql(
     iterations: int = 5, damping: float = 0.85, topk: int = 15
 ) -> str:
@@ -685,6 +741,9 @@ CATALOG: dict[str, QueryDef] = {
         LIMIT 200
         """,
     ),
+    "g_neighbor_minhash": QueryDef(
+        gq.neighbor_minhash_pairs, _neighbor_minhash_sql()
+    ),
     "g_diameter": QueryDef(
         gq.diameter_estimate,
         f"""
@@ -918,6 +977,7 @@ _PRIORITY = [
     "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
     "g_diameter",            # new: double-sweep diameter estimate
     "g_link_prediction",     # new: common-neighbor link prediction
+    "g_neighbor_minhash",    # new: MinHash neighbor-set similarity
     "rel_pivot_status",      # new: explicit-domain pivot
     "rel_unpivot_status",    # new: unpivot/melt round-trip
     "ns_events_rolling_1h",  # new: RANGE-interval trailing window

@@ -1027,3 +1027,68 @@ def link_prediction_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     return link_prediction(g)
+
+
+def neighbor_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-neighborhood user pairs via MinHash-LSH over each
+    user's RESOURCE SET (accessed part keys — the only key domain that both scales with SF and is whitespace-free, so set elements survive the space-tokenized document encoding) — the sub-quadratic path for hub-mediated link
+    prediction that g_link_prediction's docstring promises: a user's
+    neighbor set becomes a document (sorted resource keys), the existing
+    MinHash machinery (operators/dedup.minhash_lsh_candidates, n=1 so
+    shingles ARE the set elements) generates candidates without ever
+    enumerating a hub's member pairs, and candidates are verified
+    with exact set Jaccard. Wedge volume never appears: cost is
+    O(users x signature) + banded join, however big the roles get.
+
+    Returns the TOP-50 candidate pairs by verified exact Jaccard
+    (total (jaccard, id_a, id_b) tiebreak — deterministic cut; the
+    fixture's random sets have no true near-duplicates, so a fixed
+    threshold would be vacuous at one SF or another, while the top-k
+    contract exercises the full candidate->verify pipeline at every
+    SF)."""
+    from ..operators import dedup as dd
+    from ..sources.fixtures import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ur = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .select("c_custkey", F.col("p_partkey").cast("string").alias("rk"))
+        .distinct()
+    )
+    docs = ur.groupBy("c_custkey").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_set("rk"))).alias(
+            "text"
+        )
+    )
+    cand = dd.minhash_lsh_candidates(
+        docs, id_col="c_custkey", text_col="text", n=1, use_md5=True
+    )
+    sets = docs.select(
+        F.col("c_custkey").alias("id"), F.split("text", " ").alias("sh")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")),
+            ["id_a"],
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")),
+            ["id_b"],
+        )
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(50)
+    )
