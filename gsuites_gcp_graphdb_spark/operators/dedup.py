@@ -526,3 +526,59 @@ def minhash_incremental_candidates(
         )
         .dropDuplicates()
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    fast: bool = False,
+) -> DataFrame:
+    """Exact substring-duplication profiling at k-token-window
+    granularity (the ExactSubstr idea: text that occurs verbatim more
+    than once in the corpus is a dedup target even when the containing
+    documents are unrelated). Every k-token rolling window is hashed;
+    a window whose total corpus occurrence count exceeds 1 is
+    duplicated text — whether it repeats across documents (template
+    boilerplate, licensing headers) or within one (the repetition
+    pathologies Gopher filters by).
+
+    Returns per-doc (id, n_windows, n_dup_windows, dup_frac): the
+    fraction of a document that is verbatim-shared text. A pipeline
+    drops or trims docs above a dup_frac threshold; unlike
+    MinHash-LSH (whole-doc near-dup) this catches PARTIAL overlap —
+    the two operators are complementary, not alternatives.
+
+    Scale shape: one explode (corpus tokens x ~1 row per token), one
+    hash-agg on the 16-byte window hash (map-side combinable — the
+    count table is vastly smaller than the window stream because
+    popular windows collapse), one join back keyed by the same hash
+    (both sides arrive partitioned by h from the agg's exchange), one
+    per-doc re-agg. No self-join, no pair space. fast=True swaps md5
+    for xxhash64 (8-byte keys, no hex encoding) — the 100 TB path;
+    md5 is kept as the cross-engine-oracle spelling.
+    """
+    win = shingles(F.col(text_col), k, distinct=False)
+    wins = df.select(F.col(id_col), F.explode(win).alias("w"))
+    hcol = F.xxhash64("w") if fast else F.md5("w")
+    wins = wins.select(id_col, hcol.alias("h"))
+    cnt = wins.groupBy("h").agg(F.count("*").alias("__cnt"))
+    return (
+        wins.join(cnt, ["h"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum((F.col("__cnt") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows")
+                / F.greatest(F.col("n_windows"), F.lit(1)),
+                6,
+            ),
+        )
+    )

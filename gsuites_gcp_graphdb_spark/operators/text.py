@@ -404,3 +404,71 @@ def tfidf_top_term(
             (-F.col("__best.neg")).alias("top_tfidf"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Data-selection importance scoring (the DSIR recipe): weight
+    each document by how much more likely its tokens are under a
+    TARGET distribution (the high-quality / in-domain slice selected
+    by ``target_filter``) than under the raw-corpus distribution —
+    per-doc mean of ln(p_target(tok)/p_raw(tok)) with add-one
+    smoothing so target-unseen tokens score finitely negative
+    instead of -inf. Sampling proportional to exp(score) tilts a raw
+    crawl toward the target domain; here the score itself is the
+    output so the policy stays composable (threshold, stratify, or
+    resample downstream).
+
+    Scale shape mirrors unigram_logprob: both distributions come from
+    ONE hash-agg over the exploded corpus (target counts as a
+    conditional sum in the same pass), the resulting feature table is
+    |V|-sized (tiny vs corpus) and broadcasts into the scoring join;
+    the only wide shuffle is the per-doc re-agg. With
+    ``n_buckets`` set, tokens hash into a fixed-size feature space
+    (xxhash64 % n_buckets — DSIR's hashed n-gram features), capping
+    the feature table at a constant independent of corpus vocabulary:
+    that is the 100 TB spelling (no cross-engine oracle: hash
+    functions differ; the exact-token path is the oracle-checked one).
+
+    Returns (id, n_tokens, dsir_logratio) with the catalog's
+    round-6 float-absorption policy.
+    """
+    feat = F.explode(tokens(F.col(text_col))).alias("tok")
+    toks_long = df.select(
+        F.col(id_col), target_filter.alias("__is_t"), feat
+    )
+    if n_buckets is not None:
+        toks_long = toks_long.select(
+            id_col,
+            "__is_t",
+            (F.abs(F.xxhash64("tok")) % n_buckets).alias("tok"),
+        )
+    vocab = toks_long.groupBy("tok").agg(
+        F.count("*").alias("__cr"),
+        F.sum(F.col("__is_t").cast("long")).alias("__ct"),
+    )
+    totals = vocab.agg(
+        F.sum("__cr").alias("__tr"),
+        F.sum("__ct").alias("__tt"),
+        F.count("*").alias("__v"),
+    )
+    # add-one smoothing on both sides keeps the ratio finite and the
+    # denominators exact integers (no float totals enter the log).
+    ratio = F.log(
+        ((F.col("__ct") + 1) / (F.col("__tt") + F.col("__v")))
+        / ((F.col("__cr") + 1) / (F.col("__tr") + F.col("__v")))
+    )
+    return (
+        toks_long.join(F.broadcast(vocab), ["tok"])
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(ratio), 6).alias("dsir_logratio"),
+        )
+    )

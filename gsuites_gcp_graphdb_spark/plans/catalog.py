@@ -959,6 +959,8 @@ _merge_modules()
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
     # behavior changes this round — must re-verify
+    "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
+    "ns_text_dsir",          # new: DSIR importance scoring
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -538,6 +538,26 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-window duplication profile (operators/dedup.
+    substring_dup_stats): the ExactSubstr-style pass that MinHash
+    whole-doc dedup can't replace — per-doc fraction of 8-token
+    windows whose verbatim text occurs more than once in the corpus
+    (cross-doc boilerplate and within-doc repetition both count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dup_stats(docs, k=8)
+
+
+def text_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (operators/text.dsir_importance):
+    per-doc mean log-ratio of unigram likelihood under the target
+    slice (lang='en' — the fixture's in-domain stand-in) vs the raw
+    corpus, add-one smoothed. The data-selection knob: resampling by
+    exp(score) tilts a crawl toward the target domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.dsir_importance(docs, F.col("lang") == "en")
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/text.pii_scrub) over a
     deterministically PII-laced derivation of the documents table.
@@ -2197,6 +2217,49 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
+        FROM toks t JOIN vocab v USING (tok), tot
+        GROUP BY t.doc_id
+        """,
+    ),
+    "ns_dedup_substring": QueryDef(
+        dedup_substring,
+        """
+        WITH wins0 AS (
+          SELECT doc_id, unnest(list_transform(
+            range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+            i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))
+            AS w
+          FROM documents),
+        wins AS (SELECT doc_id, md5(w) AS h FROM wins0),
+        cnt AS (SELECT h, count(*) AS c FROM wins GROUP BY 1)
+        SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows,
+               round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)
+                     / greatest(count(*), 1), 6) AS dup_frac
+        FROM wins w JOIN cnt c USING (h)
+        GROUP BY w.doc_id
+        """,
+    ),
+    "ns_text_dsir": QueryDef(
+        text_dsir_score,
+        """
+        WITH toks AS (
+          SELECT doc_id, (lang = 'en') AS is_t,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok, count(*) AS cr,
+                 sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+          FROM toks GROUP BY 1),
+        tot AS (
+          SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab)
+        SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(((v.ct + 1) / (tot.tt + tot.v))
+                         / ((v.cr + 1) / (tot.tr + tot.v)))), 6)
+                 AS dsir_logratio
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
         """,

@@ -587,3 +587,47 @@ def test_pq_codes_shape(spark):
     assert len(got) == 10
     assert all(len(r.codes) == 4 for r in got)
     assert all(0 <= c < 4 for r in got for c in r.codes)
+
+
+def test_substring_dup_stats(docs):
+    """Window-level exact dedup: docs 1 and 4 are verbatim-identical
+    (every window duplicated); doc 3 shares no window with anything;
+    short docs degrade to one partial window, never zero-divide."""
+    out = {r.doc_id: r for r in dd.substring_dup_stats(docs, k=4).collect()}
+    # 9-token docs at k=4 -> 6 windows
+    assert out[1].n_windows == 6 and out[4].n_windows == 6
+    assert out[1].n_dup_windows == 6 and out[1].dup_frac == 1.0
+    assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+    # docs 1/2 share the first 5 windows ("...lazy"), differ on the last
+    assert out[2].n_dup_windows == 5
+    assert out[5].n_windows == 1  # partial window, still counted
+    # fast path ranks identically (hash family swap only)
+    fast = {
+        r.doc_id: r for r in dd.substring_dup_stats(docs, k=4, fast=True).collect()
+    }
+    assert all(fast[i].n_dup_windows == out[i].n_dup_windows for i in out)
+
+
+def test_dsir_importance(spark):
+    """Target-slice tokens score positive, off-target negative, mixed
+    in between — and the hashed-feature path preserves the ordering
+    when buckets don't collide semantics away."""
+    rows = [
+        (1, "alpha alpha beta", "en"),
+        (2, "gamma delta gamma", "xx"),
+        (3, "alpha gamma", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r.dsir_logratio
+        for r in tx.dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert out[1] > 0 > out[2]
+    assert out[2] < out[3] < out[1]
+    hashed = {
+        r.doc_id: r.dsir_logratio
+        for r in tx.dsir_importance(
+            df, F.col("lang") == "en", n_buckets=1 << 20
+        ).collect()
+    }
+    assert hashed[1] > hashed[2]
