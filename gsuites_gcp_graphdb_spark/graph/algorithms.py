@@ -895,3 +895,56 @@ def link_prediction(
             "v_key",
         ).limit(topk)
     return out
+
+
+def multi_source_distances(
+    g: Graph,
+    seeds: DataFrame,
+    edge_label: str | None = "in",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """Per-seed BFS distances: like shortest_paths but each seed keeps
+    its own distance field — the kernel for landmark/sampled
+    centrality (closeness over k seeds, Eppstein–Wang-style
+    estimation) where merging sources would destroy the per-source
+    sums. ``seeds`` is a DataFrame with column ``seed`` holding vertex
+    ids. Returns (seed, id, distance), seeds at distance 0.
+
+    Scale shape: state and frontier are (seed, id) pairs — k seeds
+    cost at most k× the single-source frontier, one shuffle per round,
+    lineage checkpointed. For whole-graph closeness at 100 TB you
+    sample k ~ O(log n / eps^2) landmark seeds, never all n: the
+    frontier stays a k×-bounded fraction of the edge set while the
+    estimate converges at the Hoeffding rate, which is why the
+    sampled form IS the scale form.
+    """
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst")
+
+    frontier = _truncate(
+        seeds.select(F.col("seed"), F.col("seed").alias("id")).dropDuplicates()
+    )
+    dist = _truncate(
+        frontier.select("seed", "id", F.lit(0).cast("int").alias("distance"))
+    )
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select("seed", F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(dist, ["seed", "id"], "left_anti")
+        )
+        nxt = _truncate(nxt)
+        if not nxt.take(1):
+            break
+        dist = _truncate(
+            dist.unionByName(
+                nxt.select(
+                    "seed", "id", F.lit(depth).cast("int").alias("distance")
+                )
+            )
+        )
+        frontier = nxt
+    return dist

@@ -641,6 +641,32 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_closeness_sample": QueryDef(
+        gq.closeness_sample,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        seeds AS (
+          SELECT DISTINCT c_name AS s FROM customer
+          ORDER BY c_name LIMIT 5),
+        walk(s, l, k, d) AS (
+          SELECT s, 'user', s, 0 FROM seeds
+          UNION ALL
+          SELECT w.s, e.dl, e.dk, w.d + 1
+          FROM walk w JOIN edges_nk e ON e.sl = w.l AND e.sk = w.k
+        ),
+        m AS (SELECT s, l, k, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+        SELECT s AS seed_email,
+               CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+               CAST(coalesce(sum(d) FILTER (WHERE d > 0), 0) AS BIGINT)
+                 AS sum_dist,
+               round(count(*) FILTER (WHERE d > 0)
+                     / greatest(coalesce(sum(d) FILTER (WHERE d > 0), 0), 1),
+                     6) AS closeness
+        FROM m GROUP BY s
+        ORDER BY seed_email
+        """,
+    ),
     "g_access_paths": QueryDef(
         gq.access_paths,
         f"""
@@ -961,6 +987,7 @@ _PRIORITY = [
     # behavior changes this round — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring
+    "g_closeness_sample",    # new: landmark closeness centrality
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -327,6 +327,43 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled (landmark) closeness centrality: per-seed BFS from the
+    5 smallest-email users, closeness = n_reached / sum(dist) over the
+    seed's access cone. The sampled form is the 100 TB form — k seeds
+    bound the frontier at k× single-source, and whole-graph closeness
+    is estimated from landmarks, never computed per-vertex
+    (graph/algorithms.multi_source_distances)."""
+    from ..graph.algorithms import multi_source_distances
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    seeds = users.orderBy("email").limit(5)
+    d = multi_source_distances(
+        g, seeds.select(F.col("id").alias("seed")), edge_label="in"
+    )
+    reached = d.filter(F.col("distance") > 0)
+    per_seed = reached.groupBy("seed").agg(
+        F.count("*").cast("bigint").alias("n_reached"),
+        F.sum("distance").cast("bigint").alias("sum_dist"),
+    )
+    return (
+        seeds.select(F.col("id").alias("seed"), F.col("email"))
+        .join(per_seed, ["seed"], "left")
+        .select(
+            F.col("email").alias("seed_email"),
+            F.coalesce("n_reached", F.lit(0)).cast("bigint").alias("n_reached"),
+            F.coalesce("sum_dist", F.lit(0)).cast("bigint").alias("sum_dist"),
+            F.round(
+                F.coalesce("n_reached", F.lit(0))
+                / F.greatest(F.coalesce("sum_dist", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("seed_email")
+    )
+
+
 def access_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full README.md:15-32 audit: not just CAN the min user reach
     the min project, but every complete chain (user/role/project,

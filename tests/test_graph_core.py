@@ -370,3 +370,30 @@ def test_load_gcs_equivalence(spark, sf_dir):
         == bucket_vertices(part).count()
     )
     assert g.edges.count() == bucket_edges(part).count()
+
+
+def test_multi_source_distances_matches_single_source(golden, spark):
+    """Per-seed BFS must agree with shortest_paths run seed-by-seed:
+    the chain golden graph gives user1 distances 1..4 and subgroup1
+    distances 1..3, each under its own seed."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        multi_source_distances,
+        shortest_paths,
+    )
+
+    v = golden.vertices
+    seeds = v.filter(
+        F.col("email").isin("user1@domain.com", "subgroup1@domain.com")
+    ).select(F.col("id").alias("seed"))
+    multi = {
+        (r.seed, r.id): r.distance
+        for r in multi_source_distances(golden, seeds).collect()
+    }
+    for seed_row in seeds.collect():
+        one = shortest_paths(
+            golden, spark.createDataFrame([(seed_row.seed,)], "id long")
+        )
+        for r in one.collect():
+            assert multi[(seed_row.seed, r.id)] == r.distance
+    # each seed appears at distance 0 under its own key
+    assert sorted(multi.values()).count(0) == 2
