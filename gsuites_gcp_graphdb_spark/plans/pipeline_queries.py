@@ -538,6 +538,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit (operators/audit):
+    completeness, uniqueness, row invariants, and referential
+    integrity over the fixture warehouse, each table audited in one
+    aggregation pass, FKs as broadcast anti-join counts. The gate a
+    pipeline runs before trusting a new snapshot."""
+    from ..operators import audit as au
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        au.audit_metrics(
+            docs,
+            "documents",
+            nulls=("text", "lang"),
+            unique=("doc_id",),
+            invariants=(
+                ("n_chars_mismatch", F.col("n_chars") == F.length("text")),
+            ),
+        ),
+        au.audit_metrics(
+            events,
+            "events",
+            nulls=("ts",),
+            unique=("event_id",),
+            invariants=(("value_negative", F.col("value") >= 0),),
+        ),
+        au.fk_violations(
+            orders, customer, "o_custkey", "c_custkey",
+            "orders.o_custkey_orphans",
+        ),
+        au.fk_violations(
+            lineitem, orders, "l_orderkey", "o_orderkey",
+            "lineitem.l_orderkey_orphans",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-window duplication profile (operators/dedup.
     substring_dup_stats): the ExactSubstr-style pass that MinHash
@@ -2219,6 +2264,35 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_table_audit": QueryDef(
+        table_audit,
+        """
+        SELECT 'documents.rows' AS "check",
+               CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'documents.text_nulls',
+          count(*) FILTER (WHERE text IS NULL) FROM documents
+        UNION ALL SELECT 'documents.lang_nulls',
+          count(*) FILTER (WHERE lang IS NULL) FROM documents
+        UNION ALL SELECT 'documents.doc_id_dups',
+          count(doc_id) - count(DISTINCT doc_id) FROM documents
+        UNION ALL SELECT 'documents.n_chars_mismatch',
+          count(*) - count(*) FILTER (WHERE n_chars = len(text))
+          FROM documents
+        UNION ALL SELECT 'events.rows', count(*) FROM events
+        UNION ALL SELECT 'events.ts_nulls',
+          count(*) FILTER (WHERE ts IS NULL) FROM events
+        UNION ALL SELECT 'events.event_id_dups',
+          count(event_id) - count(DISTINCT event_id) FROM events
+        UNION ALL SELECT 'events.value_negative',
+          count(*) - count(*) FILTER (WHERE value >= 0) FROM events
+        UNION ALL SELECT 'orders.o_custkey_orphans',
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'lineitem.l_orderkey_orphans',
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         """,
     ),
     "ns_dedup_substring": QueryDef(

@@ -631,3 +631,37 @@ def test_dsir_importance(spark):
         ).collect()
     }
     assert hashed[1] > hashed[2]
+
+
+def test_audit_metrics_dirty_data(spark):
+    """Every check fires on deliberately dirty rows; a NULL invariant
+    input counts as a violation (silence is not compliance)."""
+    from gsuites_gcp_graphdb_spark.operators import audit as au
+
+    rows = [
+        (1, "abc", 3),
+        (1, None, 5),      # dup id, null text, mismatched len (null-eval)
+        (2, "xy", 9),      # mismatched len
+        (None, "ok", 2),   # null id: not a dup (count skips nulls)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r.check: r.value
+        for r in au.audit_metrics(
+            df,
+            "t",
+            nulls=("text",),
+            unique=("doc_id",),
+            invariants=(("len_ok", F.col("n_chars") == F.length("text")),),
+        ).collect()
+    }
+    assert out == {
+        "t.rows": 4,
+        "t.text_nulls": 1,
+        "t.doc_id_dups": 1,
+        "t.len_ok": 2,  # len-mismatch row false + null-text row null-evals
+    }
+    child = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,)], "p long")
+    fk = au.fk_violations(child, parent, "k", "p", "t.k_orphans").collect()
+    assert fk[0].check == "t.k_orphans" and fk[0].value == 2
