@@ -538,6 +538,36 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental): the
+    per-(type, day) rollup is maintained as BASE partials (history
+    before a cut 7 days after the first event) merged with a DELTA
+    batch (everything after), never recomputed from scratch — and the
+    merged state is asserted bit-identical to the full recompute by
+    the oracle, which is the IVM correctness invariant. Splitting on
+    a data-derived cut keeps the query scale-free."""
+    from ..operators import incremental as inc
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("__cut")
+    )
+    keyed = ev.crossJoin(F.broadcast(cut)).withColumn(
+        "day", F.to_date("ts")
+    )
+    keys = ["event_type", "day"]
+    base = inc.partial_value_aggs(keyed.filter(F.col("ts") < F.col("__cut")), keys)
+    delta = inc.partial_value_aggs(keyed.filter(F.col("ts") >= F.col("__cut")), keys)
+    return inc.merge_partials(base, delta, keys).select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value_micro",
+        "min_value_micro",
+        "max_value_micro",
+    )
+
+
 def table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative data-quality audit (operators/audit):
     completeness, uniqueness, row invariants, and referential
@@ -2264,6 +2294,20 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_incremental_agg": QueryDef(
+        events_incremental_agg,
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_micro,
+               CAST(min(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS min_value_micro,
+               CAST(max(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS max_value_micro
+        FROM events GROUP BY 1, 2
         """,
     ),
     "ns_table_audit": QueryDef(

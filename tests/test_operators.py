@@ -665,3 +665,38 @@ def test_audit_metrics_dirty_data(spark):
     parent = spark.createDataFrame([(1,)], "p long")
     fk = au.fk_violations(child, parent, "k", "p", "t.k_orphans").collect()
     assert fk[0].check == "t.k_orphans" and fk[0].value == 2
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """IVM invariant: any split of the input into batches, merged in
+    any grouping/order, equals the single-pass aggregate exactly
+    (integer micro-unit sums make this bit-exact, not approximate)."""
+    import datetime as dt
+
+    from gsuites_gcp_graphdb_spark.operators import incremental as inc
+
+    rows = [
+        ("a", dt.date(2026, 1, 1 + i % 3), 0.1 * i + 0.05) for i in range(30)
+    ] + [("b", dt.date(2026, 1, 2), -1.75)]
+    df = spark.createDataFrame(rows, "event_type string, day date, value double")
+    keys = ["event_type", "day"]
+    full = {
+        tuple(r[k] for k in keys): (
+            r.n_events, r.sum_value_micro, r.min_value_micro, r.max_value_micro
+        )
+        for r in inc.partial_value_aggs(df, keys).collect()
+    }
+    # three uneven batches, merged pairwise in a skewed order
+    b1 = inc.partial_value_aggs(df.filter("value < 0.5"), keys)
+    b2 = inc.partial_value_aggs(
+        df.filter("value >= 0.5 and value < 2.0"), keys
+    )
+    b3 = inc.partial_value_aggs(df.filter("value >= 2.0"), keys)
+    merged = inc.merge_partials(inc.merge_partials(b3, b1, keys), b2, keys)
+    got = {
+        tuple(r[k] for k in keys): (
+            r.n_events, r.sum_value_micro, r.min_value_micro, r.max_value_micro
+        )
+        for r in merged.collect()
+    }
+    assert got == full
