@@ -140,6 +140,16 @@ HEADLINE = [
     # design, ~78s at sf0.1) — the bench times the LSH production
     # path below as ns_semantic_dedup_fast instead.
     "g_weighted_distances",
+    # round-5 late additions: substring-window dedup (the ExactSubstr
+    # profile — one hash-agg + join-back over the exploded windows),
+    # DSIR importance scoring (broadcast vocab), the one-pass
+    # data-quality audit, IVM partial merge, and landmark closeness
+    # (per-seed BFS — the sampled form IS the scale form)
+    "ns_dedup_substring",
+    "ns_text_dsir",
+    "ns_table_audit",
+    "ns_incremental_agg",
+    "g_closeness_sample",
 ]
 
 
