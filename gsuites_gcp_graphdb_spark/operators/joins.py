@@ -136,3 +136,46 @@ def range_join(
         & (F.col(left_ts) < F.col(right_end))
     )
     return joined.drop("__b")
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    block_len: int = 6,
+) -> DataFrame:
+    """Similarity (fuzzy) join on strings — the entity-resolution
+    primitive: pair rows whose keys are within ``max_dist`` edits,
+    without ever forming the cross product. Candidates come from
+    BLOCKING on the first ``block_len`` characters (records disagreeing
+    inside the block can't pair, an accepted-blocking tradeoff this
+    operator makes explicit rather than hiding); the exact
+    levenshtein filter then runs only inside blocks.
+
+    Scale shape: the blocking key turns an O(|L|x|R|) cross join into
+    an equi-join shuffled on the block prefix — candidate volume is
+    sum of per-block |L_b|x|R_b|, controlled by block_len exactly the
+    way the dedup family's df-cut controls posting-list blowup. Skewed
+    blocks (a too-common prefix) are AQE's skew-join case; raising
+    block_len shrinks blocks geometrically. levenshtein() is a
+    built-in (JVM codegen), identical metric in DuckDB, so the
+    operator oracle-checks exactly.
+    """
+    lt = left.select(
+        F.col(left_col).alias("left_key"),
+        F.substring(F.col(left_col), 1, block_len).alias("__blk"),
+    )
+    rt = right.select(
+        F.col(right_col).alias("right_key"),
+        F.substring(F.col(right_col), 1, block_len).alias("__blk"),
+    )
+    return (
+        lt.join(rt, ["__blk"])
+        .withColumn(
+            "edit_dist", F.levenshtein("left_key", "right_key")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("left_key", "right_key", F.col("edit_dist").cast("bigint").alias("edit_dist"))
+    )

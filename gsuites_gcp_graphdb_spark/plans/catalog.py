@@ -990,6 +990,7 @@ _PRIORITY = [
     "g_closeness_sample",    # new: landmark closeness centrality
     "ns_table_audit",        # new: Deequ-style data-quality audit
     "ns_incremental_agg",    # new: incremental view maintenance merge
+    "ns_fuzzy_match",        # new: blocked edit-distance entity resolution
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

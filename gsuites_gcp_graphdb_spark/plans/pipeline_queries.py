@@ -538,6 +538,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via blocked edit-distance join
+    (operators/joins.edit_distance_join): customer and supplier
+    numeric identities within one edit of each other, candidates
+    blocked on the 7-digit prefix so the cross product never forms —
+    the fuzzy-matching primitive for reconciling entity tables that
+    disagree by typos."""
+    from ..operators.joins import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.substring_index("c_name", "#", -1).alias("ckey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.substring_index("s_name", "#", -1).alias("skey")
+    )
+    return edit_distance_join(
+        cust, supp, "ckey", "skey", max_dist=1, block_len=7
+    ).select(
+        F.col("left_key").alias("customer_sfx"),
+        F.col("right_key").alias("supplier_sfx"),
+        "edit_dist",
+    )
+
+
 def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/incremental): the
     per-(type, day) rollup is maintained as BASE partials (history
@@ -2294,6 +2318,17 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_fuzzy_match": QueryDef(
+        fuzzy_entity_match,
+        """
+        SELECT c.k AS customer_sfx, s.k AS supplier_sfx,
+               CAST(levenshtein(c.k, s.k) AS BIGINT) AS edit_dist
+        FROM (SELECT split_part(c_name, '#', 2) AS k FROM customer) c
+        JOIN (SELECT split_part(s_name, '#', 2) AS k FROM supplier) s
+          ON substr(c.k, 1, 7) = substr(s.k, 1, 7)
+        WHERE levenshtein(c.k, s.k) <= 1
         """,
     ),
     "ns_incremental_agg": QueryDef(

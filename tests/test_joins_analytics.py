@@ -399,3 +399,29 @@ def test_link_prediction_semantics(spark):
         for r in link_prediction(Graph(v, e2), min_common=2).collect()
     }
     assert ("u1", "u2") not in out2
+
+
+def test_edit_distance_join_blocking(spark):
+    """Fuzzy join finds within-distance pairs inside a block, never
+    across blocks (the explicit blocking tradeoff), and never forms
+    the cross product of unrelated keys."""
+    from gsuites_gcp_graphdb_spark.operators.joins import edit_distance_join
+
+    left = spark.createDataFrame(
+        [("abc123",), ("abc124",), ("zzz999",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("abc125",), ("abd123",), ("zzz990",)], "k string"
+    )
+    got = {
+        (r.left_key, r.right_key): r.edit_dist
+        for r in edit_distance_join(
+            left, right, "k", "k", max_dist=1, block_len=3
+        ).collect()
+    }
+    # abd123 is 1 edit from abc123 but in block 'abd' — blocked away
+    assert got == {
+        ("abc123", "abc125"): 1,
+        ("abc124", "abc125"): 1,
+        ("zzz999", "zzz990"): 1,
+    }
