@@ -948,3 +948,61 @@ def multi_source_distances(
         )
         frontier = nxt
     return dist
+
+
+def hits(
+    g: Graph,
+    iterations: int = 5,
+    edge_label: str | None = "in",
+) -> DataFrame:
+    """HITS hubs & authorities via join-aggregate rounds: on the IAM
+    graph authorities are the heavily-granted containers (roles,
+    projects) and hubs the principals whose grants concentrate on
+    them — a different audit lens from PageRank's stationary mass.
+    Returns (id, hub, auth), L1-normalized each half-round (hub sums
+    and auth sums each total 1.0).
+
+    Scale notes (same budget as pagerank): each half-round is one
+    shuffle (groupBy dst then groupBy src); the normalizing total
+    folds in as a one-row broadcast cross-join — no driver barrier;
+    lineage checkpointed per round. The mutual recursion never
+    materializes anything wider than (id, double).
+    """
+    v = g.vertices.select("id")
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = _truncate(edges.select("src", "dst"))
+
+    hub = _truncate(v.select("id", F.lit(1.0).alias("hub")))
+    auth = v.select("id", F.lit(1.0).alias("auth"))
+    for _ in range(iterations):
+        raw_a = (
+            hub.join(edges, hub.id == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__raw"))
+        )
+        auth = v.join(
+            raw_a, v.id == F.col("dst"), "left_outer"
+        ).select("id", F.coalesce("__raw", F.lit(0.0)).alias("__raw"))
+        ta = auth.agg(F.sum("__raw").alias("__tot"))
+        auth = _truncate(
+            auth.crossJoin(F.broadcast(ta)).select(
+                "id", (F.col("__raw") / F.col("__tot")).alias("auth")
+            )
+        )
+        raw_h = (
+            auth.join(edges, auth.id == edges.dst)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("__raw"))
+        )
+        hub = v.join(
+            raw_h, v.id == F.col("src"), "left_outer"
+        ).select("id", F.coalesce("__raw", F.lit(0.0)).alias("__raw"))
+        th = hub.agg(F.sum("__raw").alias("__tot"))
+        hub = _truncate(
+            hub.crossJoin(F.broadcast(th)).select(
+                "id", (F.col("__raw") / F.col("__tot")).alias("hub")
+            )
+        )
+    return hub.join(auth, ["id"])

@@ -143,6 +143,57 @@ def _pagerank_sql(
         """
 
 
+def _hits_sql(iterations: int = 5, topk: int = 20) -> str:
+    """The SAME 5-iteration HITS as graph/algorithms.hits, unrolled
+    as DuckDB CTEs over the (label, key) graph: identical init
+    (hub=auth=1.0), identical half-round order (auth from prior hub,
+    normalize; hub from new auth, normalize), L1 totals as scalar
+    CTEs — the exact mirror of the engine's one-row broadcast
+    cross-join. Rounded to 6 decimals BEFORE the top-k cut with
+    (label, key) tiebreaks, like the PageRank oracle."""
+    # MATERIALIZED everywhere a relation is referenced more than
+    # once across the unroll: DuckDB inlines plain CTEs per
+    # reference, and 5 rounds x 2 edge joins of an inlined edges_nk
+    # re-open the base parquet files until fds run out (same failure
+    # mode _kcore_sql documents).
+    ctes = [
+        _EDGES_NK.strip(),
+        _VERTS_NK.strip(),
+        "em AS MATERIALIZED (SELECT * FROM edges_nk)",
+        "vm AS MATERIALIZED (SELECT * FROM verts_nk)",
+        "h0 AS (SELECT l, k, CAST(1.0 AS DOUBLE) AS v FROM vm)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ar{i} AS (
+          SELECT e.dl AS l, e.dk AS k, sum(h.v) AS s
+          FROM h{i - 1} h JOIN em e ON h.l = e.sl AND h.k = e.sk
+          GROUP BY e.dl, e.dk)""")
+        ctes.append(f"at{i} AS (SELECT sum(s) AS t FROM ar{i})")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+          SELECT v.l, v.k, coalesce(ar.s, 0.0) / at.t AS v
+          FROM vm v
+          LEFT JOIN ar{i} ar ON ar.l = v.l AND ar.k = v.k, at{i} at)""")
+        ctes.append(f"""hr{i} AS (
+          SELECT e.sl AS l, e.sk AS k, sum(a.v) AS s
+          FROM a{i} a JOIN em e ON a.l = e.dl AND a.k = e.dk
+          GROUP BY e.sl, e.sk)""")
+        ctes.append(f"ht{i} AS (SELECT sum(s) AS t FROM hr{i})")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+          SELECT v.l, v.k, coalesce(hr.s, 0.0) / ht.t AS v
+          FROM vm v
+          LEFT JOIN hr{i} hr ON hr.l = v.l AND hr.k = v.k, ht{i} ht)""")
+    body = ",\n        ".join(ctes)
+    n = iterations
+    return f"""
+        WITH {body}
+        SELECT h.l AS label, h.k AS key,
+               round(h.v, 6) AS hub, round(a.v, 6) AS auth
+        FROM h{n} h JOIN a{n} a ON a.l = h.l AND a.k = h.k
+        ORDER BY round(a.v, 6) DESC, h.l, h.k
+        LIMIT {topk}
+        """
+
+
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
     """k-core oracle: the SAME degree-floor peel as graph/
     algorithms.k_core, unrolled as bounded SQL rounds over the
@@ -724,6 +775,7 @@ CATALOG: dict[str, QueryDef] = {
         gq.label_propagation_communities, _lpa_sql(3)
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
+    "g_hits_top": QueryDef(gq.hits_top, _hits_sql()),
     "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
     "g_link_prediction": QueryDef(
         gq.link_prediction_pairs,
@@ -991,6 +1043,7 @@ _PRIORITY = [
     "ns_table_audit",        # new: Deequ-style data-quality audit
     "ns_incremental_agg",    # new: incremental view maintenance merge
     "ns_fuzzy_match",        # new: blocked edit-distance entity resolution
+    "g_hits_top",            # new: HITS hubs/authorities, unrolled oracle
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -327,6 +327,31 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph/algorithms.hits), top-20
+    authorities: the containers (roles/projects/buckets) where grant
+    mass concentrates, with each vertex's hub score alongside — the
+    complementary audit lens to g_pagerank_top. Oracle: the SAME
+    5-iteration mutual recursion unrolled as DuckDB CTEs, L1
+    normalization each half-round, round-6 before the top-k cut with
+    (label, key) tiebreaks."""
+    from ..graph.algorithms import hits
+
+    g = _graph(spark, sf_dir)
+    s = hits(g, iterations=5)
+    return (
+        g.vertices.join(s, ["id"])
+        .select(
+            "label",
+            natural_key_col().alias("key"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy(F.col("auth").desc(), "label", "key")
+        .limit(20)
+    )
+
+
 def closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled (landmark) closeness centrality: per-seed BFS from the
     5 smallest-email users, closeness = n_reached / sum(dist) over the

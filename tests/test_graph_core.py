@@ -397,3 +397,21 @@ def test_multi_source_distances_matches_single_source(golden, spark):
             assert multi[(seed_row.seed, r.id)] == r.distance
     # each seed appears at distance 0 under its own key
     assert sorted(multi.values()).count(0) == 2
+
+
+def test_hits_golden(golden):
+    """HITS on the golden chain: L1 invariants (hub and auth each sum
+    to 1), sinks have hub 0, sources have auth 0, and all mass stays
+    on the chain."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import hits
+
+    s = hits(golden, iterations=3)
+    rows = {
+        r.email or r.name or r.projectid: (r.hub, r.auth)
+        for r in golden.vertices.join(s, ["id"]).collect()
+    }
+    hubs = sum(h for h, _ in rows.values())
+    auths = sum(a for _, a in rows.values())
+    assert abs(hubs - 1.0) < 1e-9 and abs(auths - 1.0) < 1e-9
+    assert rows["gcp-project-200601"][0] == 0.0  # sink: no out-edges
+    assert rows["user1@domain.com"][1] == 0.0    # source: no in-edges
