@@ -1044,6 +1044,8 @@ _PRIORITY = [
     "ns_incremental_agg",    # new: incremental view maintenance merge
     "ns_fuzzy_match",        # new: blocked edit-distance entity resolution
     "g_hits_top",            # new: HITS hubs/authorities, unrolled oracle
+    "ns_events_retention",   # new: cohort retention matrix
+    "ns_events_trend",       # new: exact-integer OLS trend slopes
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

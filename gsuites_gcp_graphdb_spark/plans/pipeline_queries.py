@@ -538,6 +538,71 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by first-seen week,
+    counted distinct per week offset — the engagement matrix every
+    event pipeline reports. Two hash-aggs (first-seen per user, then
+    the cohort x offset census) with the per-user cohort table
+    re-joined on user_id; at 100 TB the first agg is map-side
+    combinable and the join shuffles on the same user_id key both
+    sides, so AQE coalesces into one co-partitioned exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, ["user_id"])
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend slope of value over time — drift detection
+    for event streams. The whole regression is ONE map-side-combinable
+    hash-agg of four running sums; the closed-form slope
+    (n*sxy - sx*sy)/(n*sxx - sx^2) is computed from EXACT integer
+    sums (event time as microseconds since the min timestamp, value
+    in micro-units, sums in DECIMAL(38) / HUGEINT) so both engines
+    divide the same two integers — the DESIGN.md #8 discipline
+    applied to regression. Slope unit: micro-value per microsecond."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("__t0"))
+    dec = "decimal(38,0)"
+    b = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros("__t0"))
+        .cast(dec)
+        .alias("x"),
+        F.floor(F.col("value") * 1e6).cast(dec).alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(num / den, 6).alias("slope"),
+    )
+
+
 def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution via blocked edit-distance join
     (operators/joins.edit_distance_join): customer and supplier
@@ -2318,6 +2383,42 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_events_trend": QueryDef(
+        events_trend_slope,
+        """
+        WITH m AS (SELECT min(ts) AS t0 FROM events),
+        b AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - epoch_us(t0) AS HUGEINT) AS x,
+                 CAST(floor(value * 1000000) AS HUGEINT) AS y
+          FROM events, m),
+        s AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM b GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+        FROM s
+        """,
+    ),
+    "ns_events_retention": QueryDef(
+        events_retention_cohorts,
+        """
+        WITH ev AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events),
+        f AS (
+          SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        SELECT f.cohort_week,
+               CAST(floor((ev.wk - f.cohort_week) / 7) AS BIGINT)
+                 AS week_offset,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN f USING (user_id)
+        GROUP BY 1, 2
         """,
     ),
     "ns_fuzzy_match": QueryDef(

@@ -700,3 +700,37 @@ def test_incremental_merge_equals_recompute(spark):
         for r in merged.collect()
     }
     assert got == full
+
+
+def test_trend_slope_matches_numpy(spark):
+    """The exact-integer closed form equals a float OLS fit to ~1e-9:
+    the decimal sums change the arithmetic path, not the estimator."""
+    import datetime as dt
+
+    import numpy as np
+
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        events_trend_slope,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i * 60), 100, "a", 2.5 + 0.125 * i, "{}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="trend_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = events_trend_slope(spark, d).collect()[0]
+    x = np.array([i * 60e6 for i in range(50)])       # micros
+    y = np.floor((2.5 + 0.125 * np.arange(50)) * 1e6) # micro-units
+    expect = np.polyfit(x, y, 1)[0]
+    assert out.n_events == 50
+    assert abs(out.slope - round(expect, 6)) <= 1e-6
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
