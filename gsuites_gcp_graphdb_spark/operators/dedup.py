@@ -562,7 +562,11 @@ def substring_dup_stats(
     win = shingles(F.col(text_col), k, distinct=False)
     wins = df.select(F.col(id_col), F.explode(win).alias("w"))
     hcol = F.xxhash64("w") if fast else F.md5("w")
-    wins = wins.select(id_col, hcol.alias("h"))
+    # The window stream feeds BOTH the count table and the join-back
+    # probe; Catalyst does not reuse a subtree across those two uses,
+    # so without the persist the corpus explodes + hashes twice
+    # (DESIGN.md #9 — persist only proven re-use).
+    wins = _scratch_persist(wins.select(id_col, hcol.alias("h")))
     cnt = wins.groupBy("h").agg(F.count("*").alias("__cnt"))
     return (
         wins.join(cnt, ["h"])

@@ -708,6 +708,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-doc dedup can't replace — per-doc fraction of 8-token
     windows whose verbatim text occurs more than once in the corpus
     (cross-doc boilerplate and within-doc repetition both count)."""
+    dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
     return dd.substring_dup_stats(docs, k=8)
 
