@@ -225,3 +225,43 @@ def test_stream_left_outer_emits_nulls(spark, sf_dir):
     assert zero, "no zero-click signups emitted — outer path untested"
     # matched signups flow through the same join too
     assert any(r.n_clicks > 0 for r in rows)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """The bounded-state dedup variant: within the watermark horizon,
+    re-deliveries of the same event_id are dropped exactly like
+    unbounded dropDuplicates; the catalog's exact-dedup entry
+    documents why the within-watermark form can't be oracle-checked
+    (eviction timing vs file->batch assignment), so its contract is
+    pinned here with a single deterministic batch instead."""
+    rows = [
+        ("2024-01-01 00:01:00", 1, "click", 1.0, 10),
+        ("2024-01-01 00:01:00", 1, "click", 1.0, 10),   # dup, same batch
+        ("2024-01-01 00:05:00", 2, "view", 2.0, 11),
+        ("2024-01-01 00:05:00", 2, "view", 2.0, 11),    # dup
+        ("2024-01-01 00:30:00", 3, "click", 3.0, 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_type string, value double,"
+        " event_id long"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type",
+             "value", "event_id")
+    src = str(tmp_path / "src")
+    df.write.parquet(src, mode="overwrite")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ddww").select("event_id").collect()
+    assert sorted(r.event_id for r in got) == [10, 11, 12]
