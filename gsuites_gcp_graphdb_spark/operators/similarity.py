@@ -570,3 +570,47 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", F.col("id").alias(id_col), "adc_score")
     )
+
+
+def scalar_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the third leg of the
+    index-compression triad (IVF partitions the corpus, PQ compresses
+    to subspace codes, SQ compresses each dimension to a byte):
+    float32 -> uint8 is 4x smaller with per-vector (min, scale)
+    dequantization, the format a 100 TB vector store actually ships
+    to disk. Codes: floor((x - min)/scale) clamped to 255, scale =
+    (max - min)/255 floored at 1e-12 so constant vectors quantize to
+    code 0 instead of dividing by zero.
+
+    All elementwise higher-order functions over the vector — map-only,
+    no shuffle. Returns (id, n_dims, code_hash, sum_abs_err_nano):
+    codes are hashed (narrow output), reconstruction error is summed
+    in exact integer nano-units so the quality metric cross-checks
+    bit-for-bit against the oracle (identical IEEE expression trees
+    on both engines).
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin = F.array_min(e)
+    scale = F.greatest(
+        (F.array_max(e) - vmin) / F.lit(255.0), F.lit(1e-12)
+    )
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255.0), F.floor((x - vmin) / scale)
+    ).cast("int")
+    codes = F.transform(e, code)
+    err = lambda x: F.floor(  # noqa: E731
+        F.abs(x - (vmin + code(x).cast("double") * scale)) * 1e9
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(codes).cast("bigint").alias("n_dims"),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))))
+        .alias("code_hash"),
+        F.aggregate(
+            F.transform(e, err),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_abs_err_nano"),
+    )

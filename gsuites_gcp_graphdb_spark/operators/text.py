@@ -472,3 +472,58 @@ def dsir_importance(
             F.round(F.avg(ratio), 6).alias("dsir_logratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window document chunking — the context-window prep step
+    (training sequences, retrieval corpora): each doc explodes into
+    overlapping ``chunk_tokens``-token windows advancing by
+    ``stride`` (overlap = chunk_tokens - stride). The final partial
+    window is kept iff it starts before the text ends, so every token
+    lands in >= 1 chunk and short docs yield exactly one chunk.
+
+    Pure built-ins: one sequence() per doc (O(n_chunks) array) and a
+    posexplode — per-row work stays in codegen, no shuffle at all
+    until whatever consumes the chunks aggregates. Returns
+    (id, chunk_idx, n_tokens, chunk_hash) — the chunk TEXT is hashed,
+    not carried, so the relation stays narrow at corpus scale; a
+    consumer re-slices the source doc by (chunk_idx*stride,
+    chunk_tokens) when it needs bytes.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)), F.lit(0)
+        ).cast("int"),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__s"))
+        .select(
+            id_col,
+            "__toks",
+            F.posexplode("__s").alias("chunk_idx", "__i"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.slice(
+                F.col("__toks"),
+                F.col("__i") * stride + 1,
+                F.lit(chunk_tokens),
+            ).alias("__w"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__w").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "__w")).alias("chunk_hash"),
+        )
+    )

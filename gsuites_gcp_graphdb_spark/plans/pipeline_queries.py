@@ -538,6 +538,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def vector_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus
+    (operators/similarity.scalar_quantize): 4x compression with
+    per-vector dequant params, map-only, exact-integer error
+    accounting."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.scalar_quantize(emb)
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.
+    chunk_documents): 64-token windows, stride 48 — the
+    context-window prep pass for training sequences and retrieval
+    corpora, map-only until a consumer aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention analysis: users grouped by first-seen week,
     counted distinct per week offset — the engagement matrix every
@@ -612,11 +630,17 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree by typos."""
     from ..operators.joins import edit_distance_join
 
+    # Key = the segment after the FIRST '#' (split_part semantics,
+    # mirrored in the oracle), NOT substring_index(-1): scalebench's
+    # replicated fixtures append '#k' to names, and taking the LAST
+    # segment collapsed every replica into one 1-char key -> three
+    # giant blocks -> quadratic blowup (measured 341x at a 4x step).
+    # Blocking keys must come from the stable id segment.
     cust = load_table(spark, sf_dir, "customer").select(
-        F.substring_index("c_name", "#", -1).alias("ckey")
+        F.split("c_name", "#").getItem(1).alias("ckey")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
-        F.substring_index("s_name", "#", -1).alias("skey")
+        F.split("s_name", "#").getItem(1).alias("skey")
     )
     return edit_distance_join(
         cust, supp, "ckey", "skey", max_dist=1, block_len=7
@@ -2384,6 +2408,49 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_vec_scalar_quant": QueryDef(
+        vector_scalar_quant,
+        """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        p AS (
+          SELECT vec_id, e, list_min(e) AS vmin,
+                 greatest((list_max(e) - list_min(e)) / 255.0, 1e-12)
+                   AS scale
+          FROM v)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(len(e) AS BIGINT) AS n_dims,
+               md5(array_to_string(list_transform(e, x ->
+                 CAST(least(255.0, floor((x - vmin) / scale)) AS INT)), ','))
+                 AS code_hash,
+               CAST(list_sum(list_transform(e, x ->
+                 CAST(floor(abs(x - (vmin
+                   + CAST(CAST(least(255.0, floor((x - vmin) / scale))
+                          AS INT) AS DOUBLE) * scale)) * 1e9)
+                      AS BIGINT))) AS BIGINT) AS sum_abs_err_nano
+        FROM p
+        """,
+    ),
+    "ns_text_chunks": QueryDef(
+        text_chunking,
+        """
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(CAST(
+                   ceil((len(toks) - 64) / 48.0) AS INT), 0) + 1)) AS i
+          FROM docs)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(toks[i*48 + 1 : i*48 + 64]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[i*48 + 1 : i*48 + 64], ' '))
+                 AS chunk_hash
+        FROM st
         """,
     ),
     "ns_events_trend": QueryDef(

@@ -734,3 +734,50 @@ def test_trend_slope_matches_numpy(spark):
     assert abs(out.slope - round(expect, 6)) <= 1e-6
     import shutil
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_chunk_documents_coverage(spark):
+    """Chunk invariants: every token covered, overlap = chunk-stride,
+    short docs yield exactly one chunk, boundary (n == chunk) yields
+    one chunk and (n == chunk+1) two."""
+    from gsuites_gcp_graphdb_spark.operators.text import chunk_documents
+
+    def doc(i, n):
+        return (i, " ".join(f"t{j}" for j in range(n)))
+
+    df = spark.createDataFrame(
+        [doc(1, 10), doc(2, 64), doc(3, 65), doc(4, 200)],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=64, stride=48).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(0, 10)]
+    assert out[2] == [(0, 64)]
+    assert out[3] == [(0, 64), (1, 17)]
+    # n=200: starts 0,48,96,144 -> last chunk 200-144=56 tokens
+    assert out[4] == [(0, 64), (1, 64), (2, 64), (3, 56)]
+    # coverage: stride < chunk means consecutive starts overlap by 16
+    starts = [idx * 48 for idx, _ in out[4]]
+    assert all(s + 64 > starts[i + 1] for i, s in enumerate(starts[:-1]))
+
+
+def test_scalar_quantize_bounds(spark):
+    """SQ invariants: constant vectors quantize losslessly to code 0;
+    reconstruction error is bounded by one quantization step per
+    dimension; identical vectors share a code hash."""
+    rows = [
+        (1, [0.5, 0.5, 0.5, 0.5]),
+        (2, [0.0, 1.0, 2.0, 3.0]),
+        (3, [0.0, 1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sim.scalar_quantize(df).collect()}
+    assert out[1].sum_abs_err_nano == 0
+    assert out[2].code_hash == out[3].code_hash
+    # step = (3-0)/255; per-dim error < step -> sum < 4*step (nano)
+    step_nano = (3.0 / 255) * 1e9
+    assert out[2].sum_abs_err_nano < 4 * step_nano
+    assert out[2].n_dims == 4
