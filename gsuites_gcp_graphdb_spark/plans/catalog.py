@@ -1048,6 +1048,7 @@ _PRIORITY = [
     "ns_events_trend",       # new: exact-integer OLS trend slopes
     "ns_text_chunks",        # new: overlapping token-window chunking
     "ns_vec_scalar_quant",   # new: int8 scalar quantization
+    "ns_filtered_ann",       # new: metadata-filtered vector search
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -417,6 +417,39 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — the PRE-filter strategy: the
+    label constraint restricts the corpus BEFORE any distance is
+    computed (broadcast equality probe on the query's own label), so
+    selectivity cuts scan+scoring cost proportionally. The
+    alternative (post-filtering a top-k) under-fills k whenever the
+    constraint is selective — the classic filtered-ANN pitfall this
+    query's shape avoids. At index scale the same predicate prunes
+    IVF partition files (the write-time layout ivf_save produces)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.agg(F.min("vec_id").alias("qid"))
+    q = emb.join(qrow, emb.vec_id == qrow.qid, "left_semi").select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qlabel")
+    )
+    from ..functions.vectors import cosine_similarity
+
+    scored = (
+        emb.join(F.broadcast(q), emb.label == F.col("qlabel"))
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("bigint").alias("label"),
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
+                "__exact"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__exact").desc(), F.col("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", F.round("__exact", 6).alias("cos_sim"))
+    )
+
+
 def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force k-NN join for a deterministic 5-query subset
     (vec_id % 100 == 0): broadcast queries x corpus, window top-k."""
@@ -1968,6 +2001,23 @@ ENTRIES: dict[str, QueryDef] = {
           FROM embeddings, q
         )
         SELECT vec_id, round(ex, 6) AS cos_sim FROM scored
+        ORDER BY ex DESC, vec_id LIMIT {TOPK}
+        """,
+    ),
+    "ns_filtered_ann": QueryDef(
+        filtered_ann,
+        f"""
+        WITH q AS (
+          SELECT embedding AS qvec, label AS qlabel FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        scored AS (
+          SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                 CAST(e.label AS BIGINT) AS label,
+                 {_SQL_COS_EXACT} AS ex
+          FROM embeddings e JOIN q ON e.label = q.qlabel
+        )
+        SELECT vec_id, label, round(ex, 6) AS cos_sim FROM scored
         ORDER BY ex DESC, vec_id LIMIT {TOPK}
         """,
     ),
