@@ -1049,6 +1049,7 @@ _PRIORITY = [
     "ns_text_chunks",        # new: overlapping token-window chunking
     "ns_vec_scalar_quant",   # new: int8 scalar quantization
     "ns_filtered_ann",       # new: metadata-filtered vector search
+    "ns_events_anomaly",     # new: median/MAD robust outlier fence
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

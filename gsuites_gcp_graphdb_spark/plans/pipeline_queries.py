@@ -589,6 +589,44 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median/MAD z-scores
+    (3 x 1.4826 x MAD fence) — the screen that survives the outliers
+    it hunts, unlike mean/stddev. Three hash-agg passes (median, MAD,
+    census), each map-side combinable with the tiny per-type stats
+    broadcast back. Median and MAD are ROUNDED (6) before the fence
+    comparison on BOTH engines, so the threshold is one shared double
+    and boundary rows cannot flip on last-ulp interpolation
+    differences (the rel_price_quantiles lesson applied to a
+    decision boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    d = ev.join(F.broadcast(med), ["event_type"]).select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("__dev"),
+    )
+    m2 = d.groupBy("event_type", "med").agg(
+        F.round(F.expr("percentile(__dev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(m2), ["event_type", "med"])
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (
+                    F.col("__dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention analysis: users grouped by first-seen week,
     counted distinct per week offset — the engagement matrix every
@@ -2521,6 +2559,26 @@ ENTRIES: dict[str, QueryDef] = {
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
         FROM s
+        """,
+    ),
+    "ns_events_anomaly": QueryDef(
+        events_robust_anomalies,
+        """
+        WITH med AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT e.event_type, med, abs(value - med) AS dev
+          FROM events e JOIN med USING (event_type)),
+        m2 AS (
+          SELECT event_type, med, round(quantile_cont(dev, 0.5), 6) AS mad
+          FROM d GROUP BY 1, 2)
+        SELECT d.event_type, d.med, m2.mad,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE dev > 3.0 * 1.4826 * mad)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN m2 USING (event_type, med)
+        GROUP BY 1, 2, 3
         """,
     ),
     "ns_events_retention": QueryDef(
