@@ -776,6 +776,33 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_hits_top": QueryDef(gq.hits_top, _hits_sql()),
+    "g_risk_report": QueryDef(
+        gq.risk_report,
+        f"""
+        WITH ur AS (
+          SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE})),
+        rp AS (SELECT DISTINCT p_brand AS role, p_name AS project
+               FROM part),
+        rb AS (SELECT DISTINCT p_brand AS role, {_BUCKET_KEY} AS bucket
+               FROM part),
+        agg AS (
+          SELECT email,
+                 count(DISTINCT ur.role) AS n_roles,
+                 count(DISTINCT rp.project) AS n_projects,
+                 count(DISTINCT rb.bucket) AS n_buckets
+          FROM ur
+          LEFT JOIN rp USING (role)
+          LEFT JOIN rb USING (role)
+          GROUP BY email)
+        SELECT email, CAST(n_roles AS BIGINT) AS n_roles,
+               CAST(n_projects AS BIGINT) AS n_projects,
+               CAST(n_buckets AS BIGINT) AS n_buckets,
+               CAST(n_roles + n_projects + n_buckets AS BIGINT)
+                 AS risk_score
+        FROM agg
+        ORDER BY risk_score DESC, email LIMIT 20
+        """,
+    ),
     "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
     "g_link_prediction": QueryDef(
         gq.link_prediction_pairs,
@@ -1050,6 +1077,7 @@ _PRIORITY = [
     "ns_vec_scalar_quant",   # new: int8 scalar quantization
     "ns_filtered_ann",       # new: metadata-filtered vector search
     "ns_events_anomaly",     # new: median/MAD robust outlier fence
+    "g_risk_report",         # new: per-user blast-radius audit
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -327,6 +327,65 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius report — the audit deliverable the reference's
+    whole crawl exists to enable (README.md:15-39): per user, how
+    many roles they hold directly and how many distinct projects and
+    buckets those roles expose; top 20 by total exposure. Composes
+    the edge relation three ways (user->role, role->project,
+    role->bucket) with distinct-counted left joins — dimension-sized
+    relations throughout, AQE broadcasts every probe."""
+    g = _graph(spark, sf_dir)
+    v, e = g.vertices, g.edges.filter(F.col("label") == "in")
+    users = v.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid"), "email"
+    )
+    roles = v.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    projects = v.filter(F.col("label") == "project").select(
+        F.col("id").alias("pid"), F.col("projectid").alias("project")
+    )
+    buckets = v.filter(F.col("label") == "bucket").select(
+        F.col("id").alias("bid"),
+        F.concat_ws("/", "name", "projectid").alias("bucket"),
+    )
+    ur = (
+        e.join(users, e.src == users.uid)
+        .join(roles, e.dst == F.col("rid"))
+        .select("email", "role", "rid")
+    )
+    rp = (
+        e.join(roles, e.src == F.col("rid"))
+        .join(projects, e.dst == F.col("pid"))
+        .select(F.col("rid").alias("rp_rid"), "project")
+    )
+    rb = (
+        e.join(roles, e.src == F.col("rid"))
+        .join(buckets, e.dst == F.col("bid"))
+        .select(F.col("rid").alias("rb_rid"), "bucket")
+    )
+    agg = (
+        ur.join(rp, ur.rid == rp.rp_rid, "left")
+        .join(rb, ur.rid == F.col("rb_rid"), "left")
+        .groupBy("email")
+        .agg(
+            F.countDistinct("role").cast("bigint").alias("n_roles"),
+            F.countDistinct("project").cast("bigint").alias("n_projects"),
+            F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "risk_score",
+            (F.col("n_roles") + F.col("n_projects") + F.col("n_buckets"))
+            .cast("bigint"),
+        )
+        .orderBy(F.col("risk_score").desc(), "email")
+        .limit(20)
+    )
+
+
 def hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (graph/algorithms.hits), top-20
     authorities: the containers (roles/projects/buckets) where grant
