@@ -1078,6 +1078,8 @@ _PRIORITY = [
     "ns_filtered_ann",       # new: metadata-filtered vector search
     "ns_events_anomaly",     # new: median/MAD robust outlier fence
     "g_risk_report",         # new: per-user blast-radius audit
+    "ns_events_assoc",       # new: market-basket association rules
+    "ns_text_collocations",  # new: PMI collocation mining
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -589,6 +589,106 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information with a min-count floor (rare-pair PMI explodes, the
+    classic correction). Three corpus-level hash-aggs (bigrams,
+    unigrams, totals) with the unigram table broadcast into the
+    scoring join; PMI = ln(P(ab)/(P(a)P(b))) from exact integer
+    counts, rounded before the top-k cut with a bigram tiebreak."""
+    from ..functions.textfns import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_long = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    uni = toks_long.groupBy("w").agg(F.count("*").alias("n_w"))
+    tot_u = uni.agg(F.sum("n_w").alias("t_u"))
+    bg_long = docs.select(
+        F.explode(
+            shingles(F.lower(F.col("text")), 2, distinct=False)
+        ).alias("bg")
+    ).filter(F.size(F.split("bg", " ")) == 2)
+    bg = bg_long.groupBy("bg").agg(F.count("*").alias("n_bg"))
+    tot_b = bg.agg(F.sum("n_bg").alias("t_b"))
+    scored = (
+        bg.filter(F.col("n_bg") >= 5)
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                     F.col("n_w").alias("n_1"))), ["w1"])
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("n_w").alias("n_2"))), ["w2"])
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "bg",
+            F.col("n_bg").cast("bigint").alias("n_bg"),
+            F.round(
+                F.log(
+                    (F.col("n_bg") / F.col("t_b"))
+                    / ((F.col("n_1") / F.col("t_u"))
+                       * (F.col("n_2") / F.col("t_u")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bg").limit(20)
+
+
+def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    support, confidence and lift for every ordered type pair — the
+    co-occurrence mining pass (A-priori's 2-itemset stage). The
+    basket relation is the DISTINCT (user, type) projection; the pair
+    space is a self-join on user_id bounded by the tiny type domain,
+    and supports stay exact integers until the single final division
+    (identical integer operands both engines, so the doubles match
+    bit-for-bit before the shared round)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").dropDuplicates()
+    cnt = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    tot = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lhs"),
+            F.col("b.event_type").alias("rhs"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("event_type").alias("lhs"),
+                                   F.col("n_t").alias("n_a"))), ["lhs"]
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("event_type").alias("rhs"),
+                                   F.col("n_t").alias("n_b"))), ["rhs"]
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lhs",
+            "rhs",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_users") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per event type: median/MAD z-scores
     (3 x 1.4826 x MAD fence) — the screen that survives the outliers
@@ -2559,6 +2659,59 @@ ENTRIES: dict[str, QueryDef] = {
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
         FROM s
+        """,
+    ),
+    "ns_text_collocations": QueryDef(
+        text_collocations,
+        """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY 1),
+        tu AS (SELECT sum(n_w) AS t_u FROM uni),
+        bgl AS (
+          SELECT unnest(list_transform(
+            range(0, greatest(len(string_split(lower(text), ' ')) - 2, 0)
+                     + 1),
+            i -> array_to_string(
+                   string_split(lower(text), ' ')[i+1:i+2], ' '))) AS bg
+          FROM documents),
+        bgf AS (
+          SELECT bg FROM bgl WHERE len(string_split(bg, ' ')) = 2),
+        bgc AS (SELECT bg, count(*) AS n_bg FROM bgf GROUP BY 1),
+        tb AS (SELECT sum(n_bg) AS t_b FROM bgc)
+        SELECT bg, CAST(n_bg AS BIGINT) AS n_bg,
+               round(ln((n_bg / tb.t_b)
+                     / ((u1.n_w / tu.t_u) * (u2.n_w / tu.t_u))), 6) AS pmi
+        FROM bgc
+        CROSS JOIN tu CROSS JOIN tb
+        JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+        JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+        WHERE n_bg >= 5
+        ORDER BY pmi DESC, bg LIMIT 20
+        """,
+    ),
+    "ns_events_assoc": QueryDef(
+        events_association_rules,
+        """
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events),
+        cnt AS (
+          SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        tot AS (
+          SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        pairs AS (
+          SELECT a.event_type AS lhs, b.event_type AS rhs,
+                 count(*) AS n_ab
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT lhs, rhs, CAST(n_ab AS BIGINT) AS n_ab,
+               round(n_ab / ca.n_t, 6) AS confidence,
+               round(n_ab * tot.n_users / (ca.n_t * cb.n_t), 6) AS lift
+        FROM pairs
+        JOIN cnt ca ON ca.event_type = lhs
+        JOIN cnt cb ON cb.event_type = rhs, tot
         """,
     ),
     "ns_events_anomaly": QueryDef(
