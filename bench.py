@@ -150,6 +150,15 @@ HEADLINE = [
     "ns_table_audit",
     "ns_incremental_agg",
     "g_closeness_sample",
+    # round-5 sixth wave: HITS (the most expensive new iterative
+    # plan), the blocked fuzzy join, robust anomaly fences, chunking
+    # (map-only — tracks the per-byte floor), and the blast-radius
+    # report
+    "g_hits_top",
+    "ns_fuzzy_match",
+    "ns_events_anomaly",
+    "ns_text_chunks",
+    "g_risk_report",
 ]
 
 

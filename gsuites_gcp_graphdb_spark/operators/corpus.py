@@ -249,3 +249,34 @@ def pack_sequences(
         F.floor(prev / capacity).cast("bigint").alias("bin"),
         "n_tokens",
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row draws a reproducible
+    uniform u from its content hash and competes on u^(1/w); the k
+    largest keys are the sample, with inclusion probability
+    proportional to weight. This is how a pipeline takes "k docs,
+    preferring high quality" without a global weighted shuffle: the
+    key is map-only per row and the selection is one top-k
+    (TakeOrdered — no full sort), reproducible across runs,
+    partitionings, and cluster sizes because nothing depends on row
+    order. Weights must be > 0; the sampling key is rounded (9) so
+    the k-boundary can't flip on last-ulp pow() differences, with
+    the content key as the total tiebreak.
+    """
+    u = (hash16(F.col(key_col), salt) + 1) / F.lit(65536.0)
+    skey = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.withColumn("sample_key", skey)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -589,6 +589,19 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling without replacement
+    (operators/corpus.weighted_sample): 50 docs drawn with inclusion
+    probability proportional to n_chars — 'prefer long documents'
+    made reproducible and shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.weighted_sample(docs, k=50, weight_col="n_chars").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "sample_key",
+    )
+
+
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information with a min-count floor (rare-pair PMI explodes, the
@@ -2659,6 +2672,22 @@ ENTRIES: dict[str, QueryDef] = {
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
         FROM s
+        """,
+    ),
+    "ns_weighted_sample": QueryDef(
+        corpus_weighted_sample,
+        """
+        WITH keyed AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 round(pow(
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':wsample'), 1, 4))::BIGINT
+                    + 1) / 65536.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+          FROM documents)
+        SELECT doc_id, n_chars, sample_key FROM keyed
+        ORDER BY sample_key DESC, doc_id LIMIT 50
         """,
     ),
     "ns_text_collocations": QueryDef(

@@ -142,3 +142,21 @@ def test_pack_sequences_n_groups_scaling(spark, sf_dir):
     assert {r.pack_group for r in default_out.collect()} <= set(range(dp))
     with pytest.raises(ValueError):
         cp.pack_sequences(docs, capacity=128, n_groups=0)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-Res weighted sampling: reproducible across runs/partitions,
+    and heavier rows are selected more often (here: weight 1000 vs 1
+    with k=half — the heavy stratum dominates the sample)."""
+    from gsuites_gcp_graphdb_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = {r.doc_id for r in weighted_sample(df, 50, "w").collect()}
+    s2 = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(7), 50, "w").collect()
+    }
+    assert s1 == s2  # partitioning-independent
+    heavy = sum(1 for d in s1 if d < 50)
+    assert heavy >= 45  # weight-1000 stratum dominates
