@@ -1081,6 +1081,7 @@ _PRIORITY = [
     "ns_events_assoc",       # new: market-basket association rules
     "ns_text_collocations",  # new: PMI collocation mining
     "ns_weighted_sample",    # new: A-Res weighted sampling
+    "rel_nation_presence",   # new: full-outer reconciliation join
     "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels

@@ -178,6 +178,36 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-nation customer and supplier
+    presence reconciled in one pass — nations with only one side
+    present surface with a zero on the other, the reconciliation
+    shape (ledger-vs-ledger, catalog-vs-catalog) that inner/left
+    joins silently drop. Full outer cannot broadcast (both sides
+    must retain unmatched rows) so it shuffles on the join key —
+    fine here because both inputs are PRE-AGGREGATED to nation
+    grain before the join: aggregate-then-join is what keeps a
+    full-outer reconciliation shuffle-light at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    sn = s.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey")
+            .cast("bigint")
+            .alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0))
+            .cast("bigint")
+            .alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0))
+            .cast("bigint")
+            .alias("n_suppliers"),
+        )
+    )
+
+
 # --- §2C date functions ----------------------------------------------
 def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1101,6 +1131,21 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+    ),
+    "rel_nation_presence": QueryDef(
+        nation_presence_full_outer,
+        """
+        WITH cn AS (
+          SELECT c_nationkey AS k, count(*) AS n_customers
+          FROM customer GROUP BY 1),
+        sn AS (
+          SELECT s_nationkey AS k, count(*) AS n_suppliers
+          FROM supplier GROUP BY 1)
+        SELECT CAST(coalesce(cn.k, sn.k) AS BIGINT) AS nationkey,
+               CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+               CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+        FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
         """,
     ),
     "rel_customers_without_orders": QueryDef(
