@@ -232,6 +232,13 @@ def main() -> None:
             sim.embedding_near_duplicates(emb, threshold=0.4)
         ).count(),
     )
+    # Substring-window dedup on the xxhash64 fast path (8-byte keys,
+    # no hex encode — the 100 TB spelling; md5 is the oracle-checked
+    # catalog form).
+    median_timed(
+        "ns_dedup_substring_fast",
+        lambda: dd.substring_dup_stats(docs, k=8, fast=True).count(),
+    )
     # Raw IVF ANN output (bench-only: the hit set depends on the
     # trained quantizer so it has no SQL twin; correctness rides on
     # ns_ivf_recall and test_ivf_topk).
