@@ -590,26 +590,55 @@ def scalar_quantize(
     in exact integer nano-units so the quality metric cross-checks
     bit-for-bit against the oracle (identical IEEE expression trees
     on both engines).
+
+    The per-row params (cast array, min, scale) are materialized as
+    COLUMNS through staged selects before any lambda references them:
+    HOF lambdas are interpreted, and inlining array_min(transform(..))
+    into a per-element expression re-scans the whole vector for every
+    element — O(d^2) per row with several scans (measured: a 4x
+    scale step went from seconds to ~30 minutes before this
+    staging). Columns evaluate once per row; lambdas touch only
+    scalars.
     """
-    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vmin = F.array_min(e)
-    scale = F.greatest(
-        (F.array_max(e) - vmin) / F.lit(255.0), F.lit(1e-12)
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__e"
+            ),
+        )
+        .select(
+            id_col,
+            "__e",
+            F.array_min("__e").alias("__vmin"),
+            F.array_max("__e").alias("__vmax"),
+        )
+        .select(
+            id_col,
+            "__e",
+            "__vmin",
+            F.greatest(
+                (F.col("__vmax") - F.col("__vmin")) / F.lit(255.0),
+                F.lit(1e-12),
+            ).alias("__scale"),
+        )
     )
+    vmin = F.col("__vmin")
+    scale = F.col("__scale")
     code = lambda x: F.least(  # noqa: E731
         F.lit(255.0), F.floor((x - vmin) / scale)
     ).cast("int")
-    codes = F.transform(e, code)
+    codes = F.transform(F.col("__e"), code)
     err = lambda x: F.floor(  # noqa: E731
         F.abs(x - (vmin + code(x).cast("double") * scale)) * 1e9
     ).cast("long")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.size(codes).cast("bigint").alias("n_dims"),
         F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))))
         .alias("code_hash"),
         F.aggregate(
-            F.transform(e, err),
+            F.transform(F.col("__e"), err),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("sum_abs_err_nano"),
