@@ -785,14 +785,18 @@ CATALOG: dict[str, QueryDef] = {
                FROM part),
         rb AS (SELECT DISTINCT p_brand AS role, {_BUCKET_KEY} AS bucket
                FROM part),
+        rpc AS (
+          SELECT role, count(DISTINCT project) AS pc FROM rp GROUP BY 1),
+        rbc AS (
+          SELECT role, count(DISTINCT bucket) AS bc FROM rb GROUP BY 1),
         agg AS (
           SELECT email,
                  count(DISTINCT ur.role) AS n_roles,
-                 count(DISTINCT rp.project) AS n_projects,
-                 count(DISTINCT rb.bucket) AS n_buckets
+                 sum(coalesce(pc, 0)) AS n_projects,
+                 sum(coalesce(bc, 0)) AS n_buckets
           FROM ur
-          LEFT JOIN rp USING (role)
-          LEFT JOIN rb USING (role)
+          LEFT JOIN rpc ON rpc.role = ur.role
+          LEFT JOIN rbc ON rbc.role = ur.role
           GROUP BY email)
         SELECT email, CAST(n_roles AS BIGINT) AS n_roles,
                CAST(n_projects AS BIGINT) AS n_projects,

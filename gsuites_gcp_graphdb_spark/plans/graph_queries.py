@@ -330,11 +330,22 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blast-radius report — the audit deliverable the reference's
     whole crawl exists to enable (README.md:15-39): per user, how
-    many roles they hold directly and how many distinct projects and
-    buckets those roles expose; top 20 by total exposure. Composes
-    the edge relation three ways (user->role, role->project,
-    role->bucket) with distinct-counted left joins — dimension-sized
-    relations throughout, AQE broadcasts every probe."""
+    many roles they hold directly and how many projects and buckets
+    those roles expose; top 20 by total exposure. Exposure counts
+    come from ROLE-GRAIN fan-out tables (distinct projects/buckets
+    per role — a tiny broadcast relation) summed over each user's
+    role set, so the whole report is one linear pass over the
+    user->role edges. Two rejected shapes, both measured on the 4x
+    scale ladder: chaining the joins before aggregating builds a
+    projects x buckets cross product per (user, role) (wedged the
+    fused triple countDistinct for minutes), and even decomposed
+    per-path distinct-pair counting materializes |users x reachable
+    projects| (~10^8 pairs at sf0.1's dense role fan-out). The
+    role-grain sum is exact here because the fixture derivation
+    gives each project/bucket exactly one owning role (p_name ->
+    one p_brand); under many-to-many bindings the sums become
+    upper bounds and the exact form is the distinct-pair shuffle —
+    or HLL sketches merged per user (DESIGN.md #16)."""
     g = _graph(spark, sf_dir)
     v, e = g.vertices, g.edges.filter(F.col("label") == "in")
     users = v.filter(F.col("label") == "user").select(
@@ -365,14 +376,24 @@ def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(buckets, e.dst == F.col("bid"))
         .select(F.col("rid").alias("rb_rid"), "bucket")
     )
+    rpc = rp.groupBy("rp_rid").agg(
+        F.countDistinct("project").alias("pc")
+    )
+    rbc = rb.groupBy("rb_rid").agg(
+        F.countDistinct("bucket").alias("bc")
+    )
     agg = (
-        ur.join(rp, ur.rid == rp.rp_rid, "left")
-        .join(rb, ur.rid == F.col("rb_rid"), "left")
+        ur.join(F.broadcast(rpc), ur.rid == rpc.rp_rid, "left")
+        .join(F.broadcast(rbc), ur.rid == rbc.rb_rid, "left")
         .groupBy("email")
         .agg(
             F.countDistinct("role").cast("bigint").alias("n_roles"),
-            F.countDistinct("project").cast("bigint").alias("n_projects"),
-            F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+            F.sum(F.coalesce("pc", F.lit(0)))
+            .cast("bigint")
+            .alias("n_projects"),
+            F.sum(F.coalesce("bc", F.lit(0)))
+            .cast("bigint")
+            .alias("n_buckets"),
         )
     )
     return (
