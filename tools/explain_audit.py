@@ -108,6 +108,17 @@ def main():
         "ns_events_retention",
         "ns_events_trend",
         "ns_events_anomaly",
+        # round-5 seventh wave: association rules are one equi-self-
+        # join + broadcast-fed division; collocations broadcast the
+        # unigram table; weighted sampling is map-only keys into
+        # TakeOrdered; the full-outer reconciliation must join two
+        # PRE-aggregated sides; the risk report must show role-grain
+        # broadcast sums (no expand over a fused countDistinct)
+        "ns_events_assoc",
+        "ns_text_collocations",
+        "ns_weighted_sample",
+        "rel_nation_presence",
+        "g_risk_report",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
