@@ -776,6 +776,22 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_hits_top": QueryDef(gq.hits_top, _hits_sql()),
+    "g_graph_summary": QueryDef(
+        gq.graph_summary,
+        f"""
+        WITH {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        deg AS (
+          SELECT sl, sk, count(*) AS d FROM edges_nk GROUP BY 1, 2),
+        nv AS (SELECT count(*) AS n FROM verts_nk)
+        SELECT CAST(nv.n AS BIGINT) AS n_vertices,
+               CAST(sum(d) AS BIGINT) AS n_edges,
+               round(sum(d) / CAST(nv.n AS DOUBLE), 6) AS avg_out_degree,
+               CAST(max(d) AS BIGINT) AS max_out_degree,
+               CAST(nv.n - count(*) AS BIGINT) AS n_sinks
+        FROM deg, nv GROUP BY nv.n
+        """,
+    ),
     "g_risk_report": QueryDef(
         gq.risk_report,
         f"""
@@ -1082,6 +1098,7 @@ _PRIORITY = [
     "ns_filtered_ann",       # new: metadata-filtered vector search
     "ns_events_anomaly",     # new: median/MAD robust outlier fence
     "g_risk_report",         # new: per-user blast-radius audit
+    "g_graph_summary",       # new: one-row graph health metrics
     "ns_events_assoc",       # new: market-basket association rules
     "ns_text_collocations",  # new: PMI collocation mining
     "ns_weighted_sample",    # new: A-Res weighted sampling

@@ -327,6 +327,29 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph health summary — the metrics a graph pipeline
+    alerts on between loads (vertex/edge counts, density, degree
+    extremes, sink census): n, m, avg out-degree, max out-degree,
+    and how many vertices have no outgoing edge. Two hash-aggs (the
+    degree table and its rollup) plus the vertex count; nothing
+    wider than (id, count) ever shuffles."""
+    g = _graph(spark, sf_dir)
+    n = g.vertices.count()
+    deg = (
+        g.edges.filter(F.col("label") == "in")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.agg(
+        F.lit(n).cast("bigint").alias("n_vertices"),
+        F.sum("d").cast("bigint").alias("n_edges"),
+        F.round(F.sum("d") / F.lit(float(n)), 6).alias("avg_out_degree"),
+        F.max("d").cast("bigint").alias("max_out_degree"),
+        (F.lit(n) - F.count(F.lit(1))).cast("bigint").alias("n_sinks"),
+    )
+
+
 def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blast-radius report — the audit deliverable the reference's
     whole crawl exists to enable (README.md:15-39): per user, how
