@@ -718,6 +718,28 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY seed_email
         """,
     ),
+    "g_harmonic_sample": QueryDef(
+        gq.harmonic_sample,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        seeds AS (
+          SELECT DISTINCT c_name AS s FROM customer
+          ORDER BY c_name LIMIT 5),
+        walk(s, l, k, d) AS (
+          SELECT s, 'user', s, 0 FROM seeds
+          UNION ALL
+          SELECT w.s, e.dl, e.dk, w.d + 1
+          FROM walk w JOIN edges_nk e ON e.sl = w.l AND e.sk = w.k
+        ),
+        m AS (SELECT s, l, k, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+        SELECT s AS seed_email,
+               coalesce(round(sum(1.0 / d) FILTER (WHERE d > 0), 6), 0.0)
+                 AS harmonic
+        FROM m GROUP BY s
+        ORDER BY seed_email
+        """,
+    ),
     "g_access_paths": QueryDef(
         gq.access_paths,
         f"""
@@ -1099,6 +1121,8 @@ _PRIORITY = [
     "ns_events_anomaly",     # new: median/MAD robust outlier fence
     "g_risk_report",         # new: per-user blast-radius audit
     "g_graph_summary",       # new: one-row graph health metrics
+    "g_harmonic_sample",     # new: sampled harmonic centrality
+    "rel_division",          # new: relational division (for-all)
     "ns_events_assoc",       # new: market-basket association rules
     "ns_text_collocations",  # new: PMI collocation mining
     "ns_weighted_sample",    # new: A-Res weighted sampling

@@ -327,6 +327,42 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality — closeness's robust sibling
+    (sum of 1/d instead of n/sum(d), defined even when the graph is
+    disconnected, which is why large-graph centrality literature
+    prefers it): per-seed BFS from the 5 smallest-email users over
+    the same multi_source_distances kernel as g_closeness_sample.
+    The 1/d sum is a float fold over per-seed rows — round-6
+    absorbs cross-engine association drift, the PageRank policy."""
+    from ..graph.algorithms import multi_source_distances
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    seeds = users.orderBy("email").limit(5)
+    d = multi_source_distances(
+        g, seeds.select(F.col("id").alias("seed")), edge_label="in"
+    )
+    per_seed = (
+        d.filter(F.col("distance") > 0)
+        .groupBy("seed")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("distance")), 6).alias(
+                "harmonic"
+            )
+        )
+    )
+    return (
+        seeds.select(F.col("id").alias("seed"), "email")
+        .join(per_seed, ["seed"], "left")
+        .select(
+            F.col("email").alias("seed_email"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+        .orderBy("seed_email")
+    )
+
+
 def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row graph health summary — the metrics a graph pipeline
     alerts on between loads (vertex/edge counts, density, degree

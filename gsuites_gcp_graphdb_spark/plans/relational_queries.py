@@ -208,6 +208,36 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the 'for all' query SQL can only phrase
+    as double negation (customers with no priority class they lack):
+    customers who placed at least one order in EVERY order-priority
+    class. Spark plans it as the count-distinct-equals-total form —
+    one hash-agg over distinct (customer, priority) pairs against a
+    one-row broadcast domain count — which is the scale-safe shape;
+    the NOT EXISTS spelling nests a correlated probe per (customer,
+    class) pair. The oracle keeps the classic double-NOT-EXISTS
+    spelling, so the two formulations verify each other."""
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.select("o_custkey", "o_orderpriority").dropDuplicates()
+    domain = o.select("o_orderpriority").dropDuplicates().agg(
+        F.count(F.lit(1)).alias("__n_classes")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    full = (
+        pairs.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("__n"))
+        .crossJoin(F.broadcast(domain))
+        .filter(F.col("__n") == F.col("__n_classes"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(full, ["c_custkey"], "left_semi")
+        .select(F.col("c_name"))
+        .orderBy("c_name")
+    )
+
+
 # --- §2C date functions ----------------------------------------------
 def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1131,6 +1161,21 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+    ),
+    "rel_division": QueryDef(
+        customers_all_priorities,
+        """
+        SELECT c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = p.o_orderpriority))
+          AND EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey)
+        ORDER BY c_name
         """,
     ),
     "rel_nation_presence": QueryDef(
