@@ -718,6 +718,16 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY seed_email
         """,
     ),
+    "g_edge_census": QueryDef(
+        gq.edge_label_census,
+        f"""
+        WITH {_EDGES_NK.strip()}
+        SELECT sl AS src_label, dl AS dst_label,
+               CAST(count(*) AS BIGINT) AS n_edges
+        FROM edges_nk GROUP BY 1, 2
+        ORDER BY src_label, dst_label
+        """,
+    ),
     "g_harmonic_sample": QueryDef(
         gq.harmonic_sample,
         f"""
@@ -1123,6 +1133,7 @@ _PRIORITY = [
     "g_graph_summary",       # new: one-row graph health metrics
     "g_harmonic_sample",     # new: sampled harmonic centrality
     "rel_division",          # new: relational division (for-all)
+    "g_edge_census",         # new: schema census + dangling audit
     "ns_events_assoc",       # new: market-basket association rules
     "ns_text_collocations",  # new: PMI collocation mining
     "ns_weighted_sample",    # new: A-Res weighted sampling

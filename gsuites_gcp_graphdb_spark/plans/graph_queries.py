@@ -327,6 +327,37 @@ def distances_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edge_label_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph schema census + referential integrity in one pass: edge
+    counts per (src_label, dst_label) pair — the de-facto schema of a
+    property graph — with dangling endpoints (an edge referencing a
+    missing vertex id) surfacing as the sentinel label '!missing'
+    instead of silently dropping. The graph sibling of
+    ns_table_audit's FK checks: left joins against the vertex ids so
+    integrity violations COUNT rather than vanish in an inner join."""
+    g = _graph(spark, sf_dir)
+    v = g.vertices.select("id", "label")
+    e = g.edges.filter(F.col("label") == "in").select("src", "dst")
+    return (
+        e.join(
+            v.select(F.col("id").alias("src"), F.col("label").alias("sl")),
+            ["src"],
+            "left",
+        )
+        .join(
+            v.select(F.col("id").alias("dst"), F.col("label").alias("dl")),
+            ["dst"],
+            "left",
+        )
+        .groupBy(
+            F.coalesce("sl", F.lit("!missing")).alias("src_label"),
+            F.coalesce("dl", F.lit("!missing")).alias("dst_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .orderBy("src_label", "dst_label")
+    )
+
+
 def harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality — closeness's robust sibling
     (sum of 1/d instead of n/sum(d), defined even when the graph is
