@@ -5,6 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+The driver captures only a 2000-char stdout tail, so the final line
+stays compact (the per-query map is dropped from stdout if it would
+overflow the capture) and the FULL per-query medians + [min,max]
+spread always land in BENCH_DETAIL.json next to this file.
+
 The headline set covers every operator family: graph build+traversal,
 fixpoint reachability, upsert merge, relational aggregation/joins/
 windows, dedup (exact/LSH fast path/jaccard), similarity top-k,
@@ -250,19 +255,39 @@ def main() -> None:
     dd.release_scratch()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": REPS,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query detail (medians + [min,max] spread) goes to a repo
+    # file — the driver only captures a 2000-char stdout tail, and the
+    # round-5 full-detail line overflowed it (BENCH_r05 parsed: null).
+    detail = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": REPS,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # The FINAL stdout line is the driver contract. Include the
+    # per-query map only if the whole line stays comfortably inside the
+    # tail capture; otherwise print the compact headline object (the
+    # detail file always has everything).
+    line_obj = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(line_obj)
+    if len(line) > 1800:
+        line_obj.pop("queries")
+        line = json.dumps(line_obj)
+    print(line)
 
 
 if __name__ == "__main__":
