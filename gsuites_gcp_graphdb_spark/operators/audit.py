@@ -39,10 +39,17 @@ def audit_metrics(
     - ``{table}.{name}`` — violation count per named invariant
       (rows where the invariant is false OR null).
     """
+    # Every sum-backed metric is coalesced to 0: on an EMPTY table
+    # sum() over zero rows is NULL and `count - NULL` is NULL, and a
+    # NULL violation count silently passes a `value > 0` gate — the
+    # exact scenario (empty snapshot) an audit exists to flag. The
+    # oracle's count(*) FILTER form yields 0 there; so do we.
     aggs = [F.count(F.lit(1)).alias(f"{table}.rows")]
     for c in nulls:
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{table}.{c}_nulls")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"{table}.{c}_nulls")
         )
     for c in unique:
         aggs.append(
@@ -54,7 +61,10 @@ def audit_metrics(
         aggs.append(
             (
                 F.count(F.lit(1))
-                - F.sum(F.coalesce(inv.cast("long"), F.lit(0)))
+                - F.coalesce(
+                    F.sum(F.coalesce(inv.cast("long"), F.lit(0))),
+                    F.lit(0),
+                )
             ).alias(f"{table}.{name}")
         )
     wide = df.agg(*aggs)

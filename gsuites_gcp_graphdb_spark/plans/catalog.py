@@ -503,6 +503,18 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_next_role": QueryDef(
+        gq.next_role,
+        """
+        SELECT 'role' AS label, max(p_brand) AS name FROM part
+        """,
+    ),
+    "g_role_by_id": QueryDef(
+        gq.role_by_id,
+        """
+        SELECT 'role' AS label, min(p_brand) AS name FROM part
+        """,
+    ),
     "g_members_of_role": QueryDef(
         gq.members_of_min_role,
         f"""
@@ -815,13 +827,18 @@ CATALOG: dict[str, QueryDef] = {
         {_VERTS_NK.strip()},
         deg AS (
           SELECT sl, sk, count(*) AS d FROM edges_nk GROUP BY 1, 2),
-        nv AS (SELECT count(*) AS n FROM verts_nk)
+        nv AS (SELECT count(*) AS n FROM verts_nk),
+        da AS (SELECT coalesce(sum(d), 0) AS sd,
+                      coalesce(max(d), 0) AS md,
+                      count(*) AS nd
+               FROM deg)
         SELECT CAST(nv.n AS BIGINT) AS n_vertices,
-               CAST(sum(d) AS BIGINT) AS n_edges,
-               round(sum(d) / CAST(nv.n AS DOUBLE), 6) AS avg_out_degree,
-               CAST(max(d) AS BIGINT) AS max_out_degree,
-               CAST(nv.n - count(*) AS BIGINT) AS n_sinks
-        FROM deg, nv GROUP BY nv.n
+               CAST(da.sd AS BIGINT) AS n_edges,
+               round(da.sd / CAST(nullif(nv.n, 0) AS DOUBLE), 6)
+                 AS avg_out_degree,
+               CAST(da.md AS BIGINT) AS max_out_degree,
+               CAST(nv.n - da.nd AS BIGINT) AS n_sinks
+        FROM da, nv
         """,
     ),
     "g_risk_report": QueryDef(
@@ -1115,22 +1132,26 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # behavior changes this round — must re-verify
+    # round-6 behavior changes/additions — must re-verify
+    "ns_semantic_dedup",     # r6: swapped to banded-LSH path + bounds oracle
+    "ns_events_trend",       # r6: seconds-unit x + nullif den guard
+    "ns_table_audit",        # r6: empty-table coalesce-to-0 metrics
+    "g_graph_summary",       # r6: edge-free degenerate row, both engines
+    "g_next_role",           # r6 new: A7 next() receipt
+    "g_role_by_id",          # r6 new: A15 hasId receipt
+    # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring
     "g_closeness_sample",    # new: landmark closeness centrality
-    "ns_table_audit",        # new: Deequ-style data-quality audit
     "ns_incremental_agg",    # new: incremental view maintenance merge
     "ns_fuzzy_match",        # new: blocked edit-distance entity resolution
     "g_hits_top",            # new: HITS hubs/authorities, unrolled oracle
     "ns_events_retention",   # new: cohort retention matrix
-    "ns_events_trend",       # new: exact-integer OLS trend slopes
     "ns_text_chunks",        # new: overlapping token-window chunking
     "ns_vec_scalar_quant",   # new: int8 scalar quantization
     "ns_filtered_ann",       # new: metadata-filtered vector search
     "ns_events_anomaly",     # new: median/MAD robust outlier fence
     "g_risk_report",         # new: per-user blast-radius audit
-    "g_graph_summary",       # new: one-row graph health metrics
     "g_harmonic_sample",     # new: sampled harmonic centrality
     "rel_division",          # new: relational division (for-all)
     "g_edge_census",         # new: schema census + dangling audit
@@ -1142,7 +1163,6 @@ _PRIORITY = [
     "ns_text_repetition",    # empty-doc zero guard added engine+oracle
     "ns_media_features",     # features now computed from decoded pixels
     "g_weighted_distances",  # new: weighted shortest paths
-    "ns_semantic_dedup",     # new: SemDeDup cluster->representative
     "ns_text_pii",           # new: PII detection + redaction
     "ns_text_normalize",     # new: canonical normalization census
     "g_kcore",               # new: k-core decomposition

@@ -109,6 +109,41 @@ def out_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def next_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 next(): first-element semantics with a deterministic
+    tiebreak — g.V().hasLabel('role').order_by(name desc).next()
+    (the reference grabs a traverser's single element the same way,
+    main.go:304). next() genuinely collects ONE row on the driver
+    (Catalyst plans order+limit(1) as a TakeOrdered, no full sort);
+    the row is re-wrapped as a one-row DataFrame for the driver
+    contract."""
+    g = _graph(spark, sf_dir)
+    row = g.V().hasLabel("role").order_by(F.col("name").desc()).next()
+    return spark.createDataFrame(
+        [(row["label"], row["name"])], "label string, name string"
+    )
+
+
+def role_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 hasId: point lookup by COMPUTED vertex id (main.go:320
+    passes ids it got from a prior traversal the same way). The id of
+    the min-name role is derived with the engine's own deterministic
+    id function (graph/schema.py vertex_id = xxhash64(label, key)),
+    then the lookup runs through g.V().hasId(id); the output projects
+    the natural key so the oracle checks the lookup found exactly the
+    intended vertex without needing to reproduce xxhash64 in SQL."""
+    g = _graph(spark, sf_dir)
+    target = (
+        g.V().hasLabel("role").toDF().agg(F.min("name")).collect()[0][0]
+    )
+    vid = (
+        spark.range(1)
+        .select(vertex_id("role", F.lit(target)).alias("i"))
+        .collect()[0][0]
+    )
+    return g.V().hasId(vid).toDF().select("label", "name")
+
+
 def members_of_min_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 semi-join: principals with an edge into role R — the
     where(inV().hasId(r)) pattern (main.go:320 et al.), batch form."""
@@ -401,18 +436,35 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how many vertices have no outgoing edge. Two hash-aggs (the
     degree table and its rollup) plus the vertex count; nothing
     wider than (id, count) ever shuffles."""
-    g = _graph(spark, sf_dir)
+    return summarize_graph(_graph(spark, sf_dir))
+
+
+def summarize_graph(g) -> DataFrame:
+    """The graph_summary aggregation over any Graph (unit-testable on
+    degenerate graphs, not just the fixture build)."""
     n = g.vertices.count()
     deg = (
         g.edges.filter(F.col("label") == "in")
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Degenerate cases are explicit, engine-consistently: an EDGE-FREE
+    # graph reports n_edges/max_out_degree 0 (not NULL — sum/max over
+    # zero rows) and the oracle emits the same single row (scalar
+    # aggregates, not a GROUP BY that vanishes on empty input); a
+    # vertex-free graph reports NULL avg_out_degree on both engines
+    # (0/0 via nullif), never a division-behavior divergence.
     return deg.agg(
         F.lit(n).cast("bigint").alias("n_vertices"),
-        F.sum("d").cast("bigint").alias("n_edges"),
-        F.round(F.sum("d") / F.lit(float(n)), 6).alias("avg_out_degree"),
-        F.max("d").cast("bigint").alias("max_out_degree"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.round(
+            F.coalesce(F.sum("d"), F.lit(0))
+            / F.nullif(F.lit(float(n)), F.lit(0.0)),
+            6,
+        ).alias("avg_out_degree"),
+        F.coalesce(F.max("d"), F.lit(0))
+        .cast("bigint")
+        .alias("max_out_degree"),
         (F.lit(n) - F.count(F.lit(1))).cast("bigint").alias("n_sinks"),
     )
 

@@ -864,16 +864,29 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     for event streams. The whole regression is ONE map-side-combinable
     hash-agg of four running sums; the closed-form slope
     (n*sxy - sx*sy)/(n*sxx - sx^2) is computed from EXACT integer
-    sums (event time as microseconds since the min timestamp, value
+    sums (event time as whole SECONDS since the min timestamp, value
     in micro-units, sums in DECIMAL(38) / HUGEINT) so both engines
     divide the same two integers — the DESIGN.md #8 discipline
-    applied to regression. Slope unit: micro-value per microsecond."""
+    applied to regression. Slope unit: micro-value per second.
+
+    x is seconds, not microseconds, for decimal(38) headroom: with
+    x ~ T (range seconds) the worst closed-form product is
+    n*sxx ~ n^2 * T^2, which for microsecond x overflows 1e38 around
+    n=3e5 events/type over a year (Spark non-ANSI then yields silent
+    NULL slopes, DuckDB HUGEINT errors — divergent engines). Seconds
+    keep n^2*T^2 < 1e38 up to ~1e10 events/type over a year; beyond
+    that, center x per group before the sums.
+
+    The denominator is 0 when a type has one event or all-identical
+    timestamps (slope undefined); both engines make that case an
+    EXPLICIT NULL via nullif(den, 0) rather than relying on
+    division-by-zero behavior, which differs across engines."""
     ev = load_table(spark, sf_dir, "events")
     t0 = ev.agg(F.min("ts").alias("__t0"))
     dec = "decimal(38,0)"
     b = ev.crossJoin(F.broadcast(t0)).select(
         "event_type",
-        (F.unix_micros("ts") - F.unix_micros("__t0"))
+        (F.unix_timestamp("ts") - F.unix_timestamp("__t0"))
         .cast(dec)
         .alias("x"),
         F.floor(F.col("value") * 1e6).cast(dec).alias("y"),
@@ -888,8 +901,11 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        F.lit(0.0),
     )
     return s.select(
         "event_type",
@@ -2742,7 +2758,8 @@ ENTRIES: dict[str, QueryDef] = {
         WITH m AS (SELECT min(ts) AS t0 FROM events),
         b AS (
           SELECT event_type,
-                 CAST(epoch_us(ts) - epoch_us(t0) AS HUGEINT) AS x,
+                 CAST(epoch_us(ts) // 1000000
+                      - epoch_us(t0) // 1000000 AS HUGEINT) AS x,
                  CAST(floor(value * 1000000) AS HUGEINT) AS y
           FROM events, m),
         s AS (
@@ -2752,7 +2769,8 @@ ENTRIES: dict[str, QueryDef] = {
           FROM b GROUP BY 1)
         SELECT event_type, CAST(n AS BIGINT) AS n_events,
                round(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+                     / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0),
+                     6) AS slope
         FROM s
         """,
     ),

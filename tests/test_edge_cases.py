@@ -144,3 +144,25 @@ def test_kcore_isolated_and_self_contained(spark):
     core3 = k_core(g, k=3)
     assert core3.count() == 4  # the K4 clique, all degree 3
     assert {r.core_deg for r in core3.collect()} == {3}
+
+
+def test_graph_summary_edge_free(spark):
+    """graph_summary degenerates explicitly: an edge-free graph
+    reports 0 edges / 0 max degree / all-sinks (never NULL, which
+    would diverge from the oracle's count FILTER form and silently
+    pass gates); a fully empty graph reports NULL avg (0/0) but still
+    exactly one row."""
+    from gsuites_gcp_graphdb_spark.graph.build import empty_edges
+    from gsuites_gcp_graphdb_spark.plans.graph_queries import summarize_graph
+
+    v = vertices_of(spark, [("user", "a"), ("user", "b")])
+    g = Graph(v, empty_edges(spark))
+    [row] = summarize_graph(g).collect()
+    assert (row.n_vertices, row.n_edges, row.max_out_degree, row.n_sinks) == (
+        2, 0, 0, 2,
+    )
+    assert row.avg_out_degree == 0.0
+    empty = Graph(v.limit(0), empty_edges(spark))
+    [row0] = summarize_graph(empty).collect()
+    assert (row0.n_vertices, row0.n_edges, row0.n_sinks) == (0, 0, 0)
+    assert row0.avg_out_degree is None

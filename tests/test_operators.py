@@ -703,6 +703,26 @@ def test_audit_metrics_dirty_data(spark):
     parent = spark.createDataFrame([(1,)], "p long")
     fk = au.fk_violations(child, parent, "k", "p", "t.k_orphans").collect()
     assert fk[0].check == "t.k_orphans" and fk[0].value == 2
+    # EMPTY table: every metric must be 0, never NULL — a NULL
+    # violation count silently passes a `value > 0` gate, which is
+    # exactly what an audit of an empty snapshot must not do.
+    empty = df.limit(0)
+    out0 = {
+        r.check: r.value
+        for r in au.audit_metrics(
+            empty,
+            "t",
+            nulls=("text",),
+            unique=("doc_id",),
+            invariants=(("len_ok", F.col("n_chars") == F.length("text")),),
+        ).collect()
+    }
+    assert out0 == {
+        "t.rows": 0,
+        "t.text_nulls": 0,
+        "t.doc_id_dups": 0,
+        "t.len_ok": 0,
+    }
 
 
 def test_incremental_merge_equals_recompute(spark):
