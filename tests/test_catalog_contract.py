@@ -56,3 +56,22 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["email", "role", "projectid"]
+
+
+def test_coverage_md_names_resolve():
+    """Every backticked query name in COVERAGE.md resolves in the
+    catalog (the round-5 verdict caught two stale names; this pins
+    the doc to the code so it can't rot again). Bench-timed-only
+    entries are written `bench:<name>` and must instead appear in
+    bench.py."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    md = open(os.path.join(root, "COVERAGE.md")).read()
+    plain = set(re.findall(r"`((?:g|ns|rel|etl)_[a-z0-9_]+)`", md))
+    missing = sorted(plain - set(CATALOG))
+    assert not missing, f"COVERAGE.md names not in catalog: {missing}"
+    bench_src = open(os.path.join(root, "bench.py")).read()
+    bench_only = set(re.findall(r"`bench:([a-z0-9_]+)`", md))
+    stale = sorted(n for n in bench_only if f'"{n}"' not in bench_src)
+    assert not stale, f"COVERAGE.md bench-only names not in bench.py: {stale}"

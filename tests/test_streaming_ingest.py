@@ -206,3 +206,63 @@ def test_delta_append_writes_o_batch(spark, tmp_path):
     assert m["deltas"] == [], f"compaction should have fired: {m}"
     assert m["base"] == f"v{m['seq']}"
     assert load_snapshot(spark, gpath).counts() == (n, 0)
+
+
+def test_crash_between_write_and_pointer_swap(spark, tmp_path, monkeypatch):
+    """Failure injection for the delta store's atomicity claim
+    (round-5 verdict item 7): a crash AFTER the delta/compaction data
+    dirs are written but BEFORE the pointer swings must leave
+    load_snapshot returning the exact pre-crash state, and the
+    checkpoint-driven retry of the same payload must land it exactly
+    once."""
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of, vertices_of
+    from gsuites_gcp_graphdb_spark.streaming import ingest as ing
+
+    gpath = str(tmp_path / "crash_store")
+    no_edges = edges_of(spark, [])
+    base = vertices_of(spark, [("user", f"u{i}@x.com") for i in range(10)])
+    ing.merge_graph_into_store(spark, gpath, base, no_edges)
+    assert load_snapshot(spark, gpath).counts() == (10, 0)
+
+    real_swing = ing._swing_pointer
+
+    def crash_before_swing(*a, **kw):
+        raise RuntimeError("injected crash before pointer swap")
+
+    # -- crash between DELTA write and pointer swap ------------------
+    newbie = vertices_of(spark, [("user", "new@x.com")])
+    monkeypatch.setattr(ing, "_swing_pointer", crash_before_swing)
+    try:
+        ing.merge_graph_into_store(spark, gpath, newbie, no_edges)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    # pre-crash state intact: the orphan d* dir is invisible
+    assert load_snapshot(spark, gpath).counts() == (10, 0)
+    # retry (recovery) lands the batch exactly once
+    monkeypatch.setattr(ing, "_swing_pointer", real_swing)
+    ing.merge_graph_into_store(spark, gpath, newbie, no_edges)
+    assert load_snapshot(spark, gpath).counts() == (11, 0)
+    # replaying after success commits nothing (manifest seq stable)
+    m = ing._read_manifest(gpath)
+    ing.merge_graph_into_store(spark, gpath, newbie, no_edges)
+    assert ing._read_manifest(gpath) == m
+
+    # -- crash between COMPACTION write and pointer swap -------------
+    monkeypatch.setattr(ing, "_COMPACT_EVERY", 2)
+    pre = load_snapshot(spark, gpath).counts()
+    compacting = vertices_of(spark, [("user", "compact@x.com")])
+    monkeypatch.setattr(ing, "_swing_pointer", crash_before_swing)
+    try:
+        ing.merge_graph_into_store(spark, gpath, compacting, no_edges)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    assert load_snapshot(spark, gpath).counts() == pre  # junk v* invisible
+    monkeypatch.setattr(ing, "_swing_pointer", real_swing)
+    ing.merge_graph_into_store(spark, gpath, compacting, no_edges)
+    after = load_snapshot(spark, gpath)
+    assert after.counts() == (pre[0] + 1, 0)
+    # compaction folded everything into a single fresh base
+    m2 = ing._read_manifest(gpath)
+    assert m2["deltas"] == []
