@@ -527,3 +527,73 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", "__w")).alias("chunk_hash"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS scheme): hash every k-token shingle, slide a
+    w-wide window over the hash sequence, keep each window's MINIMUM
+    hash. The selected set is a ~2/(w+1)-density fingerprint with the
+    winnowing guarantee: any shared run of >= w+k-1 tokens between two
+    documents shares at least one fingerprint — so matching
+    fingerprints against the corpus finds partial overlap at a
+    fraction of the full k-gram index cost (the same detection as
+    substring_dup_stats, at ~1/w the index size).
+
+    Returns per-doc (id, n_kgrams, n_fingerprints, n_shared_fp) where
+    n_shared_fp counts this doc's fingerprints that also occur in
+    ANOTHER document — the cross-corpus overlap signal a pipeline
+    gates on. Docs with fewer than w k-grams yield 0 fingerprints
+    (no full window), deterministically on both engines.
+
+    Scale shape: one posexplode (O(corpus tokens)), a doc-partitioned
+    running-min window (doc-scoped partitions — no global sort, no
+    hot keys), distinct + hash-agg on the fingerprint value (the
+    winnowed stream is ~2/(w+1) of the k-gram stream), one join back.
+    Hashes compared as md5 hex strings — identical lexicographic
+    order in DuckDB."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            shingles(F.col(text_col), k, distinct=False)
+        ).alias("pos", "g"),
+    ).select(id_col, "pos", F.md5("g").alias("h"))
+    doc = Window.partitionBy(id_col)
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("__n", F.count("*").over(doc))
+        .withColumn("fp", F.min("h").over(run))
+        .filter(F.col("pos") <= F.col("__n") - w)
+        .select(id_col, "fp")
+        .dropDuplicates()
+    )
+    share = fps.groupBy("fp").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    per_doc = (
+        fps.join(share, ["fp"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_fingerprints"),
+            F.sum((F.col("__nd") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    kg = grams.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kgrams")
+    )
+    return kg.join(per_doc, [id_col], "left").select(
+        F.col(id_col),
+        "n_kgrams",
+        F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+        F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+    )

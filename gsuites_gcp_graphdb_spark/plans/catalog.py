@@ -1139,6 +1139,7 @@ _PRIORITY = [
     "g_graph_summary",       # r6: edge-free degenerate row, both engines
     "g_next_role",           # r6 new: A7 next() receipt
     "g_role_by_id",          # r6 new: A15 hasId receipt
+    "ns_text_winnowing",     # r6 new: MOSS winnowing fingerprints
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -1030,6 +1030,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_dup_stats(docs, k=8)
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint census over the documents table
+    (operators/text.winnow_fingerprints, k=5-token shingles, w=4
+    windows): per doc, how many k-grams, how many winnowed
+    fingerprints survive, and how many of those fingerprints occur in
+    other documents — the MOSS-style partial-overlap signal at ~1/w
+    the index cost of the full ExactSubstr window table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(docs, k=5, w=4)
+
+
 def text_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (operators/text.dsir_importance):
     per-doc mean log-ratio of unigram likelihood under the target
@@ -2952,6 +2963,40 @@ ENTRIES: dict[str, QueryDef] = {
                      / greatest(count(*), 1), 6) AS dup_frac
         FROM wins w JOIN cnt c USING (h)
         GROUP BY w.doc_id
+        """,
+    ),
+    "ns_text_winnowing": QueryDef(
+        text_winnowing,
+        """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
+                 unnest(list_transform(
+                   range(0, greatest(len(toks) - 5, 0) + 1),
+                   i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h
+          FROM t),
+        w1 AS (
+          SELECT doc_id, pos, h,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM g),
+        fps AS (SELECT DISTINCT doc_id, fp FROM w1 WHERE pos <= n - 4),
+        share AS (
+          SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY 1),
+        kg AS (SELECT doc_id, count(*) AS n_kgrams FROM g GROUP BY 1),
+        pd AS (
+          SELECT doc_id, count(*) AS n_fp,
+                 sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+          FROM fps JOIN share USING (fp) GROUP BY 1)
+        SELECT CAST(kg.doc_id AS BIGINT) AS doc_id,
+               CAST(n_kgrams AS BIGINT) AS n_kgrams,
+               CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fingerprints,
+               CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_fp
+        FROM kg LEFT JOIN pd USING (doc_id)
         """,
     ),
     "ns_text_dsir": QueryDef(

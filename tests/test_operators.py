@@ -839,3 +839,24 @@ def test_scalar_quantize_bounds(spark):
     step_nano = (3.0 / 255) * 1e9
     assert out[2].sum_abs_err_nano < 4 * step_nano
     assert out[2].n_dims == 4
+
+
+def test_winnow_fingerprints(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a run of >= w+k-1 tokens share at least one fingerprint;
+    disjoint docs share none; a doc with fewer than w k-grams yields
+    no fingerprint at all."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro one two " + shared + " tail xx yy"),
+        (2, shared + " completely other ending words here now"),
+        (3, "totally disjoint text with unique content everywhere"),
+        (4, "tiny doc"),  # 2 tokens -> 1 partial k-gram < w windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.winnow_fingerprints(docs).collect()}
+    assert out[1].n_shared_fp >= 1 and out[2].n_shared_fp >= 1
+    assert out[3].n_shared_fp == 0
+    assert out[4].n_fingerprints == 0 and out[4].n_shared_fp == 0
+    # density: winnowing keeps far fewer than all k-grams
+    assert 0 < out[1].n_fingerprints < out[1].n_kgrams
