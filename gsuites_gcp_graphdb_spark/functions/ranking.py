@@ -41,3 +41,68 @@ def ranked_limit(
         .sortWithinPartitions(*order_cols)
         .withColumn(rank_col, rank.cast("bigint"))
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED under
+    (minimize ``min_col``, maximize ``max_col``). Row a dominates b
+    iff a.min <= b.min AND a.max >= b.max AND at least one is strict;
+    ties on both coordinates dominate neither way, so exact-duplicate
+    frontier points all survive — the standard skyline-operator
+    semantics (Borzsony, Kossmann, Stocker, ICDE 2001).
+
+    Scale shape — no self-join over the DATA and no global window
+    anywhere (the quadratic NOT EXISTS stays in the oracle): the
+    frontier test factors through per-``min``-value maxima (hash-agg;
+    one row per distinct min_col), and the prefix-max over those is
+    computed as a BANDED two-pass scan: a window PARTITIONED by
+    floor(min_col) band (never a global WindowExec — the round-4/5
+    discipline) plus a broadcast band-offset join (cross-band prefix
+    maxima over the tiny distinct-band table). A row survives iff it
+    carries its min-group's max ``max_col`` AND that group max
+    strictly exceeds the prefix max of all strictly-smaller groups."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(min_col).agg(F.max(max_col).alias("__gm"))
+    per = per.withColumn("__band", F.floor(F.col(min_col)))
+    # pass 1: within-band prefix max (rows strictly before, and per
+    # has one row per distinct min_col, so "before" == "smaller")
+    wb = (
+        Window.partitionBy("__band")
+        .orderBy(F.col(min_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn("__in_prev", F.max("__gm").over(wb))
+    # pass 2: cross-band offsets — per-band maxima (tiny: one row per
+    # band), prefix-maxed by a broadcast triangular join, not a window
+    bands = per.groupBy("__band").agg(F.max("__gm").alias("__bm"))
+    lower = bands.select(
+        F.col("__band").alias("__lb"), F.col("__bm").alias("__lm")
+    )
+    offs = (
+        bands.join(F.broadcast(lower), F.col("__lb") < F.col("__band"))
+        .groupBy("__band")
+        .agg(F.max("__lm").alias("__off"))
+    )
+    frontier = (
+        per.join(F.broadcast(offs), ["__band"], "left")
+        .withColumn(
+            "__prev", F.greatest(F.col("__in_prev"), F.col("__off"))
+        )
+        .filter(
+            F.col("__prev").isNull() | (F.col("__gm") > F.col("__prev"))
+        )
+        .select(
+            F.col(min_col).alias("__f_min"), F.col("__gm").alias("__f_max")
+        )
+    )
+    return df.join(
+        F.broadcast(frontier),
+        (F.col(min_col) == F.col("__f_min"))
+        & (F.col(max_col) == F.col("__f_max")),
+        "left_semi",
+    )

@@ -280,3 +280,42 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def class_balance(
+    df: DataFrame,
+    class_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "balance",
+) -> DataFrame:
+    """DATA-DRIVEN class rebalancing: downsample every class to
+    (approximately) the minority class size via deterministic hash
+    thinning — the automatic counterpart of :func:`mixture_sample`,
+    whose rates are caller-supplied config. The classic use is
+    balancing languages/domains before training so the head class
+    cannot drown the tail.
+
+    The acceptance test is EXACT integer arithmetic end to end:
+    accept iff hash16(key) * n_class < n_min * 65536 — equivalent to
+    u < n_min/n_class but with no float division, so both engines
+    make the identical keep/drop decision on every row (no rate
+    rounding, no last-ulp threshold flips). Expected kept per class
+    ~= n_min, and the minority class keeps every row exactly
+    (h * n < n * 65536 <=> h < 65536, always true).
+
+    Scale shape: one tiny per-class count (map-side combinable), a
+    broadcast join of that <#classes>-row table, then a map-only
+    filter. Adds `keep` without dropping rows, like mixture_sample.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    return (
+        df.join(F.broadcast(counts), class_col)
+        .crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "keep",
+            hash16(F.col(key_col), salt) * F.col("__n")
+            < F.col("__nmin") * F.lit(HASH_SPACE),
+        )
+        .drop("__n", "__nmin")
+    )

@@ -1140,6 +1140,9 @@ _PRIORITY = [
     "g_next_role",           # r6 new: A7 next() receipt
     "g_role_by_id",          # r6 new: A15 hasId receipt
     "ns_text_winnowing",     # r6 new: MOSS winnowing fingerprints
+    "ns_class_balance",      # r6 new: exact-integer class rebalancing
+    "rel_skyline_parts",     # r6 new: Pareto frontier, banded prefix-max
+    "ns_events_cusum",       # r6 new: two-pass CUSUM change points
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -23,6 +23,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import timeseries as tss
 from ..sources.fixtures import load_table
 from ..streaming import windows as win
 from .base import QueryDef
@@ -695,6 +696,27 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language census of the data-driven rebalancing sampler
+    (operators/corpus.class_balance): every language thinned toward
+    the minority-language count by an exact-integer hash test
+    (h16 * n_lang < n_min * 65536 — no float rates, so every keep/
+    drop decision is engine-identical). Output (lang, n_docs,
+    n_kept): n_kept ~= n_min per language, and the minority language
+    keeps all rows exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cp.class_balance(docs, class_col="lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("long"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual
     information with a min-count floor (rare-pair PMI explodes, the
@@ -912,6 +934,19 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.round(num / den, 6).alias("slope"),
     )
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM change-point detection over the event stream
+    (operators/timeseries.cusum_change_points): where did each
+    event_type's mean value most likely shift? The engine runs the
+    distributed two-pass prefix scan (day-chunked windows + broadcast
+    chunk offsets — no global sort); the oracle states the sequential
+    definition as ONE DuckDB window, so a green row proves the
+    chunked scan equals the textbook cumulative sum exactly
+    (decimal/HUGEINT integers end to end, one final division)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tss.cusum_change_points(ev)
 
 
 def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,6 +2820,37 @@ ENTRIES: dict[str, QueryDef] = {
         FROM s
         """,
     ),
+    "ns_events_cusum": QueryDef(
+        events_cusum,
+        """
+        WITH m AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(floor(value * 1000000) AS HUGEINT)) AS sy
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT e.event_type, e.ts, e.event_id, m.n,
+                 m.n * CAST(floor(e.value * 1000000) AS HUGEINT) - m.sy
+                   AS dev
+          FROM events e JOIN m USING (event_type)),
+        s AS (
+          SELECT event_type, ts, event_id, n,
+                 sum(dev) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cs
+          FROM d),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cs) DESC,
+                                                ts, event_id) AS rk
+          FROM s)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               ts AS change_ts,
+               round(CAST(abs(cs) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000), 6) AS peak_dev
+        FROM r WHERE rk = 1
+        """,
+    ),
     "ns_weighted_sample": QueryDef(
         corpus_weighted_sample,
         """
@@ -2799,6 +2865,24 @@ ENTRIES: dict[str, QueryDef] = {
           FROM documents)
         SELECT doc_id, n_chars, sample_key FROM keyed
         ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+    ),
+    "ns_class_balance": QueryDef(
+        corpus_class_balance,
+        """
+        WITH cnt AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        mn AS (SELECT min(n) AS nmin FROM cnt),
+        keyed AS (
+          SELECT d.lang,
+                 (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                      || ':balance'), 1, 4))::BIGINT
+                  * cnt.n < mn.nmin * 65536) AS keep
+          FROM documents d JOIN cnt USING (lang), mn)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM keyed GROUP BY lang
         """,
     ),
     "ns_text_collocations": QueryDef(

@@ -1023,7 +1023,43 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (functions/ranking.skyline2d
+    — Borzsony et al. ICDE 2001) over part: the parts where no other
+    part is both cheaper-or-equal (p_retailprice) and
+    larger-or-equal (p_size) with at least one strict — 'best
+    price-for-size' candidates. The engine side is the banded
+    prefix-max factorization (hash-aggs + band-partitioned window +
+    broadcast band offsets, no self-join over the data, no global
+    window); the oracle states the quadratic NOT EXISTS definition
+    directly, so a green row proves the factorization IS the
+    definition."""
+    from ..functions.ranking import skyline2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline2d(part, "p_retailprice", "p_size").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_skyline_parts": QueryDef(
+        skyline_parts,
+        """
+        SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,
+               CAST(a.p_retailprice AS DOUBLE) AS p_retailprice,
+               CAST(a.p_size AS BIGINT) AS p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size > a.p_size))
+        """,
+    ),
     "rel_returned_items": QueryDef(
         returned_item_ranking,
         """

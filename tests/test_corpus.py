@@ -160,3 +160,28 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert s1 == s2  # partitioning-independent
     heavy = sum(1 for d in s1 if d < 50)
     assert heavy >= 45  # weight-1000 stratum dominates
+
+
+def test_class_balance(spark):
+    """Minority class keeps everything exactly; majority classes thin
+    toward the minority count; decisions are deterministic (same
+    result twice)."""
+    from gsuites_gcp_graphdb_spark.operators import corpus as cp
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cp.class_balance(df, class_col="lang")
+    kept = (
+        out.groupBy("lang")
+        .agg(F.sum(F.col("keep").cast("long")).alias("k"))
+        .collect()
+    )
+    k = {r.lang: r.k for r in kept}
+    assert k["small"] == 40  # minority never thinned
+    assert 10 <= k["big"] <= 100  # ~40 expected, hash-thinned
+    again = cp.class_balance(df, class_col="lang")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -425,3 +425,26 @@ def test_edit_distance_join_blocking(spark):
         ("abc124", "abc125"): 1,
         ("zzz999", "zzz990"): 1,
     }
+
+
+def test_skyline2d(spark):
+    """Skyline semantics on literal points (minimize x, maximize y):
+    dominated points drop, coordinate-duplicate frontier points BOTH
+    survive (ties dominate neither way), and a point dominated only
+    across floor-band boundaries is still caught (the banded prefix
+    factorization must equal the quadratic definition)."""
+    from gsuites_gcp_graphdb_spark.functions.ranking import skyline2d
+
+    rows = [
+        (1, 1.0, 10),   # frontier (cheapest, big)
+        (2, 1.0, 10),   # exact duplicate of 1 -> also frontier
+        (3, 1.5, 10),   # dominated by 1 (same y, pricier)
+        (4, 2.0, 12),   # frontier (bigger than anything cheaper)
+        (5, 2.5, 12),   # dominated by 4 (same-band prefix)
+        (6, 9.0, 11),   # dominated by 4 ACROSS bands (9 vs 2)
+        (7, 9.5, 13),   # frontier (largest overall)
+        (8, 0.5, 1),    # frontier (cheapest overall)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = {r.id for r in skyline2d(df, "price", "size").collect()}
+    assert got == {1, 2, 4, 7, 8}

@@ -1,0 +1,73 @@
+"""Two-pass prefix scan + CUSUM change-point semantics (the
+distributed-scan discipline of operators/timeseries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.operators import timeseries as tss
+
+
+def _rows(vals, start_day=1):
+    """One event per hour, rolling into later days (forces the scan
+    across chunk boundaries)."""
+    out = []
+    for i, v in enumerate(vals):
+        ts = dt.datetime(2024, 1, start_day) + dt.timedelta(hours=i * 7)
+        out.append((i, ts, "a", float(v)))
+    return out
+
+
+def test_prefix_sum_two_pass_equals_sequential(spark):
+    """The chunked two-pass scan must be BIT-identical to the naive
+    sequential prefix sum — including across day-chunk boundaries."""
+    rows = _rows([5, -3, 2, 2, -10, 4, 4, 1, -1, 7, 0, -6])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).withColumn("v", F.col("value").cast(tss.DEC))
+    got = {
+        r.event_id: int(r.prefix)
+        for r in tss.prefix_sum(
+            df, "event_type", ["ts", "event_id"], "v"
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, (eid, _, _, v) in enumerate(rows):
+        acc += int(v)
+        want[eid] = acc
+    assert got == want
+    # multiple days were actually involved (the two-pass path ran)
+    n_days = df.select(
+        F.count_distinct(F.date_trunc("day", "ts"))
+    ).collect()[0][0]
+    assert n_days >= 3
+
+
+def test_cusum_finds_mean_shift(spark):
+    """A series that jumps from mean 0 to mean 10 halfway peaks its
+    |CUSUM| exactly at the last pre-shift point; a flat series peaks
+    trivially with peak_dev ~ 0."""
+    shift = [0.0] * 6 + [10.0] * 6
+    flat = [4.0] * 8
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i * 9), "shift", v)
+        for i, v in enumerate(shift)
+    ] + [
+        (100 + i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i * 9),
+         "flat", v)
+        for i, v in enumerate(flat)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in tss.cusum_change_points(df).collect()}
+    # deviations are (v - 5) scaled: prefix is most negative right
+    # before the shift -> change_ts = ts of event_id 5
+    assert out["shift"].change_ts == dt.datetime(2024, 1, 1) + dt.timedelta(
+        hours=5 * 9
+    )
+    assert out["shift"].peak_dev > 0
+    assert out["flat"].peak_dev == 0.0
+    assert out["flat"].n_events == 8
