@@ -164,6 +164,15 @@ HEADLINE = [
     "ns_events_anomaly",
     "ns_text_chunks",
     "g_risk_report",
+    # round-6 wave: winnowing fingerprints (the cheap partial-overlap
+    # index), CUSUM change points (two-pass prefix scan), the banded
+    # skyline, exact-integer class rebalancing, and the swapped
+    # LSH-path semantic dedup (probe summary)
+    "ns_text_winnowing",
+    "ns_events_cusum",
+    "rel_skyline_parts",
+    "ns_class_balance",
+    "ns_semantic_dedup",
 ]
 
 

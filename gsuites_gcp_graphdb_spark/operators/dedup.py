@@ -178,6 +178,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A in B) = |A ∩ B| / |A|
+    (Broder 1997's containment measure, the companion to resemblance/
+    Jaccard): detects documents SUBSUMED by larger ones — a quoted
+    article inside a commentary page, boilerplate-wrapped copies —
+    which symmetric Jaccard structurally misses (a small doc fully
+    inside a big one has Jaccard ~|A|/|B| but containment 1.0).
+
+    Returns DIRECTED rows (id, container_id, containment) with
+    containment >= threshold and id != container_id: "id's shingles
+    are (mostly) inside container_id's".
+
+    Scale shape identical to ngram_jaccard_pairs — one posting-list
+    self-join computes each unordered pair's intersection ONCE, then
+    both directed containments are emitted from that single row (a
+    cheap projection, not a second join); ``max_df`` is the same
+    stop-shingle quadratic guard (set sizes recomputed over the kept
+    universe so the ratio stays a true containment of the reduced
+    sets)."""
+    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
+    if max_df is not None:
+        heavy = (
+            posts.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
+        posts = posts.withColumn(
+            "set_size",
+            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
+        )
+    posts = _scratch_persist(posts)
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    fwd = inter.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_a"), 6).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= threshold
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",

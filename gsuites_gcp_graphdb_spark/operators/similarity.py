@@ -681,3 +681,49 @@ def scalar_quantize(
             lambda acc, x: acc + x,
         ).alias("sum_abs_err_nano"),
     )
+
+
+def dimension_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension mean/std over an embedding column — the
+    statistics a pipeline needs before standardizing vectors,
+    whitening for a quantizer (ivf/pq_train assume comparable scales),
+    or auditing an embedding model for dead/saturated dimensions.
+
+    Exactness discipline (DESIGN.md #8): components are scaled to
+    micro-unit integers (floor(x * 1e6) as decimal(38)), and n, sum,
+    sum-of-squares accumulate exactly; mean and the variance closed
+    form (n*sq - s^2)/n^2 divide ONCE at the end in double, so both
+    engines see identical integers and produce identical doubles.
+    Headroom: sum sq <= n * 1e12 * max|x|^2 — safe to ~1e20 rows for
+    unit-scale embeddings.
+
+    Scale shape: one posexplode (rows x dim), one 64-key hash-agg —
+    fully map-side combinable, no shuffle wider than (dim, 3 sums)."""
+    dec = "decimal(38,0)"
+    y = F.floor(F.col("__e").cast("double") * 1e6).cast(dec)
+    exploded = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("__d", "__e")
+    ).select((F.col("__d") + 1).alias("dim"), y.alias("__y"))
+    s = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__sq"),
+    )
+    n_d = F.col("__n").cast("double")
+    return s.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__s").cast("double") / n_d / 1e6, 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("__n") * F.col("__sq") - F.col("__s") * F.col("__s"))
+                .cast("double")
+                / (n_d * n_d)
+            )
+            / 1e6,
+            6,
+        ).alias("std"),
+    )

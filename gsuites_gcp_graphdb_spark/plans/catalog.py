@@ -1143,6 +1143,8 @@ _PRIORITY = [
     "ns_class_balance",      # r6 new: exact-integer class rebalancing
     "rel_skyline_parts",     # r6 new: Pareto frontier, banded prefix-max
     "ns_events_cusum",       # r6 new: two-pass CUSUM change points
+    "ns_dedup_containment",  # r6 new: asymmetric shingle containment
+    "ns_vec_dim_stats",      # r6 new: per-dimension embedding stats
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -78,6 +78,27 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_TAU = 0.6
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.
+    ngram_containment_pairs): directed doc-inside-doc rows where
+    >= 60% of one document's shingles appear in another — the
+    subsumption signal symmetric Jaccard misses. Same df-cut posting
+    join as ns_dedup_ngram_jaccard; both directions emitted from one
+    intersection pass."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(
+        docs, n=SHINGLE_N, threshold=CONTAIN_TAU, max_df=MAX_DF
+    ).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("container_id").cast("bigint").alias("container_id"),
+        "containment",
+    )
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
@@ -663,6 +684,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast dimension."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.unigram_logprob(docs)
+
+
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/std (operators/similarity.
+    dimension_stats): the normalization/whitening pass statistics and
+    the dead-dimension audit, computed from exact micro-unit integer
+    sums with one final double division per metric — engine-identical
+    by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.dimension_stats(emb)
 
 
 def vector_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,6 +2168,29 @@ ENTRIES: dict[str, QueryDef] = {
         FROM jac WHERE jaccard >= {JACCARD_TAU}
         """,
     ),
+    "ns_dedup_containment": QueryDef(
+        ngram_containment,
+        f"""
+        WITH {_SQL_JACCARD_PAIRS_CUT.lstrip()},
+        ix AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 a.set_size AS sa, b.set_size AS sb,
+                 count(*) AS c
+          FROM kept a
+          JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        both_dirs AS (
+          SELECT ia AS id, ib AS container_id,
+                 round(c / CAST(sa AS DOUBLE), 6) AS containment
+          FROM ix
+          UNION ALL
+          SELECT ib, ia, round(c / CAST(sb AS DOUBLE), 6) FROM ix)
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(container_id AS BIGINT) AS container_id,
+               containment
+        FROM both_dirs WHERE containment >= {CONTAIN_TAU}
+        """,
+    ),
     "ns_dedup_minhash_lsh": QueryDef(
         minhash_lsh,
         f"""
@@ -2753,6 +2807,28 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln(v.cnt / tot.t)), 6) AS mean_logprob
         FROM toks t JOIN vocab v USING (tok), tot
         GROUP BY t.doc_id
+        """,
+    ),
+    "ns_vec_dim_stats": QueryDef(
+        vec_dim_stats,
+        """
+        WITH g AS (
+          SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000)
+                             AS HUGEINT))) AS y
+          FROM embeddings),
+        s AS (
+          SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+                 sum(y) AS sy, sum(y * y) AS sq
+          FROM g GROUP BY 1)
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000,
+                     6) AS mean,
+               round(sqrt(CAST(n * sq - sy * sy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / 1000000, 6) AS std
+        FROM s
         """,
     ),
     "ns_vec_scalar_quant": QueryDef(

@@ -860,3 +860,45 @@ def test_winnow_fingerprints(spark):
     assert out[4].n_fingerprints == 0 and out[4].n_shared_fp == 0
     # density: winnowing keeps far fewer than all k-grams
     assert 0 < out[1].n_fingerprints < out[1].n_kgrams
+
+
+def test_ngram_containment(spark):
+    """A doc fully inside a bigger one scores containment 1.0 in the
+    small->big direction and < 1 the other way — the asymmetric
+    subsumption case symmetric Jaccard misses."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lambda mu nu xi"
+    rows = [(1, small), (2, big), (3, "unrelated words only here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id, r.container_id): r.containment
+        for r in dd.ngram_containment_pairs(
+            docs, threshold=0.1
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # small entirely inside big
+    assert 0 < out[(2, 1)] < 0.5  # big only partially covered
+    assert all(3 not in k for k in out)
+    # jaccard at the same pair is well below the containment signal
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < out[(1, 2)]
+    dd.release_scratch()
+
+
+def test_dimension_stats(spark):
+    """Exact per-dimension stats on literal vectors: mean/std match
+    hand computation; a constant dimension reports std 0 (dead-dim
+    audit case)."""
+    rows = [(1, [1.0, 2.0, 5.0]), (2, [3.0, 2.0, 1.0]), (3, [5.0, 2.0, 3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in sim.dimension_stats(emb).collect()}
+    assert out[1].mean == 3.0 and out[2].mean == 2.0 and out[3].mean == 3.0
+    assert out[2].std == 0.0  # constant dimension
+    # population std of (1,3,5) = sqrt(8/3)
+    import math
+
+    assert abs(out[1].std - round(math.sqrt(8.0 / 3.0), 6)) < 1e-9
+    assert all(r.n == 3 for r in out.values())
