@@ -1006,3 +1006,107 @@ def hits(
             )
         )
     return hub.join(auth, ["id"])
+
+
+def random_walks(
+    g: Graph,
+    starts: DataFrame,
+    length: int = 4,
+    salt: str = "walk",
+    edge_label: str | None = "in",
+) -> DataFrame:
+    """DETERMINISTIC random walks — the node2vec/DeepWalk corpus
+    primitive (Grover & Leskovec 2016; Perozzi et al. 2014): from each
+    start vertex, take `length` steps, at each step moving to a
+    pseudo-uniformly chosen out-neighbour. Walks that reach a sink
+    stop early. Returns (walk_key, step, label, key) — one row per
+    visited vertex, step 0 = the start.
+
+    "Random" is a reproducible hash, not an RNG: at step t the walk
+    picks neighbour rank  md5_16(walk_key || ':' || salt || t) mod
+    out_degree, where neighbours are ranked by their NATURAL key
+    (label, key) — so the same graph yields the same corpus on every
+    run, every partitioning, and every ENGINE (the DuckDB oracle
+    replays the identical hash arithmetic; an RNG-driven walk could
+    never be oracle-checked).
+
+    Scale shape: the ranked-neighbour table is one window partitioned
+    by src (per-vertex scope, no hot keys beyond real graph skew —
+    salt the hubs if a vertex's adjacency exceeds a partition);
+    each step is ONE equi-join of the narrow walk frontier against it
+    on (src, rank) — `length` joins total, frontier never wider than
+    (walk_key, id). No collect, no UDF, no lineage blowup (length is
+    small and fixed)."""
+    from .schema import natural_key_col
+
+    e = g.edges
+    if edge_label is not None:
+        e = e.filter(F.col("label") == edge_label)
+    from pyspark.sql.window import Window
+
+    vk = g.vertices.select(
+        F.col("id").alias("__vid"),
+        F.col("label").alias("__vl"),
+        natural_key_col().alias("__vk"),
+    )
+    nbrs = (
+        e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+        .dropDuplicates()
+        .join(vk, F.col("__d") == F.col("__vid"))
+        .select("__s", "__d", "__vl", "__vk")
+    )
+    w = Window.partitionBy("__s").orderBy("__vl", "__vk")
+    nbrs = (
+        nbrs.withColumn("__rank", F.row_number().over(w))
+        .withColumn("__deg", F.count("*").over(Window.partitionBy("__s")))
+        .localCheckpoint(eager=True)
+    )
+    state = starts.join(
+        vk, starts["id"] == vk["__vid"]
+    ).select(
+        F.col("__vk").alias("walk_key"),
+        F.col("__vid").alias("__cur"),
+        F.col("__vl").alias("label"),
+        F.col("__vk").alias("key"),
+    )
+    out = state.select(
+        "walk_key", F.lit(0).cast("bigint").alias("step"), "label", "key"
+    )
+    frontier = state.select("walk_key", "__cur")
+    for t in range(1, length + 1):
+        choice = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("walk_key"), F.lit(f":{salt}{t - 1}")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("__deg")
+        )
+        step = (
+            frontier.join(nbrs, frontier["__cur"] == nbrs["__s"])
+            .filter(F.col("__rank") == choice + 1)
+            .select(
+                "walk_key",
+                F.col("__d").alias("__cur"),
+                F.col("__vl").alias("label"),
+                F.col("__vk").alias("key"),
+            )
+        )
+        out = out.unionByName(
+            step.select(
+                "walk_key",
+                F.lit(t).cast("bigint").alias("step"),
+                "label",
+                "key",
+            )
+        )
+        frontier = step.select("walk_key", "__cur")
+    return out

@@ -578,6 +578,49 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_random_walks": QueryDef(
+        gq.graph_random_walks,
+        f"""
+        WITH {_EDGES_NK.strip()},
+        nb AS MATERIALIZED (
+          SELECT sl, sk, dl, dk,
+                 row_number() OVER (PARTITION BY sl, sk
+                                    ORDER BY dl, dk) AS rk,
+                 count(*) OVER (PARTITION BY sl, sk) AS deg
+          FROM edges_nk),
+        s0 AS (SELECT c_name AS walk_key, 'user' AS l, c_name AS k
+               FROM customer),
+        s1 AS MATERIALIZED (
+          SELECT s.walk_key, nb.dl AS l, nb.dk AS k
+          FROM s0 s JOIN nb ON nb.sl = s.l AND nb.sk = s.k
+          WHERE nb.rk = 1 + (('0x' || substr(
+                  md5(s.walk_key || ':walk0'), 1, 4))::BIGINT % nb.deg)),
+        s2 AS MATERIALIZED (
+          SELECT s.walk_key, nb.dl AS l, nb.dk AS k
+          FROM s1 s JOIN nb ON nb.sl = s.l AND nb.sk = s.k
+          WHERE nb.rk = 1 + (('0x' || substr(
+                  md5(s.walk_key || ':walk1'), 1, 4))::BIGINT % nb.deg)),
+        s3 AS MATERIALIZED (
+          SELECT s.walk_key, nb.dl AS l, nb.dk AS k
+          FROM s2 s JOIN nb ON nb.sl = s.l AND nb.sk = s.k
+          WHERE nb.rk = 1 + (('0x' || substr(
+                  md5(s.walk_key || ':walk2'), 1, 4))::BIGINT % nb.deg)),
+        s4 AS (
+          SELECT s.walk_key, nb.dl AS l, nb.dk AS k
+          FROM s3 s JOIN nb ON nb.sl = s.l AND nb.sk = s.k
+          WHERE nb.rk = 1 + (('0x' || substr(
+                  md5(s.walk_key || ':walk3'), 1, 4))::BIGINT % nb.deg))
+        SELECT walk_key, CAST(step AS BIGINT) AS step,
+               l AS label, k AS key
+        FROM (
+          SELECT walk_key, 0 AS step, l, k FROM s0
+          UNION ALL SELECT walk_key, 1, l, k FROM s1
+          UNION ALL SELECT walk_key, 2, l, k FROM s2
+          UNION ALL SELECT walk_key, 3, l, k FROM s3
+          UNION ALL SELECT walk_key, 4, l, k FROM s4)
+        ORDER BY walk_key, step
+        """,
+    ),
     "g_weighted_distances": QueryDef(
         gq.weighted_distances,
         f"""
@@ -1145,6 +1188,7 @@ _PRIORITY = [
     "ns_events_cusum",       # r6 new: two-pass CUSUM change points
     "ns_dedup_containment",  # r6 new: asymmetric shingle containment
     "ns_vec_dim_stats",      # r6 new: per-dimension embedding stats
+    "g_random_walks",        # r6 new: deterministic node2vec walks
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -1149,6 +1149,22 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus from every user vertex
+    (graph/algorithms.random_walks, length 4): the node2vec/DeepWalk
+    sampling pass as a dataflow — each step one equi-join of the walk
+    frontier against the ranked-neighbour table, neighbour choice a
+    reproducible md5 draw the DuckDB oracle replays exactly. The
+    output IS the training corpus a skip-gram embedder consumes."""
+    from ..graph.algorithms import random_walks
+
+    g = _graph(spark, sf_dir)
+    starts = g.vertices.filter(F.col("label") == "user").select("id")
+    return random_walks(g, starts, length=4).orderBy(
+        "walk_key", "step"
+    )
+
+
 def weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths from the min-email user —
     the edge-``weight`` capability (main.go:305: every reference edge

@@ -448,3 +448,38 @@ def test_skyline2d(spark):
     df = spark.createDataFrame(rows, "id long, price double, size long")
     got = {r.id for r in skyline2d(df, "price", "size").collect()}
     assert got == {1, 2, 4, 7, 8}
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks follow real edges only, stop at sinks, and are bit-
+    reproducible across runs (hash-driven choice, no RNG)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import random_walks
+
+    v = vertices_of(
+        spark,
+        [("user", "u1"), ("user", "u2"), ("group", "g1"),
+         ("group", "g2"), ("role", "r1")],
+    )
+    e = edges_of(
+        spark,
+        [("user", "u1", "group", "g1"), ("user", "u1", "role", "r1"),
+         ("user", "u2", "group", "g1"), ("group", "g1", "group", "g2")],
+    )
+    g = Graph(v, e)
+    starts = v.filter(F.col("label") == "user").select("id")
+    out = random_walks(g, starts, length=3).collect()
+    again = random_walks(g, starts, length=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_walk = {}
+    for r in sorted(out, key=lambda r: (r.walk_key, r.step)):
+        by_walk.setdefault(r.walk_key, []).append((r.label, r.key))
+    assert set(by_walk) == {"u1", "u2"}
+    edges_nk = {("user", "u1"): {("group", "g1"), ("role", "r1")},
+                ("user", "u2"): {("group", "g1")},
+                ("group", "g1"): {("group", "g2")}}
+    for wk, path in by_walk.items():
+        assert path[0] == ("user", wk)
+        for a, b in zip(path, path[1:]):
+            assert b in edges_nk.get(a, set())  # every hop is an edge
+        # terminal vertex is a sink or the walk used all 3 steps
+        assert path[-1] not in edges_nk or len(path) == 4

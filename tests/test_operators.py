@@ -785,7 +785,7 @@ def test_trend_slope_matches_numpy(spark):
     d = tempfile.mkdtemp(prefix="trend_fixture_")
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     out = events_trend_slope(spark, d).collect()[0]
-    x = np.array([i * 60e6 for i in range(50)])       # micros
+    x = np.array([i * 60.0 for i in range(50)])       # whole seconds
     y = np.floor((2.5 + 0.125 * np.arange(50)) * 1e6) # micro-units
     expect = np.polyfit(x, y, 1)[0]
     assert out.n_events == 50
