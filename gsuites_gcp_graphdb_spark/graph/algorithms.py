@@ -1110,3 +1110,108 @@ def random_walks(
         )
         frontier = step.select("walk_key", "__cur")
     return out
+
+
+def stress_centrality(
+    g: Graph,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    edge_label: str | None = "in",
+) -> DataFrame:
+    """Sampled STRESS centrality (Shimbel 1953) — the all-integer
+    sibling of Brandes betweenness: stress(v) = number of shortest
+    seed→target paths passing THROUGH v (v an interior vertex),
+    summed over the seed sample. Same two-phase structure as Brandes
+    (forward path counting, backward dependency accumulation), but
+    the backward recurrence R(v) = Σ_{w ∈ DAG-succ(v)} (R(w) + 1)
+    stays in integers where betweenness's σ(v)/σ(w) ratios would sum
+    doubles in nondeterministic fold order — integers make the
+    operator EXACTLY oracle-checkable, the DESIGN.md #8 rule deciding
+    which centrality variant to ship.
+
+    Forward: level-synchronous BFS per seed, σ accumulated by one
+    groupBy per level (first-visit level = shortest distance, so a
+    vertex's σ is final the level it is reached). Backward: per-level
+    join against the shortest-path DAG edges (level k → k+1 only).
+    Depth is bounded by ``max_depth`` (exactly mirrored by the
+    unrolled oracle); 2*max_depth+1 narrow shuffles total, frontier
+    never wider than (seed, id, count). ``seeds`` has column ``seed``.
+    Returns (id, stress) for interior vertices with stress > 0."""
+    edges = g.edges
+    if edge_label is not None:
+        edges = edges.filter(F.col("label") == edge_label)
+    edges = edges.select("src", "dst").dropDuplicates()
+
+    lv = [
+        _truncate(
+            seeds.select(
+                "seed",
+                F.col("seed").alias("id"),
+                F.lit(1).cast("long").alias("sig"),
+            ).dropDuplicates(["seed", "id"])
+        )
+    ]
+    seen = lv[0].select("seed", "id")
+    for _k in range(max_depth):
+        nxt = (
+            lv[-1]
+            .join(edges, lv[-1].id == edges.src)
+            .select("seed", F.col("dst").alias("id"), "sig")
+            .join(seen, ["seed", "id"], "left_anti")
+            .groupBy("seed", "id")
+            .agg(F.sum("sig").alias("sig"))
+        )
+        nxt = _truncate(nxt)
+        if not nxt.take(1):
+            break
+        lv.append(nxt)
+        seen = _truncate(seen.unionByName(nxt.select("seed", "id")))
+
+    # backward: R over the per-seed shortest-path DAG, deepest first
+    r = lv[-1].select("seed", "id", F.lit(0).cast("long").alias("r"))
+    stress = None
+    for k in range(len(lv) - 2, -1, -1):
+        de = (
+            lv[k]
+            .select("seed", F.col("id").alias("__src"))
+            .join(edges, F.col("__src") == edges.src)
+            .select("seed", "__src", F.col("dst").alias("__dst"))
+            .join(
+                r.select("seed", F.col("id").alias("__dst"), "r"),
+                ["seed", "__dst"],
+            )
+        )
+        rk = (
+            lv[k]
+            .join(
+                de.groupBy("seed", F.col("__src").alias("id")).agg(
+                    F.sum(F.col("r") + 1).alias("__sum")
+                ),
+                ["seed", "id"],
+                "left",
+            )
+            .select(
+                "seed",
+                "id",
+                "sig",
+                F.coalesce("__sum", F.lit(0)).alias("r"),
+            )
+        )
+        rk = _truncate(rk)
+        if k >= 1:  # interior vertices only (v != seed)
+            contrib = rk.select(
+                "id", (F.col("sig") * F.col("r")).alias("__c")
+            )
+            stress = (
+                contrib if stress is None else stress.unionByName(contrib)
+            )
+        r = rk.select("seed", "id", "r")
+    if stress is None:
+        return g.vertices.select(
+            "id", F.lit(0).cast("bigint").alias("stress")
+        ).limit(0)
+    return (
+        stress.groupBy("id")
+        .agg(F.sum("__c").cast("bigint").alias("stress"))
+        .filter(F.col("stress") > 0)
+    )

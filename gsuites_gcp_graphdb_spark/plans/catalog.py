@@ -143,6 +143,59 @@ def _pagerank_sql(
         """
 
 
+def _stress_sql(depth: int = 4, n_seeds: int = 5) -> str:
+    """The SAME sampled stress centrality as graph/algorithms.
+    stress_centrality, unrolled: forward BFS levels with path-count
+    sums (sigma), then the backward integer recurrence
+    R(v) = sum over DAG-successors w of (R(w) + 1); stress =
+    sum(sigma * R) over interior levels 1..depth-1. All HUGEINT —
+    no float folds anywhere, exact hash match by construction."""
+    ctes = [
+        _EDGES_NK.strip(),
+        "em AS MATERIALIZED (SELECT DISTINCT sl, sk, dl, dk FROM edges_nk)",
+        f"""sd AS (SELECT c_name AS s FROM customer
+               ORDER BY c_name LIMIT {n_seeds})""",
+        """l0 AS (SELECT s, 'user' AS l, s AS k,
+                 CAST(1 AS HUGEINT) AS sig FROM sd)""",
+        "seen0 AS MATERIALIZED (SELECT s, l, k FROM l0)",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+          SELECT p.s, e.dl AS l, e.dk AS k, sum(p.sig) AS sig
+          FROM l{i - 1} p JOIN em e ON e.sl = p.l AND e.sk = p.k
+          WHERE NOT EXISTS (SELECT 1 FROM seen{i - 1} x
+                            WHERE x.s = p.s AND x.l = e.dl
+                              AND x.k = e.dk)
+          GROUP BY 1, 2, 3)""")
+        ctes.append(f"""seen{i} AS MATERIALIZED (
+          SELECT * FROM seen{i - 1}
+          UNION ALL SELECT s, l, k FROM l{i})""")
+    ctes.append(
+        f"r{depth} AS (SELECT s, l, k, CAST(0 AS HUGEINT) AS r"
+        f" FROM l{depth})"
+    )
+    for i in range(depth - 1, 0, -1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+          SELECT p.s, p.l, p.k, p.sig, coalesce(x.rr, 0) AS r
+          FROM l{i} p LEFT JOIN (
+            SELECT c.s, e.sl, e.sk, sum(c.r + 1) AS rr
+            FROM em e JOIN r{i + 1} c ON c.l = e.dl AND c.k = e.dk
+            GROUP BY 1, 2, 3) x
+          ON x.s = p.s AND x.sl = p.l AND x.sk = p.k)""")
+    interior = "\n          UNION ALL ".join(
+        f"SELECT l, k, sig * r AS c FROM r{i}"
+        for i in range(1, depth)
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT l AS label, k AS key, CAST(sum(c) AS BIGINT) AS stress
+        FROM ({interior})
+        GROUP BY 1, 2 HAVING sum(c) > 0
+        ORDER BY label, key
+        """
+
+
 def _hits_sql(iterations: int = 5, topk: int = 20) -> str:
     """The SAME 5-iteration HITS as graph/algorithms.hits, unrolled
     as DuckDB CTEs over the (label, key) graph: identical init
@@ -578,6 +631,7 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY label, key
         """,
     ),
+    "g_stress_sample": QueryDef(gq.stress_sample, _stress_sql()),
     "g_random_walks": QueryDef(
         gq.graph_random_walks,
         f"""
@@ -1189,6 +1243,7 @@ _PRIORITY = [
     "ns_dedup_containment",  # r6 new: asymmetric shingle containment
     "ns_vec_dim_stats",      # r6 new: per-dimension embedding stats
     "g_random_walks",        # r6 new: deterministic node2vec walks
+    "g_stress_sample",       # r6 new: all-integer sampled stress centrality
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

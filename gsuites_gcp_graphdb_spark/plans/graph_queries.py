@@ -1149,6 +1149,30 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def stress_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled stress centrality from the 5 smallest-email users
+    (graph/algorithms.stress_centrality): which vertices do the most
+    shortest access paths flow THROUGH — the choke-point audit (a
+    role or group with high stress is the one whose compromise or
+    misconfiguration affects the most access chains). The all-integer
+    Brandes-structure variant, so the unrolled DuckDB oracle matches
+    exactly; same seed convention as g_closeness_sample."""
+    from ..graph.algorithms import stress_centrality
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    seeds = users.orderBy("email").limit(5).select(
+        F.col("id").alias("seed")
+    )
+    st = stress_centrality(g, seeds, max_depth=4)
+    v = g.vertices
+    return (
+        st.join(v, st.id == v.id)
+        .select("label", natural_key_col().alias("key"), "stress")
+        .orderBy("label", "key")
+    )
+
+
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random-walk corpus from every user vertex
     (graph/algorithms.random_walks, length 4): the node2vec/DeepWalk

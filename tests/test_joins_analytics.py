@@ -483,3 +483,36 @@ def test_random_walks_deterministic_and_valid(spark):
             assert b in edges_nk.get(a, set())  # every hop is an edge
         # terminal vertex is a sink or the walk used all 3 steps
         assert path[-1] not in edges_nk or len(path) == 4
+
+
+def test_stress_centrality_hand_computed(spark):
+    """Diamond + tail graph, one seed: stress (number of shortest
+    seed->target paths through each interior vertex) matches the
+    hand count; targets with nothing downstream don't appear."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import stress_centrality
+
+    v = vertices_of(
+        spark,
+        [("user", "u1"), ("group", "a"), ("group", "b"),
+         ("group", "c"), ("group", "d")],
+    )
+    e = edges_of(
+        spark,
+        [("user", "u1", "group", "a"), ("user", "u1", "group", "b"),
+         ("group", "a", "group", "c"), ("group", "b", "group", "c"),
+         ("group", "c", "group", "d")],
+    )
+    g = Graph(v, e)
+    seeds = v.filter(F.col("label") == "user").select(
+        F.col("id").alias("seed")
+    )
+    # group vertices carry their natural key in `email` (schema
+    # NATURAL_KEY: group -> email), not `name`
+    keys = {r.id: r.email for r in v.select("id", "email").collect()}
+    out = {
+        keys[r.id]: r.stress
+        for r in stress_centrality(g, seeds).collect()
+    }
+    # through a: u1-a-c, u1-a-c-d = 2; same for b; through c: 2 paths
+    # to d; d is never interior (stress 0 -> filtered)
+    assert out == {"a": 2, "b": 2, "c": 2}
