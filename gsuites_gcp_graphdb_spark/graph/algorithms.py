@@ -1090,7 +1090,11 @@ def random_walks(
             ).cast("bigint")
             % F.col("__deg")
         )
-        step = (
+        # _truncate: each step is materialized once and reused by BOTH
+        # the output union and the next frontier — without it step t's
+        # lineage re-executes steps 1..t-1 inside the union (O(L^2)
+        # joins) and the plan snowballs.
+        step = _truncate(
             frontier.join(nbrs, frontier["__cur"] == nbrs["__s"])
             .filter(F.col("__rank") == choice + 1)
             .select(

@@ -119,6 +119,22 @@ def main():
         "ns_weighted_sample",
         "rel_nation_presence",
         "g_risk_report",
+        # round-6 wave: winnowing's running min must be a doc-
+        # partitioned window (never 'No Partition Defined'); the
+        # skyline must show the band-partitioned window + broadcast
+        # offsets (no NestedLoop over the data); CUSUM must show the
+        # two chunk-partitioned windows and a broadcast offset join;
+        # class balance is a broadcast of the tiny class-count table
+        # into a map-only filter; containment reuses ONE intersection
+        # pass; dim stats is one 64-key hash agg; random walks are
+        # 4 equi-joins of a narrow frontier (no BroadcastNestedLoop)
+        "ns_text_winnowing",
+        "rel_skyline_parts",
+        "ns_events_cusum",
+        "ns_class_balance",
+        "ns_dedup_containment",
+        "ns_vec_dim_stats",
+        "g_random_walks",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
