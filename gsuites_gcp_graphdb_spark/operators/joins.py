@@ -179,3 +179,54 @@ def edit_distance_join(
         .filter(F.col("edit_dist") <= max_dist)
         .select("left_key", "right_key", F.col("edit_dist").cast("bigint").alias("edit_dist"))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-interval OVERLAP join: left [l_start, l_end) rows to
+    right [r_start, r_end) rows sharing ``key`` whose intervals
+    intersect — the third classic temporal join after as-of
+    (point-to-latest) and range (point-in-interval). Overlap test:
+    l_start < r_end AND r_start < l_end (half-open semantics; touching
+    endpoints do NOT overlap).
+
+    Scale shape: BOTH sides explode to coarse time buckets and the
+    join is an equi-join on (key, bucket) + residual overlap filter —
+    the same bucketization as range_join, so Catalyst plans a hash
+    shuffle, never a BroadcastNestedLoop theta join. An interval
+    spanning b buckets duplicates b times; overlapping pairs that
+    co-occur in several buckets are deduplicated by the
+    dropDuplicates on the pair of interval identities (all original
+    columns are preserved; callers keying rows should pass pre-keyed
+    frames). bucket_seconds trades duplication (long intervals) vs
+    join fan-in (busy buckets) — size it near the median interval
+    length."""
+    us = bucket_seconds * 1_000_000
+
+    def _b(col: str) -> Column:
+        return (F.unix_micros(F.col(col)) / us).cast("long")
+
+    lb = left.withColumn(
+        "__b", F.explode(F.sequence(_b(l_start), _b(l_end)))
+    )
+    rb = right.withColumn(
+        "__b", F.explode(F.sequence(_b(r_start), _b(r_end)))
+    )
+    joined = (
+        lb.join(rb, [key, "__b"])
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+        )
+        .drop("__b")
+        .dropDuplicates()
+    )
+    return joined

@@ -1244,6 +1244,7 @@ _PRIORITY = [
     "ns_vec_dim_stats",      # r6 new: per-dimension embedding stats
     "g_random_walks",        # r6 new: deterministic node2vec walks
     "g_stress_sample",       # r6 new: all-integer sampled stress centrality
+    "ns_events_span_overlap",  # r6 new: interval-interval overlap join
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -1913,6 +1913,49 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.sliding_counts(load_table(spark, sf_dir, "events"))
 
 
+def events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/joins.
+    interval_overlap_join — the third classic temporal join after
+    as-of and range): per user, which event-type activity spans
+    [first event, last event + 1 min) overlap, and by how much
+    (exact microseconds). The engine runs the bucketized equi-join
+    (never a BroadcastNestedLoop theta join); the oracle states the
+    overlap theta join directly."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 MINUTE")).alias("e"),
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    j = interval_overlap_join(
+        a, b, "user_id", "a_s", "a_e", "b_s", "b_e"
+    ).filter(F.col("type_a") < F.col("type_b"))
+    return j.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "type_a",
+        "type_b",
+        (
+            F.unix_micros(F.least("a_e", "b_e"))
+            - F.unix_micros(F.greatest("a_s", "b_s"))
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
+
+
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.session_counts_batch(
         load_table(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN
@@ -3398,6 +3441,23 @@ ENTRIES: dict[str, QueryDef] = {
             range(0, greatest(octet_length(encode(text)) // 64 - 1, 0) + 1),
             i -> substring(hex(encode(text)), i * 128 + 1, 32)), ',') AS frames_hex
         FROM documents
+        """,
+    ),
+    "ns_events_span_overlap": QueryDef(
+        events_span_overlap,
+        """
+        WITH sp AS (
+          SELECT user_id, event_type, min(ts) AS s,
+                 max(ts) + INTERVAL 1 MINUTE AS e
+          FROM events GROUP BY 1, 2)
+        SELECT CAST(a.user_id AS BIGINT) AS user_id,
+               a.event_type AS type_a, b.event_type AS type_b,
+               CAST(epoch_us(least(a.e, b.e))
+                    - epoch_us(greatest(a.s, b.s)) AS BIGINT)
+                 AS overlap_us
+        FROM sp a JOIN sp b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        WHERE a.s < b.e AND b.s < a.e
         """,
     ),
     "ns_events_asof_join": QueryDef(

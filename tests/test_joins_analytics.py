@@ -516,3 +516,32 @@ def test_stress_centrality_hand_computed(spark):
     # through a: u1-a-c, u1-a-c-d = 2; same for b; through c: 2 paths
     # to d; d is never interior (stress 0 -> filtered)
     assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_interval_overlap_join(spark):
+    """Half-open overlap semantics on literal intervals: genuine
+    overlaps match once (even when they share several buckets),
+    touching endpoints do NOT match, and different keys never match."""
+    from gsuites_gcp_graphdb_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [(1, "a1", _ts(0), _ts(30)),   # long: spans many 5-min buckets
+         (1, "a2", _ts(40), _ts(45)),
+         (2, "a3", _ts(0), _ts(10))],
+        "k long, lid string, ls timestamp, le timestamp",
+    )
+    R = spark.createDataFrame(
+        [(1, "b1", _ts(20), _ts(50)),  # overlaps a1 (20-30) and a2
+         (1, "b2", _ts(30), _ts(35)),  # touches a1 at 30 -> NO match
+         (2, "b3", _ts(50), _ts(55))], # same key, disjoint
+        "k long, rid string, rs timestamp, re timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "k", "ls", "le", "rs", "re", bucket_seconds=300
+        ).collect()
+    }
+    assert got == {("a1", "b1"), ("a2", "b1")}
