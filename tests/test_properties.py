@@ -317,3 +317,74 @@ def test_pii_scrub_counts_match_python_model(spark, texts):
                 name,
                 t,
             )
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_skyline_equals_brute_force(spark, pts):
+    """The banded prefix-max skyline equals the quadratic dominance
+    definition on arbitrary small point sets (duplicates included)."""
+    from gsuites_gcp_graphdb_spark.functions.ranking import skyline2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = {r.id for r in skyline2d(df, "price", "size").collect()}
+    want = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for (x2, y2) in pts
+        )
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=24,
+    ),
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=60 * 40),  # up to ~1.7 days
+        min_size=24,
+        max_size=24,
+    ),
+)
+@_SETTINGS
+def test_prefix_sum_property(spark, vals, gaps):
+    """Two-pass chunked prefix sum == sequential running sum for any
+    values and any (possibly multi-day-spanning) timestamp spacing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gsuites_gcp_graphdb_spark.operators import timeseries as tss
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate(vals):
+        t = t + dt.timedelta(minutes=gaps[i])
+        rows.append((i, t, "s", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k string, v long"
+    ).withColumn("v", F.col("v").cast(tss.DEC))
+    got = {
+        r.event_id: int(r.prefix)
+        for r in tss.prefix_sum(df, "k", ["ts", "event_id"], "v").collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
