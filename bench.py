@@ -236,9 +236,17 @@ def main() -> None:
         "ns_dedup_simhash_fast",
         lambda: dd.simhash_candidates(docs, max_hamming=3).count(),
     )
-    # SemDeDup production path: LSH-bucketed candidate pairs (sub-
-    # quadratic) -> transitive closure -> per-member keep decisions.
-    # The exact all-pairs anchor stays catalog/correctness-only.
+    # SemDeDup production path: LSH-bucketed candidate pairs ->
+    # transitive closure -> per-member keep decisions. The exact
+    # all-pairs anchor stays catalog/correctness-only.
+    # r5->r6 delta note: round 6 replaced the single 8-bit band
+    # (recall ~3% at cos 0.4 — unusable) with 16x4 banding (recall
+    # 0.96). At the fixture's hostile tau=0.4 (true pairs at cos
+    # 0.4-0.6, barely above the 0.5 noise floor) that necessarily
+    # admits ~60% of random pairs, so this entry is slower than r5's
+    # — r5 was fast because it was missing 97% of the answer. At
+    # production SemDeDup thresholds (>=0.9) the same geometry admits
+    # ~3% and prunes for real.
     from gsuites_gcp_graphdb_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1245,6 +1245,7 @@ _PRIORITY = [
     "g_random_walks",        # r6 new: deterministic node2vec walks
     "g_stress_sample",       # r6 new: all-integer sampled stress centrality
     "ns_events_span_overlap",  # r6 new: interval-interval overlap join
+    "ns_vec_matryoshka",     # r6 new: truncated-dim search recall probe
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

@@ -626,6 +626,48 @@ _SQL_COS_EXACT = """(
              (x, y) -> x + y))))"""
 
 
+MRL_DIM = 16  # prefix dims for the matryoshka truncation probe
+
+
+def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation probe (Kusupati et al.
+    2022, arXiv 2205.13147): search with only the FIRST 16 of 64
+    embedding dims (4x cheaper distance + 4x smaller index) and
+    measure per-query recall@5 against full-dimension ground truth —
+    the measurement a pipeline runs before committing to truncated
+    vectors. Both searches are deterministic brute force (ties broken
+    by id), so the oracle checks the exact per-query recall values,
+    like ns_lsh_recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    q_t = queries.select(
+        "q_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    approx = sim.knn_join(q_t, emb_t, k=5).select("q_id", "vec_id")
+    hits = (
+        truth.join(approx, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    per_q = truth.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return per_q.join(hits, ["q_id"], "left").select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        "n_true",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_true"), 4
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------
@@ -2427,6 +2469,49 @@ ENTRIES: dict[str, QueryDef] = {
         )
         SELECT vec_id, label, round(ex, 6) AS cos_sim FROM scored
         ORDER BY ex DESC, vec_id LIMIT {TOPK}
+        """,
+    ),
+    "ns_vec_matryoshka": QueryDef(
+        vec_matryoshka_recall,
+        f"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+          WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT q.q_id, e.vec_id, {_SQL_COS_EXACT} AS ex
+          FROM embeddings e, q),
+        truth AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk <= 5),
+        et AS (
+          SELECT vec_id, embedding[1:{MRL_DIM}] AS embedding
+          FROM embeddings),
+        qt AS (
+          SELECT vec_id AS q_id, embedding[1:{MRL_DIM}] AS qvec
+          FROM embeddings WHERE vec_id % 100 = 0),
+        scoredt AS (
+          SELECT qt.q_id, e.vec_id, {_SQL_COS_EXACT} AS ex
+          FROM et e, qt),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY ex DESC, vec_id) AS rnk
+            FROM scoredt) WHERE rnk <= 5),
+        hits AS (
+          SELECT t.q_id, count(*) AS n_hits
+          FROM truth t JOIN approx a
+            ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+          GROUP BY 1)
+        SELECT CAST(t.q_id AS BIGINT) AS q_id,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT)
+                 AS n_hits,
+               round(coalesce(any_value(h.n_hits), 0)
+                     / CAST(count(*) AS DOUBLE), 4) AS recall
+        FROM truth t LEFT JOIN hits h ON h.q_id = t.q_id
+        GROUP BY t.q_id
         """,
     ),
     "ns_knn_join": QueryDef(
