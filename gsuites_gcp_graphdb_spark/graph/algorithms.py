@@ -1219,3 +1219,62 @@ def stress_centrality(
         .agg(F.sum("__c").cast("bigint").alias("stress"))
         .filter(F.col("stress") > 0)
     )
+
+
+def k_truss(
+    g: Graph, k: int = 3, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """The k-truss (Cohen 2008): the maximal subgraph in which every
+    EDGE participates in >= k-2 triangles — the edge-grade analog of
+    the k-core and a stricter community screen (a k-core can be a
+    star; a k-truss cannot). On the IAM graph the 3-truss isolates
+    the role/bucket/project containment triangles — grant structure
+    that is mutually reinforcing rather than merely dense.
+
+    Iterative peeling: compute each edge's support (common-neighbour
+    count) via the wedge join, drop edges with support < k-2, repeat
+    to fixpoint. Each round is one triangle enumeration (two
+    self-joins shuffling on vertex id — the same cost and the same
+    hub-wedge hazard as triangle_count; at 100 TB, orient wedges from
+    the lower-degree endpoint to bound them) plus a semi-join
+    restriction; lineage truncated per round. Returns the surviving
+    UNDIRECTED canonical edges (a, b) with their final support."""
+    e = g.edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    canon = _truncate(
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).dropDuplicates()
+    )
+
+    def _support(c: DataFrame) -> DataFrame:
+        adj = c.select("a", "b").unionByName(
+            c.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        x = adj.select(F.col("a").alias("__xa"), F.col("b").alias("__w"))
+        y = adj.select(F.col("a").alias("__ya"), F.col("b").alias("__w"))
+        return (
+            c.join(x, c.a == x.__xa)
+            .join(y, (c.b == y.__ya) & (x.__w == y.__w))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("support"))
+        )
+
+    for _ in range(max_iter):
+        sup = _support(canon)
+        kept = canon.join(
+            sup.filter(F.col("support") >= k - 2).select("a", "b"),
+            ["a", "b"],
+            "left_semi",
+        )
+        kept = _truncate(kept)
+        dropped = canon.join(kept, ["a", "b"], "left_anti")
+        canon = kept
+        if not dropped.take(1):
+            break
+    sup = _support(canon)
+    return canon.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )

@@ -143,6 +143,59 @@ def _pagerank_sql(
         """
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
+    """k-truss oracle: the SAME edge-support peel as graph/
+    algorithms.k_truss, unrolled over the canonical undirected
+    (label, key) edge list. Each round computes every edge's
+    common-neighbour count via the wedge join and keeps edges with
+    support >= k-2; once stable, further rounds are no-ops (bound
+    pinned by test_ktruss_converges_within_oracle_bound)."""
+    canon = """
+          SELECT DISTINCT
+            CASE WHEN (sl, sk) <= (dl, dk) THEN sl ELSE dl END AS al,
+            CASE WHEN (sl, sk) <= (dl, dk) THEN sk ELSE dk END AS ak,
+            CASE WHEN (sl, sk) <= (dl, dk) THEN dl ELSE sl END AS bl,
+            CASE WHEN (sl, sk) <= (dl, dk) THEN dk ELSE sk END AS bk
+          FROM edges_nk WHERE NOT (sl = dl AND sk = dk)"""
+    ctes = [
+        _EDGES_NK.strip(),
+        f"c0 AS MATERIALIZED ({canon})",
+    ]
+    sup_tmpl = """(
+          SELECT e.al, e.ak, e.bl, e.bk, count(*) AS support
+          FROM c{i} e
+          JOIN (SELECT al, ak, bl, bk FROM c{i}
+                UNION ALL SELECT bl, bk, al, ak FROM c{i}) x
+            ON x.al = e.al AND x.ak = e.ak
+          JOIN (SELECT al, ak, bl, bk FROM c{i}
+                UNION ALL SELECT bl, bk, al, ak FROM c{i}) y
+            ON y.al = e.bl AND y.ak = e.bk
+           AND y.bl = x.bl AND y.bk = x.bk
+          GROUP BY 1, 2, 3, 4)"""
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED {sup_tmpl.format(i=i - 1)}"
+        )
+        ctes.append(f"""c{i} AS MATERIALIZED (
+          SELECT e.* FROM c{i - 1} e
+          JOIN s{i} s ON s.al = e.al AND s.ak = e.ak
+                     AND s.bl = e.bl AND s.bk = e.bk
+          WHERE s.support >= {k - 2})""")
+    ctes.append(
+        f"sf AS MATERIALIZED {sup_tmpl.format(i=rounds)}"
+    )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT e.al, e.ak, e.bl, e.bk,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM c{rounds} e
+        LEFT JOIN sf s ON s.al = e.al AND s.ak = e.ak
+                      AND s.bl = e.bl AND s.bk = e.bk
+        ORDER BY e.al, e.ak, e.bl, e.bk
+        """
+
+
 def _stress_sql(depth: int = 4, n_seeds: int = 5) -> str:
     """The SAME sampled stress centrality as graph/algorithms.
     stress_centrality, unrolled: forward BFS levels with path-count
@@ -632,6 +685,7 @@ CATALOG: dict[str, QueryDef] = {
         """,
     ),
     "g_stress_sample": QueryDef(gq.stress_sample, _stress_sql()),
+    "g_ktruss": QueryDef(gq.ktruss, _ktruss_sql()),
     "g_random_walks": QueryDef(
         gq.graph_random_walks,
         f"""
@@ -1246,6 +1300,7 @@ _PRIORITY = [
     "g_stress_sample",       # r6 new: all-integer sampled stress centrality
     "ns_events_span_overlap",  # r6 new: interval-interval overlap join
     "ns_vec_matryoshka",     # r6 new: truncated-dim search recall probe
+    "g_ktruss",              # r6 new: edge-support truss peel
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

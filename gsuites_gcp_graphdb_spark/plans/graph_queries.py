@@ -1149,6 +1149,42 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the IAM graph (graph/algorithms.k_truss): the edges
+    whose endpoints share at least one common neighbour AFTER peeling
+    — on this graph, exactly the mutually-reinforcing role/bucket/
+    project containment triangles; a star-shaped k-core passes the
+    vertex screen but no star survives a truss. Output in natural-key
+    space, each undirected edge canonicalized by (label, key) order
+    so both engines emit identical rows."""
+    from ..graph.algorithms import k_truss
+
+    g = _graph(spark, sf_dir)
+    t = k_truss(g, k=3)
+    vk = g.vertices.select(
+        F.col("id"), F.col("label"), natural_key_col().alias("key")
+    )
+    a = vk.select(
+        F.col("id").alias("a"),
+        F.col("label").alias("__la"),
+        F.col("key").alias("__ka"),
+    )
+    b = vk.select(
+        F.col("id").alias("b"),
+        F.col("label").alias("__lb"),
+        F.col("key").alias("__kb"),
+    )
+    j = t.join(a, "a").join(b, "b")
+    first = F.struct("__la", "__ka") <= F.struct("__lb", "__kb")
+    return j.select(
+        F.when(first, F.col("__la")).otherwise(F.col("__lb")).alias("al"),
+        F.when(first, F.col("__ka")).otherwise(F.col("__kb")).alias("ak"),
+        F.when(first, F.col("__lb")).otherwise(F.col("__la")).alias("bl"),
+        F.when(first, F.col("__kb")).otherwise(F.col("__ka")).alias("bk"),
+        "support",
+    ).orderBy("al", "ak", "bl", "bk")
+
+
 def stress_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled stress centrality from the 5 smallest-email users
     (graph/algorithms.stress_centrality): which vertices do the most

@@ -166,3 +166,54 @@ def test_graph_summary_edge_free(spark):
     [row0] = summarize_graph(empty).collect()
     assert (row0.n_vertices, row0.n_edges, row0.n_sinks) == (0, 0, 0)
     assert row0.avg_out_degree is None
+
+
+def test_ktruss_semantics(spark):
+    """k-truss contracts: a K4 clique survives the 4-truss (every
+    edge in 2 triangles); a star has NO 3-truss (edges share no
+    common neighbours); peeling cascades — removing an edge's support
+    can knock out previously-supported edges."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_truss
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of
+
+    k4 = [
+        ("group", a, "group", b)
+        for a in "abcd"
+        for b in "abcd"
+        if a < b
+    ]
+    star = [("user", "hub"), ]  # star edges below
+    v = vertices_of(
+        spark,
+        [("group", x) for x in "abcd"]
+        + [("user", "hub")]
+        + [("user", f"leaf{i}") for i in range(3)],
+    )
+    e = edges_of(
+        spark,
+        k4 + [("user", "hub", "user", f"leaf{i}") for i in range(3)],
+    )
+    g = Graph(v, e)
+    t4 = k_truss(g, k=4).collect()
+    assert len(t4) == 6 and all(r.support == 2 for r in t4)  # the K4
+    t3 = k_truss(g, k=3)
+    # star edges never in any triangle -> absent from the 3-truss
+    assert t3.count() == 6
+    # chain a-b-c (one triangle abc sharing edge with nothing else):
+    # the 5-truss of ANY of this graph is empty
+    assert k_truss(g, k=5).count() == 0
+
+
+def test_ktruss_converges_within_oracle_bound(spark, sf_dir):
+    """The g_ktruss oracle unrolls 6 peel rounds; the engine must
+    reach its fixpoint within that bound at fixture scale (same
+    pinning discipline as test_kcore_converges_within_oracle_bound)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_truss
+    from gsuites_gcp_graphdb_spark.plans.graph_queries import _graph
+
+    g = _graph(spark, sf_dir)
+    bounded = k_truss(g, k=3, max_iter=6)
+    free = k_truss(g, k=3, max_iter=50)
+    assert sorted(map(tuple, bounded.collect())) == sorted(
+        map(tuple, free.collect())
+    )
