@@ -136,3 +136,114 @@ def cusum_change_points(
             6,
         ).alias("peak_dev"),
     )
+
+
+def gapfill_locf(
+    sparse: DataFrame,
+    series_col: str,
+    slot_col: str,
+    val_cols: list[str],
+    chunk_slots: int = 96,
+) -> DataFrame:
+    """Dense-grid gap fill with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill(...) + locf(...)` shape
+    (TimescaleDB / InfluxDB parity; the reference's README graphs are
+    snapshots over exactly this kind of regularized series). Input is
+    one row per OBSERVED (series, slot); output is one row per slot
+    on each series' dense [min_slot, max_slot] grid, with every
+    column in ``val_cols`` carried forward across gaps and an
+    ``observed`` flag marking real rows.
+
+    Scale shape — both classic pitfalls avoided:
+
+    * grid generation never builds a whole series in one array: a
+      two-level explode emits chunk ids first (``chunk_slots`` apart),
+      then at most ``chunk_slots`` slots per chunk row, so task input
+      stays bounded no matter how long a series runs;
+    * the carry-forward is NOT a per-series global window (one task
+      per series = the skew trap): it is the repo's banded two-pass
+      scan — local LOCF inside each (series, chunk) band, then the
+      cross-chunk carry computed on the tiny one-row-per-chunk table
+      and broadcast back. last() is associativity-safe across the
+      band boundary because a band's carry-out is by definition its
+      last non-null value.
+
+    Leading gaps stay NULL (nothing to carry yet) — callers coalesce
+    if they grid from each series' first observation, where no
+    leading NULL can exist."""
+    b = sparse.groupBy(series_col).agg(
+        F.min(slot_col).alias("__s0"), F.max(slot_col).alias("__s1")
+    )
+    n = F.lit(int(chunk_slots))
+    chunks = b.select(
+        series_col,
+        "__s0",
+        "__s1",
+        F.explode(
+            F.sequence(
+                (F.col("__s0") / n).cast("bigint"),
+                (F.col("__s1") / n).cast("bigint"),
+            )
+        ).alias("__chunk"),
+    )
+    grid = chunks.select(
+        series_col,
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__s0"), F.col("__chunk") * n),
+                F.least(
+                    F.col("__s1"), F.col("__chunk") * n + (n - F.lit(1))
+                ),
+            )
+        ).alias(slot_col),
+    )
+    j = (
+        grid.join(
+            sparse.withColumn("__obs", F.lit(True)),
+            [series_col, slot_col],
+            "left",
+        )
+        .withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
+        .drop("__obs")
+    )
+    wl = (
+        Window.partitionBy(series_col, "__chunk")
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = j
+    for v in val_cols:
+        local = local.withColumn(
+            f"__l_{v}", F.last(v, ignorenulls=True).over(wl)
+        )
+    carry_out = local.groupBy(series_col, "__chunk").agg(
+        *[F.max_by(f"__l_{v}", slot_col).alias(f"__co_{v}") for v in val_cols]
+    )
+    wc = (
+        Window.partitionBy(series_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = carry_out.select(
+        series_col,
+        "__chunk",
+        *[
+            F.last(f"__co_{v}", ignorenulls=True)
+            .over(wc)
+            .alias(f"__ci_{v}")
+            for v in val_cols
+        ],
+    )
+    out = local.join(
+        F.broadcast(carry_in), [series_col, "__chunk"]
+    ).select(
+        series_col,
+        slot_col,
+        *[
+            F.coalesce(F.col(f"__l_{v}"), F.col(f"__ci_{v}")).alias(v)
+            for v in val_cols
+        ],
+        "observed",
+    )
+    return out

@@ -1301,6 +1301,7 @@ _PRIORITY = [
     "ns_events_span_overlap",  # r6 new: interval-interval overlap join
     "ns_vec_matryoshka",     # r6 new: truncated-dim search recall probe
     "g_ktruss",              # r6 new: edge-support truss peel
+    "ns_events_gapfill",     # r6 new: dense-grid LOCF gap fill
     # behavior changes round 5 — must re-verify
     "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
     "ns_text_dsir",          # new: DSIR importance scoring

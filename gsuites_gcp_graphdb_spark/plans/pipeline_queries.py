@@ -2225,6 +2225,53 @@ _RANGE_JOIN_SQL = """
         GROUP BY 1
         """
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap fill with LOCF: 15-minute buckets of event
+    value per event_type, regularized onto each type's full
+    [first, last] bucket grid with missing buckets carried forward —
+    `time_bucket_gapfill + locf` parity (the hypertable primitive a
+    dashboard needs before it can chart an irregular series). Gap
+    rows keep n_events = 0 and observed = false; locf_sum_cents
+    repeats the last observed bucket's sum.
+
+    Exactness: buckets are integer slots (unix_micros div 900e6 —
+    integer division on both engines, no double rounding near bucket
+    boundaries) and values fold as integer cents, so the carried
+    value is bit-identical cross-engine; no timestamp is emitted, so
+    no timezone/format hazard. A type's min slot is observed by
+    construction, so no leading NULL exists and locf_sum_cents is
+    total. Scale: grid generation and carry-forward are
+    :func:`operators.timeseries.gapfill_locf` — bounded two-level
+    explode, banded two-pass scan, no per-series global window."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    obs = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 900000000").alias("slot"),
+            cents.alias("__c"),
+        )
+        .groupBy("event_type", "slot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__c").cast("bigint").alias("locf_sum_cents"),
+        )
+    )
+    filled = tss.gapfill_locf(
+        obs, "event_type", "slot", ["n_events", "locf_sum_cents"]
+    )
+    return filled.select(
+        "event_type",
+        F.col("slot").cast("bigint").alias("slot"),
+        F.when(F.col("observed"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.col("locf_sum_cents").cast("bigint").alias("locf_sum_cents"),
+        "observed",
+    )
+
+
 _TUMBLING_SQL = """
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
                event_type,
@@ -2858,6 +2905,35 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT 'hour' AS level, * FROM hourly
         UNION ALL
         SELECT 'day' AS level, * FROM daily
+        """,
+    ),
+    "ns_events_gapfill": QueryDef(
+        events_gapfill,
+        """
+        WITH obs AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // 900000000 AS BIGINT) AS slot,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS sum_cents
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, min(slot) AS s0, max(slot) AS s1
+          FROM obs GROUP BY 1),
+        grid AS (
+          SELECT event_type, unnest(generate_series(s0, s1)) AS slot
+          FROM bounds),
+        j AS (
+          SELECT g.event_type, g.slot, o.n_events, o.sum_cents
+          FROM grid g LEFT JOIN obs o USING (event_type, slot))
+        SELECT event_type, CAST(slot AS BIGINT) AS slot,
+               CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+               CAST(last_value(sum_cents IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS locf_sum_cents,
+               n_events IS NOT NULL AS observed
+        FROM j
         """,
     ),
     "ns_text_tfidf": QueryDef(

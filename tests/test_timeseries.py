@@ -71,3 +71,35 @@ def test_cusum_finds_mean_shift(spark):
     assert out["shift"].peak_dev > 0
     assert out["flat"].peak_dev == 0.0
     assert out["flat"].n_events == 8
+
+
+def test_gapfill_locf_dense_grid_and_carry(spark):
+    """Gap fill must emit every slot on [min, max] per series, carry
+    the last observed value across gaps — INCLUDING across band
+    boundaries (chunk_slots=4 forces multi-band series) — and flag
+    observed rows. A second series checks grids are per-series."""
+    sparse = spark.createDataFrame(
+        [
+            ("a", 0, 10),
+            ("a", 1, 20),
+            # gap 2..8 spans two full bands at chunk_slots=4
+            ("a", 9, 90),
+            ("b", 100, 5),
+            ("b", 102, 7),
+        ],
+        "s string, slot long, v long",
+    )
+    rows = tss.gapfill_locf(
+        sparse, "s", "slot", ["v"], chunk_slots=4
+    ).collect()
+    got = {(r.s, r.slot): (r.v, r.observed) for r in rows}
+    assert len(got) == len(rows)  # no duplicate slots
+    assert {k for k in got if k[0] == "a"} == {("a", i) for i in range(10)}
+    assert {k for k in got if k[0] == "b"} == {("b", i) for i in (100, 101, 102)}
+    assert got[("a", 0)] == (10, True)
+    assert got[("a", 1)] == (20, True)
+    for i in range(2, 9):  # carried across band boundaries 4 and 8
+        assert got[("a", i)] == (20, False)
+    assert got[("a", 9)] == (90, True)
+    assert got[("b", 101)] == (5, False)
+    assert got[("b", 102)] == (7, True)
