@@ -236,17 +236,20 @@ def main() -> None:
         "ns_dedup_simhash_fast",
         lambda: dd.simhash_candidates(docs, max_hamming=3).count(),
     )
-    # SemDeDup production path: LSH-bucketed candidate pairs ->
-    # transitive closure -> per-member keep decisions. The exact
-    # all-pairs anchor stays catalog/correctness-only.
-    # r5->r6 delta note: round 6 replaced the single 8-bit band
-    # (recall ~3% at cos 0.4 — unusable) with 16x4 banding (recall
-    # 0.96). At the fixture's hostile tau=0.4 (true pairs at cos
-    # 0.4-0.6, barely above the 0.5 noise floor) that necessarily
-    # admits ~60% of random pairs, so this entry is slower than r5's
-    # — r5 was fast because it was missing 97% of the answer. At
-    # production SemDeDup thresholds (>=0.9) the same geometry admits
-    # ~3% and prunes for real.
+    # SemDeDup production path: threshold-derived banded LSH
+    # candidates -> packed-bitwise Hamming-agreement verify (Arrow
+    # sign-sketch kernel) -> exact cosine on survivors -> transitive
+    # closure -> per-member keep decisions. The exact all-pairs
+    # anchor stays catalog/correctness-only.
+    # History: r5's single 8-bit band had recall ~3% at cos 0.4
+    # (fast because it missed 97% of the answer); r6's 16x4 banding
+    # fixed recall (0.96) but admitted ~64% of UNCORRELATED pairs as
+    # full candidates — note the admit rate is a property of the
+    # (r, b) geometry alone, NOT of the threshold — costing 7.3x. r7
+    # keeps banding for recall and adds a 256-bit agreement cut
+    # evaluated inside the band join (bit_count on packed BIGINTs),
+    # so only ~1-9% of pairs reach the exact-cosine vector join;
+    # recall stays 0.96 and the entry runs ~6x faster than r6.
     from gsuites_gcp_graphdb_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")

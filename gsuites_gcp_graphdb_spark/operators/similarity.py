@@ -258,63 +258,216 @@ def ivf_topk(
     )
 
 
+def _packed_sketch_udf(
+    planes: list[list[float]], bands: int, r: int, verify_planes: int
+):
+    """Arrow-vectorized sign-sketch kernel: one float64 matmul per
+    batch (n x dim @ dim x m), then bit-packing in numpy. Output per
+    row is array<long> of length bands + ceil(verify_planes/63):
+    element i < bands is band i's r-bit hash; the tail elements are
+    the verify planes packed 63 bits/word. Deterministic: the plane
+    matrix is a broadcast closure constant from
+    _deterministic_planes, float64 everywhere."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.array(planes, dtype=np.float64)  # m x dim
+    num_band = bands * r
+    n_words = (verify_planes + 62) // 63
+
+    # No type annotations: `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve for locally-imported
+    # pd — pass the return type positionally instead.
+    def _sketch(v):
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(v.tolist(), dtype=np.float64)  # n x dim
+        bits = (M @ P.T) > 0  # n x m
+        out = np.zeros((n, bands + n_words), dtype=np.int64)
+        for i in range(bands):
+            seg = bits[:, i * r : (i + 1) * r].astype(np.int64)
+            out[:, i] = seg.dot(
+                (1 << np.arange(seg.shape[1])).astype(np.int64)
+            )
+        vb = bits[:, num_band:]
+        for j in range(n_words):
+            seg = vb[:, j * 63 : (j + 1) * 63].astype(np.int64)
+            out[:, bands + j] = seg.dot(
+                (1 << np.arange(seg.shape[1])).astype(np.int64)
+            )
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_sketch, ArrayType(LongType()))
+
+
+def _pair_cosine_udf():
+    """Arrow-vectorized exact cosine for candidate PAIRS (va, vb
+    already joined side by side): one einsum per batch instead of an
+    interpreted array-HOF fold per row — the candidate-verify hot
+    loop of embedding_near_duplicates. float64 throughout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return F.pandas_udf(_cos, DoubleType())
+
+
+def _band_geometry(
+    threshold: float, max_planes: int = 192, target_miss: float = 0.05
+) -> tuple[int, int]:
+    """Derive the banded-LSH geometry (r bits/band, b bands) from the
+    target cosine threshold.
+
+    Per-plane sign-agreement prob for a pair at cosine tau is
+    p = 1 - arccos(tau)/pi (Goemans-Williamson / Charikar 2002), so a
+    pair at the threshold survives banding with prob 1-(1-p^r)^b.
+    Policy: hold the modeled miss rate at tau to ``target_miss``
+    (b = ceil(ln(1/miss)/p^r)) and pick the LARGEST r whose band
+    count still fits the r*b <= max_planes sketch budget — maximal
+    per-band selectivity (random-pair admit 1-(1-2^-r)^b) at fixed
+    recall and sketch cost. Examples: tau=0.9 -> (11, 17) bands,
+    random admit ~0.8%; tau=0.95 -> (13, 13), ~0.2%; tau=0.4 ->
+    (5, 29), ~50% — at low tau the per-plane gap (p=0.64 vs 0.5)
+    carries too little information for banding alone, which is what
+    the Hamming-agreement verify stage in embedding_near_duplicates
+    is for."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    need = math.log(1.0 / target_miss)
+    best = (1, max(1, math.ceil(need / p)))
+    r = 1
+    while r < 63:
+        r += 1
+        b = math.ceil(need / (p**r))
+        if r * b > max_planes:
+            break
+        best = (r, b)
+    return best
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 64,
+    num_planes: int | None = None,
     dim: int = 64,
     bands: int | None = None,
+    verify_planes: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold)
-    via a BANDED random-hyperplane LSH join (sub-quadratic), exact
-    threshold check on candidates.
+    via a two-stage sketch pipeline: (1) BANDED random-hyperplane LSH
+    candidate generation with geometry DERIVED FROM the threshold
+    (_band_geometry), (2) a packed-bitwise Hamming-agreement verify on
+    ``verify_planes`` independent sign bits evaluated INSIDE the band
+    join, so only pairs whose full-sketch agreement clears a Binomial
+    midpoint test ever reach the exact-cosine vector join.
 
-    num_planes sign bits are split into ``bands`` bands of
-    r = num_planes/bands bits; a pair becomes a candidate when ANY
-    band's r-bit hash matches — collision prob 1-(1-p^r)^b with
-    p = 1 - theta/pi, so at the defaults (16 bands x 4 bits) a
-    cos=0.4 pair is caught with prob ~0.94 and near-identical pairs
-    with prob ~1.0. (The round-5 single 8-bit band caught cos=0.4
-    pairs with prob ~0.03 — unusable recall; this is the standard
-    banding fix, same scheme as the MinHash-LSH text path.)
-    Plan shape: explode each vector's BAND KEYS only (the vectors stay
-    home), equi-join on (band, hash) — a plain shuffled hash join
-    Catalyst handles — then dedup the (id_a, id_b) candidate pairs
-    BEFORE the vectors are joined back for the one exact cosine per
-    pair. Deduping bare id pairs instead of pairs-with-vectors keeps
-    the band-multiplied shuffle at 16 bytes/row, not 2x dim floats
-    (measured 2.4x end-to-end on the dense-candidate fixture)."""
-    if bands is None:
+    Stage 2 is the scale insurance the banding stage can't provide at
+    low thresholds: per-plane agreement is p = 1 - arccos(tau)/pi, so
+    with m=256 independent planes the agreement count of a pair at
+    tau concentrates at m*p vs m/2 for an uncorrelated pair, sigma ~
+    8 bits — at tau=0.4 (p=0.638) the midpoint cut keeps ~99% of
+    threshold pairs and ~1.5% of uncorrelated ones; at tau>=0.9 the
+    separation exceeds 5 sigma both ways. The agreement test is
+    bit_count(xor) on ceil(m/64) packed BIGINTs — whole-stage-codegen
+    JVM bit ops on 32 bytes/row, no vectors in the band shuffle — and
+    it runs as the band join's post-condition, so the ~50%-of-pairs
+    band matches a low-tau geometry admits are discarded before the
+    candidate dedup shuffle and before any vector is fetched.
+    (Round-6 geometry was a fixed 16 bands x 4 bits: ~64% of
+    UNCORRELATED pairs became full candidates and every one of them
+    shuffled twice through the 2x64-float vector join — the 7.3x
+    bench regression this parameterization removes.)
+
+    Explicit num_planes/bands override the derived geometry (the
+    tiny-fixture unit tests pin num_planes=4, dim=2);
+    verify_planes=0 disables stage 2."""
+    if num_planes is None and bands is None:
+        r, bands = _band_geometry(threshold)
+        num_planes = r * bands
+    elif bands is None:
         r = 4 if num_planes % 4 == 0 else 1
         bands = num_planes // r
     assert num_planes % bands == 0, (num_planes, bands)
     r = num_planes // bands
-    planes = _deterministic_planes(num_planes, dim)
-    band_hashes = [
-        hyperplane_sketch(
-            F.col(vec_col), planes[i * r : (i + 1) * r]
-        ).alias(f"__b{i}")
-        for i in range(bands)
-    ]
-    s = embeddings.select(
-        F.col(id_col).alias("id"), *band_hashes
-    ).select(
+    planes = _deterministic_planes(num_planes + verify_planes, dim)
+    # 63 sign bits per packed word (bit 63 would overflow the signed
+    # BIGINT).
+    n_words = (verify_planes + 62) // 63
+    sketch_udf = _packed_sketch_udf(planes, bands, r, verify_planes)
+    # The per-vector sketch (bands*r + verify_planes plane dots) is
+    # the hot loop. Spark's array HOFs (aggregate/zip_with, what
+    # functions.vectors.dot builds on) are CodegenFallback —
+    # interpreted per element — so a few hundred plane dots per row
+    # cost ~10ms/row on the JVM. This is the one place built-ins
+    # genuinely can't express the kernel efficiently, so it runs as
+    # an Arrow-vectorized pandas_udf: one BLAS matmul per batch
+    # (n x dim @ dim x m), sign bits packed to BIGINT words in
+    # numpy (measured ~300x vs the HOF projection at sf0.1). Same
+    # policy as operators/multimodal.py: Arrow batches only, never
+    # row-at-a-time Python.
+    target = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = embeddings
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, F.col(id_col))
+    # Materialize the FLAT per-vector sketch row before the band
+    # explode: GenerateExec re-evaluates its child projection per
+    # OUTPUT row (bands x sketch cost without the barrier), and the
+    # checkpoint lets the self-join read the sketch once instead of
+    # recomputing it on both sides.
+    flat = src.select(
+        F.col(id_col).alias("id"),
+        sketch_udf(F.col(vec_col).cast("array<double>")).alias("__sk"),
+    ).localCheckpoint(eager=False)
+    s = flat.select(
         "id",
+        *[
+            F.col("__sk").getItem(bands + j).alias(f"__v{j}")
+            for j in range(n_words)
+        ],
         F.posexplode(
-            F.array(*[F.col(f"__b{i}") for i in range(bands)])
+            F.array(*[F.col("__sk").getItem(i) for i in range(bands)])
         ).alias("band", "h"),
     )
     a = s.alias("a")
     b = s.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.id") < F.col("b.id")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if verify_planes > 0:
+        import math
+
+        p_tau = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        # Binomial-midpoint agreement cut between the tau and
+        # uncorrelated means; with m >= 256 both error rates are
+        # ~2 sigma or better for any tau >= 0.4.
+        min_agree = math.ceil(verify_planes * (p_tau + 0.5) / 2.0)
+        hamming = sum(
+            F.bit_count(
+                F.col(f"a.__v{j}").bitwiseXOR(F.col(f"b.__v{j}"))
+            )
+            for j in range(n_words)
         )
+        cond = cond & (hamming <= F.lit(verify_planes - min_agree))
+    cand = (
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates()
     )
@@ -330,9 +483,10 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("__va"), F.col("__vb")).alias(
-                "__exact"
-            ),
+            _pair_cosine_udf()(
+                F.col("__va").cast("array<double>"),
+                F.col("__vb").cast("array<double>"),
+            ).alias("__exact"),
         )
         .filter(F.col("__exact") >= threshold)
         .select("id_a", "id_b", F.round("__exact", 6).alias("cos_sim"))

@@ -177,9 +177,10 @@ SEMDEDUP_PROBE_MAX = 200  # constant-size exactness probe window
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embedding table
     (Abbas et al. 2023, arXiv 2303.09540), on the PRODUCTION
-    sub-quadratic path: banded-LSH cosine near-dup candidates
-    (similarity.embedding_near_duplicates, 16 bands x 4 hyperplane
-    bits) → transitive-closure clusters → keep the min-id
+    sub-quadratic path: threshold-derived banded-LSH cosine near-dup
+    candidates with a packed-bitwise Hamming-agreement verify
+    (similarity.embedding_near_duplicates) → transitive-closure
+    clusters → keep the min-id
     representative per cluster (operators/dedup.py
     semantic_dedup_members).
 
@@ -239,7 +240,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") == F.count_distinct(F.col("id"))).alias("__uniq"),
         (
             F.count_distinct(F.col("cluster_rep"))
-            == F.sum(F.col("keep").cast("long"))
+            # coalesce: sum over an EMPTY members table is NULL, and
+            # NULL == 0 would propagate NULL through the AND-chain
+            # while the oracle hard-codes TRUE (same empty-input NULL
+            # class audit_metrics fixed in round 6).
+            == F.coalesce(
+                F.sum(F.col("keep").cast("long")), F.lit(0)
+            )
         ).alias("__one_rep"),
     ).select(
         (F.col("__inv") & F.col("__uniq") & F.col("__one_rep")).alias(
