@@ -1283,6 +1283,62 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
+    # round-7 behavior changes/additions — must re-verify first
+    "ns_semantic_dedup",     # r7: tau-derived geometry + Hamming verify stage
+    # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
+    # correctness-checks the first 50 catalog names, and the blocks
+    # below last had a driver receipt in r1-r3 — surface them so
+    # CORRECTNESS_r07 proves the old surface never rotted. The r5/r6
+    # blocks (driver-green in their own rounds AND judge-selfchecked
+    # 172/172 in r6) rotate to the back.
+    # latest driver green is r1
+    "ns_dedup_exact",
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_minhash_verified",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash_md5",
+    "ns_knn_join",
+    "ns_text_langid",
+    "ns_topk_cosine",
+    "rel_revenue_by_nation",
+    # latest driver green is r2
+    "etl_filter_open_orders",
+    "etl_member_parse",
+    "etl_nested_collect_explode",
+    "etl_role_permission_inversion",
+    "g_degree_histogram",
+    "g_offboard_user",
+    "g_top_roles",
+    "g_triangle_count",
+    "g_upsert_merge",
+    "rel_cube_returns",
+    "rel_customers_in_both_statuses",
+    "rel_customers_without_orders",
+    "rel_event_props_json",
+    "rel_forecast_revenue",
+    "rel_market_share",
+    "rel_orders_per_month",
+    "rel_part_name_tokens",
+    "rel_pricing_summary",
+    "rel_priority_returns",
+    "rel_rollup_returns",
+    "rel_shipping_priority",
+    "rel_supplier_part_classes",
+    "rel_top_customers",
+    "rel_top_order_per_customer",
+    "rel_trade_volume",
+    # oldest r3 greens, filling the 50-entry driver window
+    "ns_decontaminate",
+    "ns_dedup_clusters",
+    "ns_embedding_near_dup",
+    "ns_embedding_norm_stats",
+    "ns_lsh_recall",
+    "ns_media_stats",
+    "ns_mixture_sample",
+    "ns_pack_sequences",
+    "ns_split_assign",
+    "ns_stratified_sample",
+    "ns_text_fingerprints",
     # round-6 behavior changes/additions — must re-verify
     "ns_semantic_dedup",     # r6: swapped to banded-LSH path + bounds oracle
     "ns_events_trend",       # r6: seconds-unit x + nullif den guard
@@ -1345,54 +1401,6 @@ _PRIORITY = [
     "ns_events_rolling_1h",  # new: RANGE-interval trailing window
     "ns_events_stream_enrich",  # new: stream-static broadcast join
     "rel_returned_items",    # new: Q10 returned-item ranking
-    # latest driver green is r1
-    "ns_dedup_exact",
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_minhash_verified",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash_md5",
-    "ns_knn_join",
-    "ns_text_langid",
-    "ns_topk_cosine",
-    "rel_revenue_by_nation",
-    # latest driver green is r2
-    "etl_filter_open_orders",
-    "etl_member_parse",
-    "etl_nested_collect_explode",
-    "etl_role_permission_inversion",
-    "g_degree_histogram",
-    "g_offboard_user",
-    "g_top_roles",
-    "g_triangle_count",
-    "g_upsert_merge",
-    "rel_cube_returns",
-    "rel_customers_in_both_statuses",
-    "rel_customers_without_orders",
-    "rel_event_props_json",
-    "rel_forecast_revenue",
-    "rel_market_share",
-    "rel_orders_per_month",
-    "rel_part_name_tokens",
-    "rel_pricing_summary",
-    "rel_priority_returns",
-    "rel_rollup_returns",
-    "rel_shipping_priority",
-    "rel_supplier_part_classes",
-    "rel_top_customers",
-    "rel_top_order_per_customer",
-    "rel_trade_volume",
-    # oldest r3 greens, filling the 50-entry driver window
-    "ns_decontaminate",
-    "ns_dedup_clusters",
-    "ns_embedding_near_dup",
-    "ns_embedding_norm_stats",
-    "ns_lsh_recall",
-    "ns_media_stats",
-    "ns_mixture_sample",
-    "ns_pack_sequences",
-    "ns_split_assign",
-    "ns_stratified_sample",
-    "ns_text_fingerprints",
 ]
 
 
