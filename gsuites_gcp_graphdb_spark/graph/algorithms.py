@@ -1032,11 +1032,17 @@ def random_walks(
 
     Scale shape: the ranked-neighbour table is one window partitioned
     by src (per-vertex scope, no hot keys beyond real graph skew —
-    salt the hubs if a vertex's adjacency exceeds a partition);
-    each step is ONE equi-join of the narrow walk frontier against it
-    on (src, rank) — `length` joins total, frontier never wider than
-    (walk_key, id). No collect, no UDF, no lineage blowup (length is
-    small and fixed)."""
+    salt the hubs if a vertex's adjacency exceeds a partition) and
+    carries each DESTINATION's out-degree, so the walk frontier always
+    knows deg(current) and computes its chosen rank BEFORE the step
+    join. Each step is then ONE exact equi-join on (src, rank) with
+    O(frontier) output — a hub visit matches exactly one row instead
+    of exploding to its full adjacency and filtering (the
+    join-then-filter shape this replaces made per-step cost
+    sum-of-degrees, the superlinear term in the round-6 x4 probe).
+    `length` joins total, frontier never wider than (walk_key, id,
+    deg). No collect, no UDF, no lineage blowup (length is small and
+    fixed)."""
     from .schema import natural_key_col
 
     e = g.edges
@@ -1049,30 +1055,49 @@ def random_walks(
         F.col("label").alias("__vl"),
         natural_key_col().alias("__vk"),
     )
-    nbrs = (
+    adj = (
         e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
         .dropDuplicates()
-        .join(vk, F.col("__d") == F.col("__vid"))
-        .select("__s", "__d", "__vl", "__vk")
+    )
+    degs = adj.groupBy(F.col("__s").alias("__dv")).agg(
+        F.count("*").alias("__dd")
     )
     w = Window.partitionBy("__s").orderBy("__vl", "__vk")
     nbrs = (
-        nbrs.withColumn("__rank", F.row_number().over(w))
-        .withColumn("__deg", F.count("*").over(Window.partitionBy("__s")))
+        adj.join(vk, F.col("__d") == F.col("__vid"))
+        .select("__s", "__d", "__vl", "__vk")
+        .withColumn("__rank", F.row_number().over(w))
+        # out-degree OF THE DESTINATION, so the next frontier row
+        # arrives already knowing its own degree.
+        .join(degs, F.col("__d") == F.col("__dv"), "left_outer")
+        .select(
+            "__s",
+            "__d",
+            "__vl",
+            "__vk",
+            "__rank",
+            F.coalesce("__dd", F.lit(0)).alias("__ddeg"),
+        )
         .localCheckpoint(eager=True)
     )
-    state = starts.join(
-        vk, starts["id"] == vk["__vid"]
-    ).select(
-        F.col("__vk").alias("walk_key"),
-        F.col("__vid").alias("__cur"),
-        F.col("__vl").alias("label"),
-        F.col("__vk").alias("key"),
+    # _truncate: the step-0 branch of the output union would otherwise
+    # re-execute the whole vertex pipeline (graph-build union + its
+    # exchanges) at final collection.
+    state = _truncate(
+        starts.join(vk, starts["id"] == vk["__vid"])
+        .join(degs, F.col("__vid") == F.col("__dv"), "left_outer")
+        .select(
+            F.col("__vk").alias("walk_key"),
+            F.col("__vid").alias("__cur"),
+            F.col("__vl").alias("label"),
+            F.col("__vk").alias("key"),
+            F.coalesce("__dd", F.lit(0)).alias("__deg"),
+        )
     )
     out = state.select(
         "walk_key", F.lit(0).cast("bigint").alias("step"), "label", "key"
     )
-    frontier = state.select("walk_key", "__cur")
+    frontier = state.select("walk_key", "__cur", "__deg")
     for t in range(1, length + 1):
         choice = (
             F.conv(
@@ -1094,14 +1119,25 @@ def random_walks(
         # the output union and the next frontier — without it step t's
         # lineage re-executes steps 1..t-1 inside the union (O(L^2)
         # joins) and the plan snowballs.
+        # The choice rank is an expression of FRONTIER columns only
+        # (deg travels with the walk), so (__cur, choice+1) vs
+        # (__s, __rank) is a two-key equi-join: exactly one match per
+        # live walk, sinks (__deg == 0) stop before the join.
+        live = frontier.filter(F.col("__deg") > 0).withColumn(
+            "__pick", choice + 1
+        )
         step = _truncate(
-            frontier.join(nbrs, frontier["__cur"] == nbrs["__s"])
-            .filter(F.col("__rank") == choice + 1)
+            live.join(
+                nbrs,
+                (live["__cur"] == nbrs["__s"])
+                & (live["__pick"] == nbrs["__rank"]),
+            )
             .select(
                 "walk_key",
                 F.col("__d").alias("__cur"),
                 F.col("__vl").alias("label"),
                 F.col("__vk").alias("key"),
+                F.col("__ddeg").alias("__deg"),
             )
         )
         out = out.unionByName(
@@ -1112,7 +1148,7 @@ def random_walks(
                 "key",
             )
         )
-        frontier = step.select("walk_key", "__cur")
+        frontier = step.select("walk_key", "__cur", "__deg")
     return out
 
 
