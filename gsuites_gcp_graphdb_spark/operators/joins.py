@@ -189,7 +189,7 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Interval-interval OVERLAP join: left [l_start, l_end) rows to
     right [r_start, r_end) rows sharing ``key`` whose intervals
@@ -206,13 +206,51 @@ def interval_overlap_join(
     co-occur in several buckets are deduplicated by the
     dropDuplicates on the pair of interval identities (all original
     columns are preserved; callers keying rows should pass pre-keyed
-    frames). bucket_seconds trades duplication (long intervals) vs
-    join fan-in (busy buckets) — size it near the median interval
-    length."""
-    us = bucket_seconds * 1_000_000
+    frames).
+
+    Bucket sizing trades duplication (long intervals explode to many
+    buckets) against join fan-in (busy buckets): the sweet spot is
+    near the median interval length. By default the width is DERIVED
+    from the data — percentile_approx(0.5) over both sides' span
+    durations, one tiny aggregate whose 1-row result binds the bucket
+    constant (the AQE-statistics pattern; the result SET is
+    bucket-width-independent, only the plan cost moves). The round-6
+    scale ladder measured 6x between a well- and mis-sized constant
+    (hour buckets on week-long spans); auto-sizing removes that
+    caller-discipline trap. Pass ``bucket_seconds`` to pin it.
+
+    Bucket ids use exact integer floor-division on unix_micros:
+    float division loses integer precision above 2^53 (~1.7e18 us is
+    ulp ~512 us) and `div` alone truncates toward zero for pre-1970
+    timestamps; `(x - pmod(x, us)) div us` floors exactly."""
+    if bucket_seconds is None:
+        med = (
+            left.select(
+                (
+                    F.unix_micros(F.col(l_end))
+                    - F.unix_micros(F.col(l_start))
+                ).alias("__d")
+            )
+            .unionByName(
+                right.select(
+                    (
+                        F.unix_micros(F.col(r_end))
+                        - F.unix_micros(F.col(r_start))
+                    ).alias("__d")
+                )
+            )
+            .agg(F.expr("percentile_approx(__d, 0.5)").alias("m"))
+            .first()[0]
+        )
+        us = max(int(med or 0), 1_000_000)
+    else:
+        us = bucket_seconds * 1_000_000
 
     def _b(col: str) -> Column:
-        return (F.unix_micros(F.col(col)) / us).cast("long")
+        return F.expr(
+            f"(unix_micros({col}) - pmod(unix_micros({col}), {us}))"
+            f" div {us}"
+        )
 
     lb = left.withColumn(
         "__b", F.explode(F.sequence(_b(l_start), _b(l_end)))

@@ -1285,6 +1285,7 @@ _merge_modules()
 _PRIORITY = [
     # round-7 behavior changes/additions — must re-verify first
     "ns_semantic_dedup",     # r7: tau-derived geometry + Hamming verify stage
+    "ns_events_span_overlap",  # r7: auto-sized buckets + exact integer floor-div
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

@@ -1989,13 +1989,12 @@ def events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("b_s"),
         F.col("e").alias("b_e"),
     )
-    # bucket ~ the interval scale: these activity spans run weeks-to-
-    # months, so week buckets keep the explode factor ~O(10) per span
-    # (hour buckets would emit thousands of bucket rows per span —
-    # measured 3.4x slower end-to-end at sf0.1).
+    # Bucket width auto-derived from the median span length (these
+    # activity spans run weeks-to-months; r6 measured 6x between hour
+    # and week buckets — the auto-sizing in interval_overlap_join now
+    # lands at the interval scale without caller discipline).
     j = interval_overlap_join(
-        a, b, "user_id", "a_s", "a_e", "b_s", "b_e",
-        bucket_seconds=7 * 86400,
+        a, b, "user_id", "a_s", "a_e", "b_s", "b_e"
     ).filter(F.col("type_a") < F.col("type_b"))
     return j.select(
         F.col("user_id").cast("bigint").alias("user_id"),
