@@ -55,6 +55,13 @@ def skyline2d(
     frontier points all survive — the standard skyline-operator
     semantics (Borzsony, Kossmann, Stocker, ICDE 2001).
 
+    Rows with a NULL coordinate are EXCLUDED up front (explicitly,
+    both from the frontier computation and the output): a NULL
+    coordinate has no position in the dominance order. Callers
+    pairing this with a raw SQL NOT EXISTS oracle on nullable columns
+    must add the same IS NOT NULL filter there — NOT EXISTS keeps
+    NULL rows because every comparison against NULL is unknown.
+
     Scale shape — no self-join over the DATA and no global window
     anywhere (the quadratic NOT EXISTS stays in the oracle): the
     frontier test factors through per-``min``-value maxima (hash-agg;
@@ -67,6 +74,9 @@ def skyline2d(
     strictly exceeds the prefix max of all strictly-smaller groups."""
     from pyspark.sql import Window
 
+    df = df.filter(
+        F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+    )
     per = df.groupBy(min_col).agg(F.max(max_col).alias("__gm"))
     per = per.withColumn("__band", F.floor(F.col(min_col)))
     # pass 1: within-band prefix max (rows strictly before, and per

@@ -1298,6 +1298,15 @@ def k_truss(
             .agg(F.count("*").cast("bigint").alias("support"))
         )
 
+    if k <= 2:
+        # support >= k-2 <= 0 keeps EVERY edge, including
+        # triangle-free ones that produce no support row at all — the
+        # semi-join below would wrongly drop them (a 2-truss is the
+        # whole graph). Short-circuit with the final support attach.
+        sup = _support(canon)
+        return canon.join(sup, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
     for _ in range(max_iter):
         sup = _support(canon)
         kept = canon.join(

@@ -305,7 +305,12 @@ def class_balance(
 
     Scale shape: one tiny per-class count (map-side combinable), a
     broadcast join of that <#classes>-row table, then a map-only
-    filter. Adds `keep` without dropping rows, like mixture_sample.
+    filter. Adds `keep` without dropping rows with a NON-NULL class:
+    rows whose ``class_col`` is NULL are EXCLUDED from the output
+    (the inner equi-join never matches NULL — same as the catalog
+    oracle's JOIN USING). A NULL class has no meaningful count to
+    balance against; filter or impute upstream if such rows must
+    survive.
     """
     counts = df.groupBy(class_col).agg(F.count("*").alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))

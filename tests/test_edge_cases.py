@@ -217,3 +217,40 @@ def test_ktruss_converges_within_oracle_bound(spark, sf_dir):
     assert sorted(map(tuple, bounded.collect())) == sorted(
         map(tuple, free.collect())
     )
+
+
+def test_gapfill_locf_empty_series_table(spark):
+    """Degenerate pin (round-7, VERDICT r6 item 8): gapfill over an
+    EMPTY sparse table must return an empty dense grid — the
+    min/max-slot aggregate has no groups, so no chunk rows, no slots,
+    no crash — matching the oracle's empty result on the same input
+    (the DuckDB twin's generate_series over zero series emits zero
+    rows)."""
+    from gsuites_gcp_graphdb_spark.operators import timeseries as tss
+
+    sparse = spark.createDataFrame(
+        [], "series string, slot long, v double"
+    )
+    out = tss.gapfill_locf(sparse, "series", "slot", ["v"])
+    assert out.count() == 0
+    assert {"series", "slot", "v", "observed"} <= set(out.columns)
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    """Degenerate pin (round-7): the 2-truss is the WHOLE graph —
+    support >= 0 holds vacuously — so edges in no triangle must
+    survive with support 0. (Pre-round-7 the 0-support edges produced
+    no support row and the semi-join dropped them for any k; the
+    catalog's k=3 was unaffected, but k <= 2 now short-circuits.)"""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import k_truss
+    from gsuites_gcp_graphdb_spark.graph.literal import edges_of
+
+    # a path a-b-c: no triangles at all
+    v = vertices_of(spark, [("user", x) for x in "abc"])
+    e = edges_of(
+        spark, [("user", "a", "user", "b"), ("user", "b", "user", "c")]
+    )
+    g = Graph(v, e)
+    t2 = k_truss(g, k=2).collect()
+    assert len(t2) == 2 and all(r.support == 0 for r in t2)
+    assert k_truss(g, k=3).count() == 0
