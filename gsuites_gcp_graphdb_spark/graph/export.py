@@ -173,6 +173,51 @@ def write_graphson(g: Graph, path: str) -> None:
     v.unionByName(e).write.mode("overwrite").json(path)
 
 
+def read_graphson(spark: SparkSession, path: str) -> Graph:
+    """GraphSON import — inverse of ``write_graphson`` (A22 becomes a
+    true round-trip, not export-only). Fully distributed both ways:
+    the export wrote one tagged JSON record per element, so the
+    import is a JSON scan + from_json over the properties payload —
+    no driver materialization, any graph size."""
+    raw = spark.read.json(path)
+    v = (
+        raw.filter(F.col("kind") == "vertex")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "label",
+            F.from_json(
+                "properties",
+                "email string, name string, projectid string,"
+                " is_external boolean",
+            ).alias("__p"),
+        )
+        .select(
+            "id",
+            "label",
+            F.col("__p.email").alias("email"),
+            F.col("__p.name").alias("name"),
+            F.col("__p.projectid").alias("projectid"),
+            F.col("__p.is_external").alias("is_external"),
+        )
+    )
+    e = (
+        raw.filter(F.col("kind") == "edge")
+        .select(
+            "label",
+            F.from_json(
+                "properties", "src long, dst long, weight int"
+            ).alias("__p"),
+        )
+        .select(
+            F.col("__p.src").alias("src"),
+            F.col("__p.dst").alias("dst"),
+            "label",
+            F.col("__p.weight").alias("weight"),
+        )
+    )
+    return Graph(v, e)
+
+
 def save(g: Graph, path: str) -> None:
     """Parquet snapshot, scale layout: vertices partitioned by label
     (partition pruning for hasLabel), edges repartitioned by src

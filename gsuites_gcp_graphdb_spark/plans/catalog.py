@@ -942,6 +942,19 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_export_roundtrip": QueryDef(
+        gq.export_roundtrip_census,
+        """
+        SELECT label, CAST(n AS BIGINT) AS n,
+               TRUE AS graphml_match, TRUE AS graphson_match,
+               TRUE AS graphml_edges_match, TRUE AS graphson_edges_match
+        FROM (
+          SELECT 'project' AS label, count(DISTINCT p_name) AS n FROM part
+          UNION ALL
+          SELECT 'role', count(DISTINCT p_brand) FROM part
+        ) ORDER BY label
+        """,
+    ),
     "g_sql_interface": QueryDef(
         gq.sql_interface_census,
         f"""
@@ -1286,6 +1299,7 @@ _PRIORITY = [
     # round-7 behavior changes/additions — must re-verify first
     "ns_semantic_dedup",     # r7: tau-derived geometry + Hamming verify stage
     "ns_events_span_overlap",  # r7: auto-sized buckets + exact integer floor-div
+    "g_export_roundtrip",    # r7 new: A21/A22 GraphML+GraphSON round-trip census
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

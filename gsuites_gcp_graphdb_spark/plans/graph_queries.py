@@ -660,6 +660,74 @@ def subgraph_role_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def export_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21/A22 catalog receipt (round-7; previously test-only rows):
+    write the role->project containment subgraph to BOTH interchange
+    formats the reference documents — GraphML (README.md:383-388, the
+    Cytoscape/Gephi export; driver-memory by design, matching the
+    reference's own TinkerGraph-in-driver export) and GraphSON
+    (distributed JSON, one tagged record per element) — read each
+    back, and census the round-tripped graphs against the in-memory
+    subgraph. Output: one row per vertex label with the direct count
+    and per-format vertex/edge equality flags, all computed on the
+    Spark side; the oracle recomputes the label census from the base
+    tables and pins every flag TRUE — a lossy export, a parse
+    regression, or a dropped edge flips a boolean and fails the hash
+    match."""
+    import os
+    import tempfile
+
+    from ..graph import export as ex
+
+    g = _graph(spark, sf_dir)
+    role_ids = g.vertices.filter(F.col("label") == "role").select("id")
+    proj_ids = g.vertices.filter(F.col("label") == "project").select("id")
+    e = g.edges
+    cond_src = e.join(role_ids, e.src == role_ids.id, "left_semi")
+    sub_e = cond_src.join(proj_ids, cond_src.dst == proj_ids.id, "left_semi")
+    endpoints = (
+        sub_e.select(F.col("src").alias("id"))
+        .unionByName(sub_e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    sub_v = g.vertices.join(endpoints, ["id"], "left_semi")
+    sg = Graph(sub_v, sub_e)
+
+    base = tempfile.mkdtemp(prefix="spark_graft_export_census_")
+    gml = os.path.join(base, "subgraph.graphml")
+    gsn = os.path.join(base, "graphson")
+    ex.write_graphml(sg, gml)
+    ex.write_graphson(sg, gsn)
+    g_ml = ex.read_graphml(spark, gml)
+    g_sn = ex.read_graphson(spark, gsn)
+
+    def vcensus(gr: Graph, out: str) -> DataFrame:
+        return gr.vertices.groupBy("label").agg(
+            F.count("*").cast("bigint").alias(out)
+        )
+
+    def ecount(gr: Graph, out: str) -> DataFrame:
+        return gr.edges.agg(F.count("*").alias(out))
+
+    direct = vcensus(sg, "n")
+    return (
+        direct.join(vcensus(g_ml, "__ml"), ["label"], "left")
+        .join(vcensus(g_sn, "__sn"), ["label"], "left")
+        .crossJoin(F.broadcast(ecount(sg, "__e")))
+        .crossJoin(F.broadcast(ecount(g_ml, "__eml")))
+        .crossJoin(F.broadcast(ecount(g_sn, "__esn")))
+        .select(
+            "label",
+            "n",
+            (F.col("__ml") == F.col("n")).alias("graphml_match"),
+            (F.col("__sn") == F.col("n")).alias("graphson_match"),
+            (F.col("__eml") == F.col("__e")).alias("graphml_edges_match"),
+            (F.col("__esn") == F.col("__e")).alias("graphson_edges_match"),
+        )
+        .orderBy("label")
+    )
+
+
 def membership_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path projection (the 'via what path' half of the README.md:15-32
     audit): full 2-hop membership paths user -> group -> group rendered
