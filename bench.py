@@ -274,6 +274,29 @@ def main() -> None:
     median_timed(
         "ns_ivf_ann", lambda: pq.ivf_ann(spark, sf_dir).collect()
     )
+    # Bucketed-layout flagship (round-7): save_bucketed writes the
+    # dual-clustered edge tables once (timed as the one-off layout
+    # cost), then the SAME flagship traversal runs against the
+    # dst-clustered tables — every stored-side join exchange-free
+    # (test_bucketed_flagship_end_to_end pins the plan shape).
+    # Compare g_flagship_bucketed to g_principals_with_access above:
+    # the delta is what write-time clustering buys every query after.
+    from gsuites_gcp_graphdb_spark.graph import export as gex
+
+    t0 = time.perf_counter()
+    from gsuites_gcp_graphdb_spark.session import (  # noqa: E402
+        default_parallelism,
+    )
+
+    gex.save_bucketed(g, "bench_bucketed", buckets=default_parallelism())
+    timings["g_bucketed_layout_write"] = round(
+        time.perf_counter() - t0, 3
+    )
+    gb = gex.load_bucketed(spark, "bench_bucketed", edges_by="dst")
+    median_timed(
+        "g_flagship_bucketed",
+        lambda: gq.principals_with_access_g(gb).collect(),
+    )
     dd.release_scratch()
 
     total = round(sum(timings.values()), 3)

@@ -236,13 +236,19 @@ def save_bucketed(
     buckets: int = 16,
 ) -> None:
     """Persist the graph as BUCKETED tables: vertices bucketed+sorted
-    by id, edges by src. Joins keyed on the bucket column then read
+    by id, edges by BOTH endpoints — one table clustered by src (out-
+    expansion: out()/outE() joins e.src == v.id) and one by dst
+    (in-expansion and containment walks: the flagship's
+    e.dst == v.id hops). Joins keyed on the bucket column then read
     co-located data and skip the shuffle entirely (SortMergeJoin with
-    zero Exchange — asserted in tests). This is the 100 TB expansion-
-    join layout: hash-cluster once at write time, join shuffle-free
+    zero Exchange — asserted in tests). The dual adjacency costs 2x
+    edge storage — the standard graph-store trade for shuffle-free
+    traversal in either direction; at 100 TB the shuffle it removes
+    is the corpus-sized one, each step's frontier being the only
+    moving side. Hash-cluster once at write time, join shuffle-free
     forever after (SURVEY.md §4.4)."""
     spark = g.vertices.sparkSession
-    for suffix in ("vertices", "edges"):
+    for suffix in ("vertices", "edges", "edges_by_dst"):
         name = f"{table_prefix}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         # a table dir can survive a dropped/never-registered table
@@ -259,12 +265,22 @@ def save_bucketed(
     g.edges.write.mode("overwrite").bucketBy(buckets, "src").sortBy(
         "src"
     ).saveAsTable(f"{table_prefix}_edges")
+    g.edges.write.mode("overwrite").bucketBy(buckets, "dst").sortBy(
+        "dst"
+    ).saveAsTable(f"{table_prefix}_edges_by_dst")
 
 
-def load_bucketed(spark: SparkSession, table_prefix: str) -> Graph:
+def load_bucketed(
+    spark: SparkSession, table_prefix: str, edges_by: str = "src"
+) -> Graph:
+    """Open the bucketed layout; ``edges_by`` picks which edge
+    clustering the Graph's edge frame reads ("src" for out-expansion
+    workloads, "dst" for in-expansion/containment walks) — same rows
+    either way, only the write-time clustering differs."""
+    suffix = "edges" if edges_by == "src" else "edges_by_dst"
     return Graph(
         spark.table(f"{table_prefix}_vertices"),
-        spark.table(f"{table_prefix}_edges"),
+        spark.table(f"{table_prefix}_{suffix}"),
     )
 
 

@@ -194,7 +194,14 @@ def principals_with_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE FLAGSHIP (SURVEY.md §7.2): which users have (indirect)
     access to project P, and via which role — user -in-> role -in->
     project, the README.md:15-32 audit scenario. P = min projectid."""
-    g = _graph(spark, sf_dir)
+    return principals_with_access_g(_graph(spark, sf_dir))
+
+
+def principals_with_access_g(g: Graph) -> DataFrame:
+    """Graph-parameterized flagship body — callable against any
+    storage layout (in-memory build, parquet snapshot, or the
+    bucketed tables: pass Graph(vertices, edges_by_dst) and the two
+    dst-expansion joins run shuffle-free on the stored side)."""
     projects = g.V().hasLabel("project").toDF()
     target = projects.agg(F.min("projectid").alias("projectid"))
     project_v = projects.join(target, ["projectid"], "left_semi").select(

@@ -193,3 +193,54 @@ def test_graphml_foreign_ids_degrade(spark, tmp_path):
     # hashed ids are stable: edge endpoints land on the node ids
     assert {r.src for r in erows} == vids
     assert sorted(r.weight for r in erows) == [1, 2]
+
+
+def test_bucketed_flagship_end_to_end(spark, sf_dir):
+    """Round-7 (VERDICT r6 item 5): the FULL flagship traversal over
+    the bucketed layout — build -> save_bucketed -> load dst-clustered
+    edges -> principals_with_access — must (a) return exactly the
+    plain path's answer and (b) plan every expansion join with the
+    STORED side exchange-free: no Exchange hashpartitioning may sit
+    between a bucketed-table scan and its join (the only shuffles
+    left are frontier-sized and the final distinct)."""
+    from gsuites_gcp_graphdb_spark.plans.graph_queries import (
+        _graph,
+        principals_with_access_g,
+    )
+
+    g = _graph(spark, sf_dir)
+    ex.save_bucketed(g, "t_bucketed_e2e", buckets=4)
+    gb = ex.load_bucketed(spark, "t_bucketed_e2e", edges_by="dst")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = principals_with_access_g(gb)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every Exchange's immediate subtree must be frontier-side:
+        # no bucketed-table FileScan may appear between an Exchange
+        # and its nearest join below — equivalently, in the pre-AQE
+        # string every "Scan parquet" of the bucketed tables is
+        # reachable without crossing an Exchange (bucketed reads
+        # carry SelectedBucketsCount instead).
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        for m in re.finditer(r"Scan parquet [^\n]*t_bucketed_e2e", plan):
+            upstream = plan[: m.start()].splitlines()
+            indent = len(plan[m.start():].splitlines()[0]) - len(
+                plan[m.start():].splitlines()[0].lstrip(" :+-")
+            )
+            # walk upward: any shallower-indented line before this
+            # scan that is an Exchange would mean the stored side
+            # shuffles; the nearest shallower line must be a join/sort
+            for line in reversed(upstream):
+                stripped = line.lstrip(" :+-")
+                cur = len(line) - len(stripped)
+                if cur < indent and stripped:
+                    assert "Exchange" not in line.split("(")[0], line
+                    break
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = sorted(map(tuple, principals_with_access_g(g).collect()))
+    assert got == want and len(got) > 0
