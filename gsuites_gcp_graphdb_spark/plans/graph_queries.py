@@ -133,13 +133,14 @@ def role_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural key so the oracle checks the lookup found exactly the
     intended vertex without needing to reproduce xxhash64 in SQL."""
     g = _graph(spark, sf_dir)
-    target = (
-        g.V().hasLabel("role").toDF().agg(F.min("name")).collect()[0][0]
-    )
+    # 1-row scalar fetches for parameter binding only (min role name,
+    # then its engine-side id) — first(), not collect(), per the
+    # bounded-driver-fetch discipline.
+    target = g.V().hasLabel("role").toDF().agg(F.min("name")).first()[0]
     vid = (
         spark.range(1)
         .select(vertex_id("role", F.lit(target)).alias("i"))
-        .collect()[0][0]
+        .first()[0]
     )
     return g.V().hasId(vid).toDF().select("label", "name")
 

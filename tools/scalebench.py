@@ -55,7 +55,9 @@ FACT_KEYS = {
 DIMS = ("region", "nation")
 
 
-def build_scaled(spark, out_dir: str, replicas: int) -> None:
+def build_scaled(
+    spark, out_dir: str, replicas: int, hub: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
@@ -66,6 +68,15 @@ def build_scaled(spark, out_dir: str, replicas: int) -> None:
             f"{out_dir}/{t}.parquet", mode="overwrite"
         )
     for t, (int_keys, str_keys) in FACT_KEYS.items():
+        if hub and t == "part":
+            # HUB-HEAVY mode: keep p_brand (the role natural key)
+            # IDENTICAL across replicas, so every replica's users all
+            # join the SAME ~25 hot roles — per-role membership grows
+            # `replicas`x instead of the role space growing. This is
+            # the profile the salted skew join exists for; the default
+            # suffixing grows the key space and keeps per-key skew
+            # constant, which AQE handles without salting.
+            str_keys = [c for c in str_keys if c != "p_brand"]
         df = load_table(spark, BASE, t)
         parts = []
         for k in range(replicas):
@@ -123,6 +134,7 @@ def main() -> None:
         only = args[args.index("--names") + 1].split(",")
     if "--append" in args:
         append = True
+    hub = "--hub" in args
 
     from gsuites_gcp_graphdb_spark.session import get_spark
 
@@ -170,10 +182,11 @@ def main() -> None:
         names = list(only)
     spark = get_spark("scalebench")
     spark.sparkContext.setLogLevel("ERROR")
-    scaled_dir = f"/tmp/spark_graft_scaled_x{replicas}"
+    suffix = "_hub" if hub else ""
+    scaled_dir = f"/tmp/spark_graft_scaled_x{replicas}{suffix}"
     marker = os.path.join(scaled_dir, "_DONE")
     if not os.path.exists(marker):
-        build_scaled(spark, scaled_dir, replicas)
+        build_scaled(spark, scaled_dir, replicas, hub=hub)
         open(marker, "w").close()
 
     small = time_suite(spark, BASE, names)
@@ -195,7 +208,8 @@ def main() -> None:
         if append:
             lines = [
                 "",
-                "## x%d step (--names subset)" % replicas,
+                "## x%d step (--names subset)%s"
+                % (replicas, " — HUB-HEAVY" if hub else ""),
                 "",
                 "| query | sf0.1 (s) | x%d (s) | ratio |" % replicas,
                 "| --- | --- | --- | --- |",
