@@ -1044,7 +1044,50 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): orders revenue
+    per month restricted to BUILDING-segment customers. The Spark
+    side builds the bitmap from the ~1/5-selective customer keys and
+    prunes the orders scan MAP-SIDE (h broadcast word-table joins, no
+    fact shuffle) before the exact join; the oracle states the plain
+    join — identical results because bloom pruning has no false
+    negatives and the exact join removes false positives. The prune
+    is the 100 TB point: only matching orders (+ ~1e-3 FPs) reach
+    the join exchange."""
+    from ..operators.bloom import bloom_prejoin
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = bloom_prejoin(orders, cust, "o_custkey", "c_custkey")
+    return (
+        j.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_bloom_prejoin": QueryDef(
+        bloom_prejoin_revenue,
+        """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                 AS order_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1
+        """,
+    ),
     "rel_skyline_parts": QueryDef(
         skyline_parts,
         """
