@@ -134,6 +134,82 @@ def lsh_bucketed_topk(
     )
 
 
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    sketch_planes: int = 256,
+    dim: int = 64,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-sketch approximate k-NN: both sides sketched to
+    ``sketch_planes`` sign bits (Charikar 2002 random hyperplanes,
+    the round-7 Arrow kernel) packed into 63-bit BIGINT words;
+    neighbour order is sketch AGREEMENT descending (Hamming distance
+    ascending), ties broken on id. Each candidate compare is
+    ceil(m/63) xor+bit_count ops on ~40 bytes instead of a dim-float
+    dot — the binary-embedding ANN spelling, an order of magnitude
+    cheaper per candidate and shuffle-free here (query sketches
+    broadcast; the corpus never moves). Still O(|corpus|) per query:
+    at 100 TB compose with the banded-LSH candidate generation or the
+    IVF partition-pruned layout in this module — this operator is the
+    cheap RERANK those candidate generators feed. Output cos_sim is
+    the EXACT cosine of the returned neighbours (Arrow pair kernel),
+    so downstream thresholds behave identically to brute force."""
+    planes = _deterministic_planes(sketch_planes, dim)
+    sk = _packed_sketch_udf(planes, 0, 1, sketch_planes)
+    n_words = (sketch_planes + 62) // 63
+    qs = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        sk(F.col(vec_col).cast("array<double>")).alias("__qsk"),
+    )
+    cs = corpus.select(
+        F.col(c_id),
+        F.col(vec_col),
+        sk(F.col(vec_col).cast("array<double>")).alias("__csk"),
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col("__qsk").getItem(j).bitwiseXOR(
+                F.col("__csk").getItem(j)
+            )
+        )
+        for j in range(n_words)
+    )
+    scored = cs.join(F.broadcast(qs)).select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        F.col(vec_col),
+        F.col("__qvec"),
+        hamming.alias("__ham"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("__ham").asc(), F.col(c_id)
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    return top.select(
+        q_id,
+        c_id,
+        F.round(
+            _pair_cosine_udf()(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ),
+            6,
+        ).alias("cos_sim"),
+        (F.lit(sketch_planes) - F.col("__ham"))
+        .cast("bigint")
+        .alias("agreement"),
+        "rank",
+    )
+
+
 def ivf_train(
     corpus: DataFrame,
     num_centroids: int = 16,

@@ -1301,6 +1301,8 @@ _PRIORITY = [
     "ns_events_span_overlap",  # r7: auto-sized buckets + exact integer floor-div
     "g_export_roundtrip",    # r7 new: A21/A22 GraphML+GraphSON round-trip census
     "rel_bloom_prejoin",     # r7 new: bloom-filter join pruning (map-side)
+    "ns_events_transitions", # r7 new: Markov next-event transition matrix
+    "ns_hamming_recall",     # r7 new: binary-sketch rerank recall bounds
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

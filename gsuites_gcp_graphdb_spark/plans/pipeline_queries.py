@@ -354,6 +354,58 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-style oracle for the binary-sketch rerank path
+    (similarity.hamming_topk, the round-7 packed sign-sketch kernel):
+    (a) the query census, (b) every query finds ITSELF somewhere in
+    its top-k (its own sketch agrees on all m bits, so only an
+    identical-sketch vector can outrank it — and then only k-1 of
+    them would have to, impossible for k=5 at fixture densities),
+    (c) mean recall@5 vs brute-force cosine clears a bound with
+    margin (measured 0.45-0.60 across sf0.001-0.1: the fixture's
+    brute-force top-5 sit in near-flat cosine bands that ANY sketch
+    blurs — 1024 planes only reach 0.59 at sf0.1 — so the bound is
+    0.35, >=1.28x under every measured SF; in the high-cosine rerank
+    regime the operator exists for, agreement ordering is far
+    sharper). All three computed for
+    real on the Spark side; the hit set itself has no portable SQL
+    twin (256 plane-dot folds would be a megabyte of oracle SQL —
+    the 8-plane lsh_ann entry already pins the hyperplane math
+    cross-engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    approx = sim.hamming_topk(queries, emb, k=5)
+    self_hits = approx.filter(
+        F.col("q_id") == F.col("vec_id")
+    ).select("q_id")
+    hits = brute.join(approx.select("q_id", "vec_id"), ["q_id", "vec_id"])
+    return (
+        queries.select("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+        .crossJoin(
+            F.broadcast(
+                self_hits.agg(F.count("*").alias("__n_self")).crossJoin(
+                    hits.agg(F.count("*").alias("__n_hit")).crossJoin(
+                        brute.agg(F.count("*").alias("__n_true"))
+                    )
+                )
+            )
+        )
+        .select(
+            "n_queries",
+            (F.col("__n_self") == F.col("n_queries")).alias(
+                "all_self_found"
+            ),
+            (F.col("__n_hit") >= 0.35 * F.col("__n_true")).alias(
+                "mean_recall_ge_035"
+            ),
+        )
+    )
+
+
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounds-style oracle for the product-quantization path
     (operators/similarity.pq_train/pq_encode/pq_adc_topk), the analog
@@ -1285,6 +1337,42 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency join; struct-argmax, no windows."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.tfidf_top_term(docs)
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    for each user's time-ordered event sequence, count (event_type ->
+    next event_type) pairs and the per-source transition probability
+    — the sequence-modeling primitive behind session language models
+    and next-action prediction.
+
+    Plan shape: lead() over a window PARTITIONED BY user_id (per-user
+    scope — never a global window; the repo's window discipline),
+    ordered by (ts, event_id) so ties are deterministic cross-engine;
+    then one map-combinable groupBy on the pair. Counts stay integer;
+    the probability is the ONE shared division, rounded to 6 (the
+    float policy in DESIGN.md #8)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("__t"))
+    return pairs.join(F.broadcast(tot), ["src"]).select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+    )
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,6 +2375,25 @@ _TUMBLING_SQL = """
         """
 
 ENTRIES: dict[str, QueryDef] = {
+    "ns_events_transitions": QueryDef(
+        events_transitions,
+        """
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        pairs AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE),
+                     6) AS p
+        FROM pairs
+        """,
+    ),
     "ns_dedup_exact": QueryDef(
         dedup_exact_stats,
         """
@@ -2617,6 +2724,15 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT CAST(count(*) AS BIGINT) AS n_queries,
                TRUE AS all_self_rank1,
                TRUE AS recall_ge_020
+        FROM embeddings WHERE vec_id % 100 = 0
+        """,
+    ),
+    "ns_hamming_recall": QueryDef(
+        hamming_recall,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS all_self_found,
+               TRUE AS mean_recall_ge_035
         FROM embeddings WHERE vec_id % 100 = 0
         """,
     ),

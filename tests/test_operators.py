@@ -902,3 +902,25 @@ def test_dimension_stats(spark):
 
     assert abs(out[1].std - round(math.sqrt(8.0 / 3.0), 6)) < 1e-9
     assert all(r.n == 3 for r in out.values())
+
+
+def test_hamming_topk(spark):
+    """Binary-sketch k-NN: identical vectors agree on every bit (self
+    at agreement m), opposite vectors at ~0; ordering is agreement
+    desc with id tie-break, cos_sim column is the EXACT cosine."""
+    from gsuites_gcp_graphdb_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [-1.0, 0.0]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 1").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = sim.hamming_topk(q, emb, k=4, sketch_planes=63, dim=2).collect()
+    assert [r.vec_id for r in out][:2] == [1, 2]  # self, then near-dup
+    byid = {r.vec_id: r for r in out}
+    assert byid[1].agreement == 63 and byid[1].cos_sim == 1.0
+    assert byid[3].agreement <= 5  # antipode disagrees on ~all bits
+    assert abs(byid[3].cos_sim - (-1.0)) < 1e-9
