@@ -1303,6 +1303,9 @@ _PRIORITY = [
     "rel_bloom_prejoin",     # r7 new: bloom-filter join pruning (map-side)
     "ns_events_transitions", # r7 new: Markov next-event transition matrix
     "ns_hamming_recall",     # r7 new: binary-sketch rerank recall bounds
+    "ns_events_scd2",        # r7 new: SCD2 gaps-and-islands episodes
+    "ns_events_value_deciles",  # r7 new: global decile binning, no global sort
+    "ns_vec_class_centroids",   # r7 new: class-centroid separation matrix
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

@@ -685,6 +685,50 @@ _SQL_COS_EXACT = """(
              (x, y) -> x + y))))"""
 
 
+def vec_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separation report: per-label centroid
+    (the per-dimension mean, one map-combinable posexplode groupBy —
+    the ivf_train idiom) and the pairwise centroid cosine matrix —
+    the diagnostics a pipeline runs to check whether labels are
+    linearly separable / collapsing before training a probe.
+    Cross-engine float discipline: centroid coordinates are rounded
+    to 6 BEFORE the cosine (avg fold order differs between engines at
+    ~1e-13; rounding first makes the cosine inputs bit-identical),
+    and the cosine fold is the same left-to-right reduce as
+    _SQL_COS_EXACT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    from ..functions.vectors import cosine_similarity
+
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("cvec").alias("__va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("cvec").alias("__vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+
+
 MRL_DIM = 16  # prefix dims for the matryoshka truncation probe
 
 
@@ -1372,6 +1416,88 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         "n",
         F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+    )
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile binning WITHOUT a global sort or global window
+    (the NTILE anti-pattern at scale): pass 1 computes the 9 exact
+    interpolated decile thresholds in ONE aggregate (Spark
+    percentile() == DuckDB quantile_cont, same (n-1)*p linear
+    interpolation), rounds them to 6 decimals, and binds them as
+    literals (a 1-row first() parameter fetch — the AQE-statistics
+    pattern); pass 2 is a map-only CASE-chain bin + hash-agg. Both
+    engines bin against the IDENTICAL rounded boundary doubles, and
+    the per-bin sum stays exact-integer (value folded to micros)
+    per the DESIGN.md #8 float policy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    row = ev.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias(
+            "__t"
+        )
+    ).first()
+    ths = [round(t, 6) for t in row[0]]
+    bin_col = sum(
+        (F.col("value") >= F.lit(t)).cast("int") for t in ths
+    ) + F.lit(1)
+    return (
+        ev.select(
+            bin_col.cast("bigint").alias("decile"),
+            F.round(F.col("value") * 1_000_000)
+            .cast("long")
+            .alias("__us"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("__us").cast("bigint").alias("sum_micros"),
+        )
+    )
+
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction from the event
+    stream — the warehouse-loading primitive: per user, collapse
+    CONSECUTIVE same-type events into validity episodes
+    [valid_from, valid_to) with the successor's start as the end
+    (NULL = still open). The classic gaps-and-islands shape: island
+    id = cumulative count of type-changes over a PER-USER window
+    (ordered (ts, event_id) for cross-engine determinism — never a
+    global window), one hash-agg per island, then lead() for the
+    interval close."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__island"),
+    )
+    ep = isl.groupBy("user_id", "__island", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return ep.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
     )
 
 
@@ -2375,6 +2501,87 @@ _TUMBLING_SQL = """
         """
 
 ENTRIES: dict[str, QueryDef] = {
+    "ns_vec_class_centroids": QueryDef(
+        vec_class_centroids,
+        """
+        WITH cent AS (
+          SELECT label, i,
+                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+          FROM embeddings, range(1, 65) t(i)
+          GROUP BY label, i
+        ),
+        cv AS (
+          SELECT label, list(m ORDER BY i) AS v FROM cent GROUP BY label
+        )
+        SELECT CAST(a.label AS BIGINT) AS label_a,
+               CAST(b.label AS BIGINT) AS label_b,
+               round((
+                 list_reduce(list_transform(range(1, 65),
+                   i -> (a.v)[i] * (b.v)[i]), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> (a.v)[i] * (a.v)[i]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> (b.v)[i] * (b.v)[i]), (x, y) -> x + y)))
+               ), 6) AS cos_sim
+        FROM cv a JOIN cv b ON a.label < b.label
+        """,
+    ),
+    "ns_events_value_deciles": QueryDef(
+        events_value_deciles,
+        """
+        WITH t AS (
+          SELECT """
+        + ",\n                 ".join(
+            f"round(quantile_cont(value, {i/10.0}), 6) AS t{i}"
+            for i in range(1, 10)
+        )
+        + """
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT CAST(1 """
+        + " ".join(
+            f"+ CAST(value >= t{i} AS INT)" for i in range(1, 10)
+        )
+        + """ AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_micros
+        FROM events, t WHERE value IS NOT NULL
+        GROUP BY 1
+        """,
+    ),
+    "ns_events_scd2": QueryDef(
+        events_scd2,
+        """
+        WITH marked AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+          SELECT user_id, event_type, ts,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        ),
+        ep AS (
+          SELECT user_id, island, event_type,
+                 min(ts) AS valid_from,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM islands GROUP BY user_id, island, event_type
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to,
+               n_events
+        FROM ep
+        """,
+    ),
     "ns_events_transitions": QueryDef(
         events_transitions,
         """
