@@ -175,6 +175,13 @@ HEADLINE = [
     "ns_events_cusum",
     "rel_skyline_parts",
     "ns_class_balance",
+    # round-7 wave: bloom-pruned join (map-side fact filter), Markov
+    # transitions, SCD2 episodes, global decile binning — plus the
+    # bucketed-layout flagship timed separately below.
+    "rel_bloom_prejoin",
+    "ns_events_transitions",
+    "ns_events_scd2",
+    "ns_events_value_deciles",
 ]
 
 
