@@ -135,6 +135,21 @@ def main():
         "ns_dedup_containment",
         "ns_vec_dim_stats",
         "g_random_walks",
+        # round-7 wave: the bloom probe must be h BroadcastHashJoins
+        # with hash exchanges ONLY on the build's word_idx agg (the
+        # fact side never shuffles); transitions/SCD2 windows must be
+        # user-partitioned (never 'No Partition Defined'); deciles
+        # must be ONE hash-agg over a map-only CASE bin (thresholds
+        # are bound literals, no global sort); the span-overlap join
+        # must stay an equi-join on (key, bucket) with the bucket
+        # width auto-derived; centroids are two chained hash-aggs +
+        # a tiny broadcast cross of label pairs
+        "rel_bloom_prejoin",
+        "ns_events_transitions",
+        "ns_events_scd2",
+        "ns_events_value_deciles",
+        "ns_events_span_overlap",
+        "ns_vec_class_centroids",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
