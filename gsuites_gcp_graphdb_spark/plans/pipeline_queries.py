@@ -1661,11 +1661,16 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. Sketch estimates are engine-specific, so the oracle is
     bounds-style (rel_approx_distinct's pattern): exact counts + the
     claims that every daily estimate and the merged-month estimate
-    land within 10%, and that merged-month == estimate over raw
-    (union of partials loses nothing vs one pass).
+    land within 10%, and that the merged-month estimate lands within
+    5% of the one-pass estimate. (NOT exact equality: DataSketches
+    HLL promotes sparse -> dense at a cardinality threshold, and a
+    union of sparse daily sketches can promote differently than one
+    directly-built sketch — measured 1488 vs 1499 on 1500 exact at
+    sf0.1, both well inside the lgk=12 ~1.6% rse; the round-7 sf0.1
+    selfcheck sweep caught the old == claim flipping there.)
 
     Returns one row: (n_days, exact_month_users, all_days_within_10pct,
-    month_within_10pct, merge_equals_direct)."""
+    month_within_10pct, merge_within_5pct_of_direct)."""
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
@@ -1703,9 +1708,10 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("__merged") - F.col("exact_month_users"))
                 <= 0.1 * F.col("exact_month_users")
             ).alias("month_within_10pct"),
-            (F.col("__merged") == F.col("__direct")).alias(
-                "merge_equals_direct"
-            ),
+            (
+                F.abs(F.col("__merged") - F.col("__direct"))
+                <= 0.05 * F.greatest(F.col("__direct"), F.lit(1.0))
+            ).alias("merge_within_5pct_of_direct"),
         )
     )
 
@@ -3207,7 +3213,7 @@ ENTRIES: dict[str, QueryDef] = {
                  AS exact_month_users,
                TRUE AS all_days_within_10pct,
                TRUE AS month_within_10pct,
-               TRUE AS merge_equals_direct
+               TRUE AS merge_within_5pct_of_direct
         FROM events
         """,
     ),
