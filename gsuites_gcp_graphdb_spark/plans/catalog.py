@@ -1307,6 +1307,7 @@ _PRIORITY = [
     "ns_events_value_deciles",  # r7 new: global decile binning, no global sort
     "ns_vec_class_centroids",   # r7 new: class-centroid separation matrix
     "ns_events_hll_rollup",  # r7: merge==direct claim relaxed to 5% (sf0.1 latent flip)
+    "ns_dedup_quality_rep",  # r7 new: quality-argmax cluster representative
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

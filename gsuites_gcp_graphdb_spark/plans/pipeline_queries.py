@@ -2055,6 +2055,52 @@ def dedup_clusters_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs)
 
 
+def dedup_quality_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: the same verified n-gram
+    Jaccard clusters as ns_dedup_clusters, but the kept representative
+    is the HIGHEST-QUALITY member (argmax on the micro-integer
+    composite score, doc_id tiebreak) instead of the min id — what a
+    production corpus pipeline actually ships (when near-dups differ
+    by boilerplate or truncation, min-id keeps an arbitrary one; the
+    quality argmax keeps the best). Composition of two already-
+    oracle-checked operators; the argmax is one max_by over a struct
+    (hash-agg, no window over the data).
+
+    Returns per multi-member cluster: (cluster_rep, n_members,
+    best_doc_id, best_q_micro)."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=JACCARD_TAU, max_df=MAX_DF
+    ).select("id_a", "id_b")
+    members = dd.semantic_dedup_members(pairs)
+    q = tx.quality_score(docs).select(
+        F.col("doc_id").alias("id"),
+        F.round(F.col("quality") * 1_000_000)
+        .cast("bigint")
+        .alias("__qm"),
+    )
+    return (
+        members.join(q, "id")
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max_by(
+                "id", F.struct(F.col("__qm"), (-F.col("id")).alias("__t"))
+            )
+            .cast("bigint")
+            .alias("best_doc_id"),
+            F.max("__qm").cast("bigint").alias("best_q_micro"),
+        )
+        .select(
+            F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+            "n_members",
+            "best_doc_id",
+            "best_q_micro",
+        )
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding census: count + mean L2 norm. The per-row
     norm is a fixed-order JVM fold (bit-identical across engines);
@@ -2684,6 +2730,56 @@ ENTRIES: dict[str, QueryDef] = {
                j.jaccard
         FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= {JACCARD_TAU}
+        """,
+    ),
+    "ns_dedup_quality_rep": QueryDef(
+        dedup_quality_rep,
+        f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS_CUT.lstrip()},
+        p AS (
+          SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT id_a AS v FROM p UNION SELECT id_b FROM p),
+        reach(v, m) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v),
+        q AS (
+          SELECT doc_id,
+            round(0.4 * least(
+                    CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CASE WHEN round(
+                    (CAST(length(text) AS DOUBLE)
+                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                    BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                + 0.3 * least(
+                    {_sql_stop_ratio(tx.STOPWORDS["en"])} * 10.0, 1.0),
+              6) AS quality
+          FROM documents),
+        qq AS (
+          SELECT doc_id,
+                 CAST(round(quality * 1000000) AS BIGINT) AS qm
+          FROM q),
+        ranked AS (
+          SELECT c.m, c.v, qq.qm,
+                 row_number() OVER (PARTITION BY c.m
+                                    ORDER BY qq.qm DESC, c.v ASC) AS rn
+          FROM comp c JOIN qq ON qq.doc_id = c.v
+        )
+        SELECT CAST(m AS BIGINT) AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT)
+                 AS best_doc_id,
+               CAST(max(qm) AS BIGINT) AS best_q_micro
+        FROM ranked GROUP BY m
         """,
     ),
     "ns_dedup_clusters": QueryDef(
