@@ -1257,6 +1257,61 @@ def stress_centrality(
     )
 
 
+def cycle_core(
+    g: Graph,
+    edge_label: str | None = "in",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """The CYCLE CORE: vertices surviving iterated deletion of
+    zero-in-degree / zero-out-degree vertices (Kahn peeling, the
+    dataflow-friendly dual of toposort). Non-empty IFF the graph has
+    a directed cycle, and contains EVERY vertex on a cycle — plus,
+    by construction, vertices on cycle-to-cycle walks (a connector
+    between two cycles keeps both degrees; exact cycle membership
+    would need SCC, which is DFS-shaped — the core is the sound
+    dataflow over-approximation and the right audit unit anyway: a
+    connector is implicated in the loop structure). The membership-
+    loop audit this serves: a group transitively a member of itself
+    breaks every reachability assumption the IAM model makes — the
+    reference's recursive getGroupMembers crawl (main.go:257-303)
+    would simply not terminate on one.
+
+    Each round is two dropDuplicates + two semi-joins shuffling on
+    the endpoint ids — the k_core peel shape — lineage truncated per
+    round, 1-row convergence probe. Returns (id,); empty on a DAG
+    (the built IAM graph is one — pinned by the catalog census;
+    literal cyclic graphs are pinned by unit test)."""
+    e = g.edges
+    if edge_label is not None:
+        e = e.filter(F.col("label") == edge_label)
+    cur = _truncate(
+        e.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    for _ in range(max_iter):
+        has_out = cur.select("src").dropDuplicates()
+        has_in = cur.select(F.col("dst").alias("src")).dropDuplicates()
+        both = has_out.join(has_in, ["src"], "left_semi")
+        nxt = _truncate(
+            cur.join(both, ["src"], "left_semi").join(
+                both.select(F.col("src").alias("dst")),
+                ["dst"],
+                "left_semi",
+            )
+        )
+        # converged when no edge was peeled this round
+        if cur.count() == nxt.count():
+            cur = nxt
+            break
+        cur = nxt
+    return (
+        cur.select(F.col("src").alias("id"))
+        .unionByName(cur.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+
+
 def k_truss(
     g: Graph, k: int = 3, max_iter: int = DEFAULT_MAX_ITER
 ) -> DataFrame:

@@ -942,6 +942,12 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_cycle_census": QueryDef(
+        gq.cycle_census,
+        """
+        SELECT CAST(0 AS BIGINT) AS n_core_vertices, TRUE AS is_dag
+        """,
+    ),
     "g_export_roundtrip": QueryDef(
         gq.export_roundtrip_census,
         """
@@ -1308,6 +1314,7 @@ _PRIORITY = [
     "ns_vec_class_centroids",   # r7 new: class-centroid separation matrix
     "ns_events_hll_rollup",  # r7: merge==direct claim relaxed to 5% (sf0.1 latent flip)
     "ns_dedup_quality_rep",  # r7 new: quality-argmax cluster representative
+    "g_cycle_census",        # r7 new: Kahn-peel membership-loop audit
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

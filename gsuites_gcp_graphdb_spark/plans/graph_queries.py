@@ -736,6 +736,25 @@ def export_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-loop audit (graph/algorithms.cycle_core): Kahn-peel
+    the 'in' edge relation; a non-empty residue means some principal
+    chain is transitively a member of itself — the condition under
+    which the reference's recursive getGroupMembers crawl
+    (main.go:257-303) would never terminate. The built IAM graph is a
+    DAG by construction, so the oracle pins (0, TRUE); the Spark side
+    EARNS that answer by running the peel to fixpoint (cyclic literal
+    graphs are pinned by tests/test_edge_cases.test_cycle_core)."""
+    from ..graph.algorithms import cycle_core
+
+    g = _graph(spark, sf_dir)
+    core = cycle_core(g)
+    return core.agg(
+        F.count("*").cast("bigint").alias("n_core_vertices"),
+        (F.count("*") == 0).alias("is_dag"),
+    )
+
+
 def membership_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path projection (the 'via what path' half of the README.md:15-32
     audit): full 2-hop membership paths user -> group -> group rendered

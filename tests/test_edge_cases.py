@@ -254,3 +254,41 @@ def test_ktruss_k2_keeps_triangle_free_edges(spark):
     t2 = k_truss(g, k=2).collect()
     assert len(t2) == 2 and all(r.support == 0 for r in t2)
     assert k_truss(g, k=3).count() == 0
+
+
+def test_cycle_core(spark):
+    """Kahn-peel cycle core: a pure DAG peels to empty; a 3-cycle
+    with pendant chains keeps exactly the cycle; two cycles joined by
+    a connector keep the connector too (documented semantics)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import cycle_core
+    from gsuites_gcp_graphdb_spark.graph.literal import (
+        edges_of,
+        vertices_of,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    def core_keys(pairs):
+        names = sorted({x for p in pairs for x in p})
+        v = vertices_of(spark, [("group", n) for n in names])
+        e = edges_of(
+            spark, [("group", a, "group", b) for a, b in pairs]
+        )
+        g = Graph(v, e)
+        out = cycle_core(g)
+        lk = {
+            r.id: r.email
+            for r in v.selectExpr("id", "email").collect()
+        }
+        return sorted(lk[r.id] for r in out.collect())
+
+    # DAG -> empty
+    assert core_keys([("a", "b"), ("b", "c"), ("a", "c")]) == []
+    # 3-cycle + pendant in/out chains -> just the cycle
+    assert core_keys(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a"), ("b", "y")]
+    ) == ["a", "b", "c"]
+    # two 2-cycles joined by a connector -> connector included
+    assert core_keys(
+        [("a", "b"), ("b", "a"), ("b", "v"), ("v", "c"),
+         ("c", "d"), ("d", "c")]
+    ) == ["a", "b", "c", "d", "v"]
