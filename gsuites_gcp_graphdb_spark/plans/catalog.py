@@ -942,6 +942,43 @@ CATALOG: dict[str, QueryDef] = {
         ) ORDER BY label
         """,
     ),
+    "g_degree_assortativity": QueryDef(
+        gq.degree_assortativity,
+        f"""
+        WITH {_EDGES_NK.strip()},
+        e2 AS (
+          SELECT sl, sk, dl, dk FROM edges_nk
+          WHERE NOT (sl = dl AND sk = dk)
+        ),
+        und AS (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM e2
+          UNION
+          SELECT dl, dk, sl, sk FROM e2
+        ),
+        deg AS (
+          SELECT al, ak, CAST(count(*) AS BIGINT) AS d
+          FROM und GROUP BY al, ak
+        ),
+        p AS (
+          SELECT da.d AS x, db.d AS y
+          FROM und
+          JOIN deg da ON da.al = und.al AND da.ak = und.ak
+          JOIN deg db ON db.al = und.bl AND db.ak = und.bk
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM p
+        )
+        SELECT CAST(n AS BIGINT) AS n_edge_ends,
+               round(CAST(n * sxy - sx * sx AS DOUBLE)
+                     / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0),
+                     6) AS assortativity
+        FROM s
+        """,
+    ),
     "g_cycle_census": QueryDef(
         gq.cycle_census,
         """
@@ -1315,6 +1352,8 @@ _PRIORITY = [
     "ns_events_hll_rollup",  # r7: merge==direct claim relaxed to 5% (sf0.1 latent flip)
     "ns_dedup_quality_rep",  # r7 new: quality-argmax cluster representative
     "g_cycle_census",        # r7 new: Kahn-peel membership-loop audit
+    "g_degree_assortativity",  # r7 new: Newman degree-mixing coefficient
+    "ns_events_type_quartiles",  # r7 new: exact grouped interpolated quartiles
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

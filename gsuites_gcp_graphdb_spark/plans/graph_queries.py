@@ -736,6 +736,66 @@ def export_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the undirected edge relation — do hubs link
+    to hubs (assortative, r > 0) or to leaves (disassortative,
+    r < 0)? IAM graphs skew disassortative (hub roles fan out to many
+    leaf users), and a drift toward 0 flags density creep.
+
+    Exact-integer discipline (DESIGN.md #8): each symmetric edge end
+    contributes integer (deg(a), deg(b)); n, sum x, sum x*y, sum x^2
+    accumulate as DECIMAL(38,0) (n*Sxy overflows BIGINT at ~1e6
+    edges x 1e8 per-edge product — the decimal38-headroom rule), and
+    by symmetry Sy == Sx, Syy == Sxx, so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — both sides exact integers
+    converted once to double for the ONE shared division, round(6),
+    nullif on a degree-regular denominator. Plan: two hash-aggs
+    (degree, moment sums) + one join of the edge ends against the
+    degree table — no window, no collect."""
+    g = _graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+    )
+    deg = und.groupBy(F.col("src").alias("__v")).agg(
+        F.count("*").cast("long").alias("__d")
+    )
+    pairs = (
+        und.join(deg, und.src == F.col("__v"))
+        .select("src", "dst", F.col("__d").alias("__x"))
+        .join(
+            deg.select(
+                F.col("__v").alias("__v2"), F.col("__d").alias("__y")
+            ),
+            F.col("dst") == F.col("__v2"),
+        )
+        .select("__x", "__y")
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.agg(
+        F.count("*").cast(d38).alias("__n"),
+        F.sum(F.col("__x").cast(d38)).alias("__sx"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d38)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d38)).alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return s.select(
+        F.col("__n").cast("bigint").alias("n_edge_ends"),
+        F.round(
+            num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def cycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership-loop audit (graph/algorithms.cycle_core): Kahn-peel
     the 'in' edge relation; a non-empty residue means some principal

@@ -1419,6 +1419,24 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated quartiles (ordered-set aggregate):
+    q1/median/q3 of value per event_type — Spark percentile() and
+    DuckDB quantile_cont share the (n-1)*p linear-interpolation
+    definition, so the values hash-match after round(6). One hash
+    aggregate per group; the per-group sort percentile needs is
+    bounded by group size (never a global sort)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    )
+
+
 def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile binning WITHOUT a global sort or global window
     (the NTILE anti-pattern at scale): pass 1 computes the 9 exact
@@ -2576,6 +2594,18 @@ ENTRIES: dict[str, QueryDef] = {
                       i -> (b.v)[i] * (b.v)[i]), (x, y) -> x + y)))
                ), 6) AS cos_sim
         FROM cv a JOIN cv b ON a.label < b.label
+        """,
+    ),
+    "ns_events_type_quartiles": QueryDef(
+        events_type_quartiles,
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.25), 6) AS q1,
+               round(quantile_cont(value, 0.5), 6) AS median,
+               round(quantile_cont(value, 0.75), 6) AS q3
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
         """,
     ),
     "ns_events_value_deciles": QueryDef(
