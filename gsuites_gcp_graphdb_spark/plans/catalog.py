@@ -1354,6 +1354,7 @@ _PRIORITY = [
     "g_cycle_census",        # r7 new: Kahn-peel membership-loop audit
     "g_degree_assortativity",  # r7 new: Newman degree-mixing coefficient
     "ns_events_type_quartiles",  # r7 new: exact grouped interpolated quartiles
+    "ns_text_vocab_stats",   # r7 new: vocabulary/hapax/TTR census
     # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
     # correctness-checks the first 50 catalog names, and the blocks
     # below last had a driver receipt in r1-r3 — surface them so

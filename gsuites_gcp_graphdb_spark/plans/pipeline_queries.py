@@ -1419,6 +1419,30 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary census: total tokens, vocabulary size
+    (distinct types), hapax legomena (types occurring once — the
+    Zipf-tail health signal: a scraped corpus whose hapax share
+    collapses is template-saturated), and the type-token ratio (one
+    shared rounded division). One explode + two map-combinable
+    hash-aggs; the per-type count table never leaves the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    per = toks.groupBy("w").agg(F.count("*").alias("__n"))
+    return per.agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum((F.col("__n") == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(F.count("*") / F.sum("__n"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
 def events_type_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group EXACT interpolated quartiles (ordered-set aggregate):
     q1/median/q3 of value per event_type — Spark percentile() and
@@ -2594,6 +2618,21 @@ ENTRIES: dict[str, QueryDef] = {
                       i -> (b.v)[i] * (b.v)[i]), (x, y) -> x + y)))
                ), 6) AS cos_sim
         FROM cv a JOIN cv b ON a.label < b.label
+        """,
+    ),
+    "ns_text_vocab_stats": QueryDef(
+        text_vocab_stats,
+        """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        per AS (SELECT w, count(*) AS n FROM toks GROUP BY 1)
+        SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+               round(CAST(count(*) AS DOUBLE) / sum(n), 6)
+                 AS type_token_ratio
+        FROM per
         """,
     ),
     "ns_events_type_quartiles": QueryDef(

@@ -924,3 +924,20 @@ def test_hamming_topk(spark):
     assert byid[1].agreement == 63 and byid[1].cos_sim == 1.0
     assert byid[3].agreement <= 5  # antipode disagrees on ~all bits
     assert abs(byid[3].cos_sim - (-1.0)) < 1e-9
+
+
+def test_near_dup_sparse_partitions(spark):
+    """The Arrow sign-sketch kernel must survive empty partition
+    batches (64 shuffle partitions, 2 rows) and still find the
+    identical pair — pins the empty-Series branch of
+    _packed_sketch_udf/_pair_cosine_udf."""
+    from gsuites_gcp_graphdb_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    ).repartition(64)
+    got = sim.embedding_near_duplicates(
+        emb, threshold=0.9, dim=8
+    ).collect()
+    assert [(r.id_a, r.id_b, r.cos_sim) for r in got] == [(1, 2, 1.0)]
