@@ -718,7 +718,7 @@ def export_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         return gr.edges.agg(F.count("*").alias(out))
 
     direct = vcensus(sg, "n")
-    return (
+    out = (
         direct.join(vcensus(g_ml, "__ml"), ["label"], "left")
         .join(vcensus(g_sn, "__sn"), ["label"], "left")
         .crossJoin(F.broadcast(ecount(sg, "__e")))
@@ -734,6 +734,14 @@ def export_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+    # Materialize the tiny census BEFORE deleting the export dir (the
+    # GraphSON branch scans it lazily at collect time), then clean up
+    # — repeated driver runs must not accumulate /tmp exports.
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
