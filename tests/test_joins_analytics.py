@@ -545,3 +545,37 @@ def test_interval_overlap_join(spark):
         ).collect()
     }
     assert got == {("a1", "b1"), ("a2", "b1")}
+
+
+def test_interval_overlap_pre_epoch_and_autosize(spark):
+    """Pins the round-7 bucket-id floor fix: for pre-1970 timestamps
+    truncating division assigns bucket 0 to (-bucket, 0) — the same
+    bucket as (0, bucket) — while flooring separates them; an overlap
+    straddling the epoch must still match, and auto-sized buckets
+    (no bucket_seconds) must find the same pairs as an explicit
+    width."""
+    from gsuites_gcp_graphdb_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [(1, "a", "1969-12-31 23:00:00", "1969-12-31 23:40:00"),
+         (1, "b", "1969-12-31 23:50:00", "1970-01-01 00:30:00")],
+        "k long, lid string, ls string, le string",
+    ).selectExpr(
+        "k", "lid", "CAST(ls AS TIMESTAMP) ls", "CAST(le AS TIMESTAMP) le"
+    )
+    R = spark.createDataFrame(
+        [(1, "x", "1969-12-31 23:30:00", "1970-01-01 00:10:00")],
+        "k long, rid string, rs string, re string",
+    ).selectExpr(
+        "k", "rid", "CAST(rs AS TIMESTAMP) rs", "CAST(re AS TIMESTAMP) re"
+    )
+    for kwargs in ({"bucket_seconds": 600}, {}):
+        got = {
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                L, R, "k", "ls", "le", "rs", "re", **kwargs
+            ).collect()
+        }
+        assert got == {("a", "x"), ("b", "x")}, (kwargs, got)
