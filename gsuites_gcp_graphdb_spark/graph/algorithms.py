@@ -1055,17 +1055,23 @@ def random_walks(
         F.col("label").alias("__vl"),
         natural_key_col().alias("__vk"),
     )
-    adj = (
+    # Resolve dst against the vertex table FIRST, then derive both
+    # out-degrees and neighbour ranks from the SAME resolved rows: a
+    # deg computed on the raw edge list could exceed the max rank when
+    # an edge dangles (dst not in vertices), making choice % deg pick
+    # a rank with no match and silently killing the walk mid-step.
+    resolved = (
         e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
         .dropDuplicates()
+        .join(vk, F.col("__d") == F.col("__vid"))
+        .select("__s", "__d", "__vl", "__vk")
     )
-    degs = adj.groupBy(F.col("__s").alias("__dv")).agg(
+    degs = resolved.groupBy(F.col("__s").alias("__dv")).agg(
         F.count("*").alias("__dd")
     )
     w = Window.partitionBy("__s").orderBy("__vl", "__vk")
     nbrs = (
-        adj.join(vk, F.col("__d") == F.col("__vid"))
-        .select("__s", "__d", "__vl", "__vk")
+        resolved
         .withColumn("__rank", F.row_number().over(w))
         # out-degree OF THE DESTINATION, so the next frontier row
         # arrives already knowing its own degree.
@@ -1284,11 +1290,11 @@ def cycle_core(
     e = g.edges
     if edge_label is not None:
         e = e.filter(F.col("label") == edge_label)
-    cur = _truncate(
-        e.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-    )
+    # Self-loops are KEPT: a group directly a member of itself is the
+    # simplest membership loop the audit exists to catch (and hangs
+    # the reference's recursive crawl exactly like a 2-cycle). A
+    # self-loop vertex holds both degrees, so the peel retains it.
+    cur = _truncate(e.select("src", "dst").dropDuplicates())
     for _ in range(max_iter):
         has_out = cur.select("src").dropDuplicates()
         has_in = cur.select(F.col("dst").alias("src")).dropDuplicates()

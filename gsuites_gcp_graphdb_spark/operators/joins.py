@@ -211,10 +211,16 @@ def interval_overlap_join(
     Bucket sizing trades duplication (long intervals explode to many
     buckets) against join fan-in (busy buckets): the sweet spot is
     near the median interval length. By default the width is DERIVED
-    from the data — percentile_approx(0.5) over both sides' span
-    durations, one tiny aggregate whose 1-row result binds the bucket
-    constant (the AQE-statistics pattern; the result SET is
-    bucket-width-independent, only the plan cost moves). The round-6
+    from the data — the EXACT median (percentile 0.5) over both sides'
+    span durations, one tiny 1-row aggregate whose result binds the
+    bucket constant (the AQE-statistics pattern; the result SET is
+    bucket-width-independent, only the plan cost moves). Exact rather
+    than percentile_approx: the approx sketch's merge is
+    partition-order-dependent, so the derived width — and with it the
+    plan's explain shape — would not be strictly reproducible
+    run-to-run. Note this derivation makes the builder EAGER (it runs
+    one small Spark job at plan-build time); pass ``bucket_seconds``
+    to keep it lazy and to pin plan-shape-asserting tests. The round-6
     scale ladder measured 6x between a well- and mis-sized constant
     (hour buckets on week-long spans); auto-sizing removes that
     caller-discipline trap. Pass ``bucket_seconds`` to pin it.
@@ -239,7 +245,7 @@ def interval_overlap_join(
                     ).alias("__d")
                 )
             )
-            .agg(F.expr("percentile_approx(__d, 0.5)").alias("m"))
+            .agg(F.expr("percentile(__d, 0.5)").alias("m"))
             .first()[0]
         )
         us = max(int(med or 0), 1_000_000)

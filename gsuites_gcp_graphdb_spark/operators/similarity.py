@@ -365,13 +365,16 @@ def _packed_sketch_udf(
         for i in range(bands):
             seg = bits[:, i * r : (i + 1) * r].astype(np.int64)
             out[:, i] = seg.dot(
-                (1 << np.arange(seg.shape[1])).astype(np.int64)
+                np.int64(1) << np.arange(seg.shape[1], dtype=np.int64)
             )
         vb = bits[:, num_band:]
         for j in range(n_words):
             seg = vb[:, j * 63 : (j + 1) * 63].astype(np.int64)
             out[:, bands + j] = seg.dot(
-                (1 << np.arange(seg.shape[1])).astype(np.int64)
+                # shift in int64 from the start: 1 << k evaluates in
+                # numpy's platform-default int BEFORE the astype, so
+                # k >= 31 would overflow where that default is int32
+                np.int64(1) << np.arange(seg.shape[1], dtype=np.int64)
             )
         return pd.Series(list(out))
 

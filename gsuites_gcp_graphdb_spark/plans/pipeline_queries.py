@@ -1533,7 +1533,11 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count("*").cast("bigint").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # __island tiebreak: two consecutive episodes of one user can
+    # share valid_from (type change within a single ts tick), and
+    # lead() over an ambiguous order is engine-dependent — the island
+    # id is the deterministic episode sequence number.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "__island")
     return ep.select(
         F.col("user_id").cast("bigint").alias("user_id"),
         "event_type",
@@ -2698,7 +2702,8 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
                valid_from,
                lead(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from) AS valid_to,
+                                      ORDER BY valid_from, island
+                                     ) AS valid_to,
                n_events
         FROM ep
         """,

@@ -292,3 +292,11 @@ def test_cycle_core(spark):
         [("a", "b"), ("b", "a"), ("b", "v"), ("v", "c"),
          ("c", "d"), ("d", "c")]
     ) == ["a", "b", "c", "d", "v"]
+    # a self-loop IS a cycle — a group directly a member of itself is
+    # the simplest loop the audit exists to catch (round-7 advisory:
+    # the old src != dst pre-filter made this graph report is_dag).
+    assert core_keys([("a", "b"), ("b", "c"), ("b", "b")]) == ["b"]
+    # self-loop hanging off a real cycle: both survive
+    assert core_keys(
+        [("a", "b"), ("b", "a"), ("c", "c"), ("b", "c")]
+    ) == ["a", "b", "c"]
