@@ -199,8 +199,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    queries_done = 0
 
     def median_timed(name: str, action) -> None:
+        nonlocal queries_done
+        # Suite-position pressure guard (round-8 drift probe): over a
+        # 66-query run, localCheckpoint blocks pile up until the JVM
+        # happens to GC (ContextCleaner is weak-ref driven; its own
+        # periodic GC fires every 30 min by default), and late-suite
+        # iterative queries pay for it (g_connected_components_star
+        # benched 4.05s in the r7 suite vs 3.28s isolated, same code).
+        # Drop Python refs every query; force a JVM GC every 8 so the
+        # cleaner reclaims dead checkpoint/shuffle blocks OFF the
+        # timed path.
+        import gc
+
+        gc.collect()
+        if queries_done % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
+        queries_done += 1
         reps = []
         for _ in range(REPS):
             dd.release_scratch()

@@ -1330,12 +1330,22 @@ def k_truss(
 
     Iterative peeling: compute each edge's support (common-neighbour
     count) via the wedge join, drop edges with support < k-2, repeat
-    to fixpoint. Each round is one triangle enumeration (two
-    self-joins shuffling on vertex id — the same cost and the same
-    hub-wedge hazard as triangle_count; at 100 TB, orient wedges from
-    the lower-degree endpoint to bound them) plus a semi-join
-    restriction; lineage truncated per round. Returns the surviving
-    UNDIRECTED canonical edges (a, b) with their final support."""
+    to fixpoint. Each round's triangle enumeration is DEGREE-ORIENTED
+    exactly like triangle_count's (the compact-forward guard at
+    triangle_count above): every surviving undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, wedges
+    are enumerated only at each triangle's lowest-ranked vertex, and
+    the triangle is closed by one oriented-edge probe. Under
+    id-orientation a degree-d hub spawns Θ(d²) wedge rows PER PEEL
+    ROUND (the identical pipeline measured 80s at sf0.1 before
+    triangle_count's fix); orientation bounds oriented out-degree by
+    O(√m), so wedge volume is O(m^1.5) worst-case per round. Each
+    found triangle then credits support to all three of its edges
+    (one explode, support counts are orientation-invariant).
+    Degrees — and with them the orientation — are recomputed from the
+    surviving edge set each round; lineage truncated per round.
+    Returns the surviving UNDIRECTED canonical edges (a, b) with
+    their final support."""
     e = g.edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
     )
@@ -1347,15 +1357,84 @@ def k_truss(
     )
 
     def _support(c: DataFrame) -> DataFrame:
-        adj = c.select("a", "b").unionByName(
+        sym = c.select("a", "b").unionByName(
             c.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        x = adj.select(F.col("a").alias("__xa"), F.col("b").alias("__w"))
-        y = adj.select(F.col("a").alias("__ya"), F.col("b").alias("__w"))
+        deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+        da = deg.select("a", F.col("d").alias("da"))
+        db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+        ranked = c.join(da, ["a"]).join(db, ["b"])
+        fwd = _truncate(
+            ranked.select(
+                F.when(
+                    F.struct("da", "a") < F.struct("db", "b"),
+                    F.struct("a", "da"),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("b").alias("a"), F.col("db").alias("da")
+                    )
+                )
+                .alias("lo"),
+                F.when(
+                    F.struct("da", "a") < F.struct("db", "b"),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("db").alias("da")
+                    ),
+                )
+                .otherwise(F.struct("a", "da"))
+                .alias("hi"),
+            ).select(
+                F.col("lo.a").alias("u"),
+                F.col("hi.a").alias("v"),
+                F.col("hi.da").alias("dv"),
+            )
+        )
+        # Wedge at the lowest-ranked vertex: out-neighbours v < w in
+        # (degree, id) rank; triangle iff oriented edge (v, w) exists
+        # (rank(v) < rank(w), so the closing edge can only point v→w).
+        e1 = fwd.select("u", "v", "dv")
+        e2 = fwd.select(
+            F.col("u").alias("__u2"),
+            F.col("v").alias("w"),
+            F.col("dv").alias("dw"),
+        )
+        closing = fwd.select(
+            F.col("u").alias("__cv"), F.col("v").alias("__cw")
+        )
+        tri = (
+            e1.join(e2, (e1.u == e2.__u2))
+            .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+            .join(
+                closing,
+                (F.col("v") == F.col("__cv"))
+                & (F.col("w") == F.col("__cw")),
+                "left_semi",
+            )
+        )
+        # each triangle supports all three of its (canonical) edges
         return (
-            c.join(x, c.a == x.__xa)
-            .join(y, (c.b == y.__ya) & (x.__w == y.__w))
-            .groupBy("a", "b")
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("u", "v").alias("a"),
+                            F.greatest("u", "v").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("u", "w").alias("a"),
+                            F.greatest("u", "w").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("v", "w").alias("a"),
+                            F.greatest("v", "w").alias("b"),
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .groupBy(
+                F.col("__e.a").alias("a"), F.col("__e.b").alias("b")
+            )
             .agg(F.count("*").cast("bigint").alias("support"))
         )
 

@@ -1,0 +1,56 @@
+"""Round-8 drift probe (VERDICT r7 item 2): time g_hits_top and
+g_connected_components_star in ISOLATION — fresh session, 5 reps,
+same box — to split environment drift from code drift and from
+suite-position effects (checkpoint-dir pressure late in the 66-query
+headline run). Run it on HEAD and on the r6 commit; compare medians
+against the BENCH_DETAIL spreads of both rounds.
+
+Usage: python tools/drift_probe.py [names...]
+"""
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from gsuites_gcp_graphdb_spark.session import get_spark  # noqa: E402
+from gsuites_gcp_graphdb_spark.plans.catalog import CATALOG  # noqa: E402
+from gsuites_gcp_graphdb_spark.sources.fixtures import (  # noqa: E402
+    load_table,
+)
+
+REPS = 5
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    names = sys.argv[1:] or [
+        "g_hits_top",
+        "g_connected_components_star",
+    ]
+    spark = get_spark("drift-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    import pyspark.sql.functions as F
+
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    load_table(spark, SF_DIR, "region").count()
+    out = {}
+    for name in names:
+        fn = CATALOG[name].fn
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            reps.append(round(time.perf_counter() - t0, 3))
+        out[name] = {
+            "median": round(statistics.median(reps), 3),
+            "reps": reps,
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

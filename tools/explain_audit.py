@@ -150,6 +150,10 @@ def main():
         "ns_events_value_deciles",
         "ns_events_span_overlap",
         "ns_vec_class_centroids",
+        # round-8 wave: the k-truss peel round must show the
+        # DEGREE-oriented wedge join (struct(d, id) comparisons in
+        # the join/filter), never a raw id self-join at a hub
+        "g_ktruss",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
