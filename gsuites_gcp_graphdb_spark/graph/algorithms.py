@@ -282,18 +282,34 @@ def all_paths(
 
 
 def connected_components(
-    g: Graph, max_iter: int = DEFAULT_MAX_ITER
+    g: Graph, max_iter: int = DEFAULT_MAX_ITER, shortcut: bool = True
 ) -> DataFrame:
-    """Undirected connected components via hash-min label propagation:
-    every vertex adopts the min component id among itself and its
-    neighbours until fixpoint. Returns (id, component) where component
-    is the min vertex id of the component.
+    """Undirected connected components via hash-min label propagation
+    with POINTER HALVING: every vertex adopts the min component id
+    among itself and its neighbours, then jumps to its label's label
+    (comp[v] <- comp[comp[v]], the Shiloach-Vishkin shortcut). Returns
+    (id, component) where component is the min vertex id of the
+    component.
 
-    One shuffle per round (groupBy id); converges in O(diameter)
-    rounds. For 100 TB graphs with giant diameters the large-star/
-    small-star variant halves rounds, but IAM-style graphs are
-    shallow, so plain hash-min is the simpler, equally-fast choice.
-    """
+    Plain hash-min moves a label one hop per round — O(diameter)
+    rounds, which the round-8 profile showed is the wrong regime for
+    near-duplicate pair graphs (the sf0.1 semantic graph at tau=0.4
+    has chain diameter ~16: 17 rounds, and every round is a full
+    shuffle at 100 TB). The shortcut doubles a label's reach per
+    round, so convergence is O(log diameter) for one extra O(n)
+    equi-join per round — strictly fewer total shuffles whenever
+    diameter > ~4. Correctness: comp[v] always names a vertex of v's
+    own component and never increases (both steps preserve the
+    invariant), and a no-change fixpoint of the combined operator is
+    in particular a hash-min fixpoint, where symmetric edges force
+    comp constant per component and anchored at the min id.
+
+    The convergence flag is computed INSIDE the per-round frame (one
+    filter over the just-checkpointed rows) rather than by re-joining
+    new-vs-old labels — one fewer shuffle join and one fewer job per
+    round. ``shortcut=False`` recovers plain hash-min (the right
+    choice only when diameter is known tiny and the extra join isn't
+    worth it)."""
     both = (
         g.edges.select("src", "dst")
         .unionByName(
@@ -311,25 +327,138 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("n_component"))
         )
-        new_comp = (
-            comp.join(neighbour_min, ["id"], "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("n_component", "component")
-                ).alias("component"),
+        new_comp = comp.join(neighbour_min, ["id"], "left_outer").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("n_component", "component")
+            ).alias("component"),
+            (
+                F.col("n_component").isNotNull()
+                & (F.col("n_component") < F.col("component"))
+            ).alias("__chg"),
+        )
+        if shortcut:
+            par = new_comp.select(
+                F.col("id").alias("__pid"),
+                F.col("component").alias("__pcomp"),
             )
-        )
+            new_comp = new_comp.join(
+                par, new_comp.component == par.__pid
+            ).select(
+                "id",
+                F.col("__pcomp").alias("component"),
+                (
+                    F.col("__chg") | (F.col("__pcomp") < F.col("component"))
+                ).alias("__chg"),
+            )
         new_comp = _truncate(new_comp)
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), ["id"])
-            .filter(F.col("n.component") != F.col("o.component"))
-            .take(1)
-        )
-        comp = new_comp
+        changed = new_comp.filter(F.col("__chg")).take(1)
+        comp = new_comp.drop("__chg")
         if not changed:
             break
+    return comp
+
+
+def connected_components_contract(
+    g: Graph, max_iter: int = DEFAULT_MAX_ITER
+) -> DataFrame:
+    """Undirected connected components via PARTITION-LOCAL UNION-FIND
+    contraction: each round shuffles the surviving edges into ~1M-edge
+    groups, runs an in-memory union-find per group (one Arrow batch,
+    path-compressed, min-id roots), merges the per-group roots with a
+    global min-agg, then RELABELS the edge list by the new roots and
+    drops self-loops. Round count is the CROSS-PARTITION diameter —
+    how many times a component's pieces straddle group boundaries —
+    not the graph diameter: when a round's surviving edges fit one
+    group, the next round is the empty-edge exit. (Kiveris et al.
+    describe local contraction as the practical accelerator on top of
+    star rounds; this is that idea as the whole loop.)
+
+    Motivation (round-8 profile): hash-min CC walks labels ONE hop per
+    shuffle round, and the sf0.1 semantic near-dup pair graph at
+    tau=0.4 has chain diameter ~16 — 17 full-shuffle rounds for an
+    886-edge graph; pointer-halving only cut that to 11. Here the
+    same graph contracts in ONE local pass. At 100 TB the group size
+    bound keeps every union-find in executor memory (~1M edge rows
+    per Arrow batch), and each round's shuffle volume SHRINKS with
+    the surviving edge count instead of staying O(m).
+
+    Returns (id, component), component = min vertex id of the
+    component — identical to :func:`connected_components` (asserted
+    by tests on deep-chain literal graphs). Isolated vertices label
+    themselves. The per-round edge count (one tiny job over the
+    just-checkpointed edge list) sizes the group count and detects
+    termination — the AQE-statistics pattern, not a driver-side
+    compute loop."""
+    import pandas as pd
+
+    spark = g.vertices.sparkSession
+    max_group = 1_000_000
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _local_uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].values, pdf["dst"].values):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:  # union by min id: smaller root wins
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        nodes = set(map(int, pdf["src"].values))
+        nodes.update(map(int, pdf["dst"].values))
+        out_id = list(nodes)
+        out_root = [find(n) for n in out_id]
+        return pd.DataFrame({"id": out_id, "root": out_root})
+
+    e = _truncate(
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    comp = _truncate(
+        g.vertices.select("id", F.col("id").alias("component"))
+    )
+    for _ in range(max_iter):
+        n_edges = e.count()
+        if n_edges == 0:
+            break
+        parts = max(1, min(target, -(-n_edges // max_group)))
+        stars = (
+            e.withColumn("__p", F.pmod(F.xxhash64("src"), F.lit(parts)))
+            .groupBy("__p")
+            .applyInPandas(
+                lambda pdf: _local_uf(pdf), "id long, root long"
+            )
+        )
+        m = _truncate(
+            stars.groupBy("id").agg(F.min("root").alias("root"))
+        )
+        # fold this round's relabeling into the accumulated mapping
+        comp = _truncate(
+            comp.join(m, comp.component == m.id, "left_outer").select(
+                comp.id.alias("id"),
+                F.coalesce("root", "component").alias("component"),
+            )
+        )
+        ms = m.select(F.col("id").alias("src"), F.col("root").alias("__rs"))
+        md = m.select(F.col("id").alias("dst"), F.col("root").alias("__rd"))
+        e = _truncate(
+            e.join(ms, ["src"])
+            .join(md, ["dst"])
+            .select(F.col("__rs").alias("src"), F.col("__rd").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+        )
     return comp
 
 

@@ -456,14 +456,15 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     the connected component.
 
     Returns (cluster_rep, n_members) for every cluster of size >= 2.
-    Scale: hash-min label propagation — near-dup clusters have tiny
-    diameter (bounded by the longest A~B~C similarity chain), so
-    hash-min converges in a handful of 1-shuffle rounds; the
-    large-star/small-star alternative (2 shuffles/round, O(log^2 n)
-    rounds) only wins on giant-diameter graphs, which a thresholded
-    pair relation never is (measured: star cost ~2x here).
+    Scale: partition-local union-find contraction
+    (algorithms.connected_components_contract) — the round-8 profile
+    showed thresholded pair relations are NOT always shallow (the
+    sf0.1 semantic graph at tau=0.4 chains to diameter ~16, costing
+    hash-min 17 full-shuffle rounds); contraction collapses every
+    within-group path in one Arrow pass, so rounds track how often
+    components straddle ~1M-edge groups, not the chain length.
     """
-    from ..graph.algorithms import connected_components
+    from ..graph.algorithms import connected_components_contract
     from ..graph.traversal import Graph
 
     # Materialize the pair relation ONCE: it feeds the vertex set, the
@@ -477,7 +478,7 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
     )
-    comp = connected_components(Graph(v, e))
+    comp = connected_components_contract(Graph(v, e))
     return (
         comp.groupBy("component")
         .agg(F.count("*").cast("bigint").alias("n_members"))
@@ -499,8 +500,11 @@ def semantic_dedup_members(pairs: DataFrame) -> DataFrame:
     clustered member; singletons never appear (nothing to remove).
 
     Scale: pair generation is the LSH-bucketed path
-    (similarity.embedding_near_duplicates); closure is hash-min CC
-    (one shuffle/round, tiny diameter); the decision column is a
+    (similarity.embedding_near_duplicates); closure is partition-local
+    union-find contraction (connected_components_contract — near-dup
+    graphs chain: the sf0.1 tau=0.4 pair graph has diameter ~16,
+    which cost hash-min 17 full-shuffle rounds and ~60% of this
+    operator's round-7 wall time); the decision column is a
     comparison, no extra shuffle."""
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -509,10 +513,10 @@ def semantic_dedup_members(pairs: DataFrame) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
     )
-    from ..graph.algorithms import connected_components
+    from ..graph.algorithms import connected_components_contract
     from ..graph.traversal import Graph
 
-    comp = connected_components(Graph(v, e))
+    comp = connected_components_contract(Graph(v, e))
     return comp.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("component").cast("bigint").alias("cluster_rep"),

@@ -264,6 +264,57 @@ def test_connected_components_star_matches_hashmin(spark, golden):
     assert a == b
 
 
+def test_connected_components_contract_matches_hashmin(spark):
+    """The partition-local union-find contraction variant must agree
+    with hash-min on its worst regime: DEEP CHAINS (the round-8
+    semantic-dedup profile — diameter ~16 pair graphs), a chain whose
+    min id sits at the far end, multiple components with isolated
+    vertices, and a seeded random graph spread over many shuffle
+    partitions so the union-find genuinely runs per-group."""
+    import random
+
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    def check(n, pairs):
+        v = spark.createDataFrame(
+            [(i,) for i in range(1, n + 1)], "id long"
+        )
+        e = spark.createDataFrame(
+            pairs, "src long, dst long"
+        ).select(
+            "src",
+            "dst",
+            F.lit("in").alias("label"),
+            F.lit(1.0).alias("weight"),
+        )
+        g = Graph(v, e)
+        a = sorted(map(tuple, connected_components(g).collect()))
+        b = sorted(
+            map(tuple, connected_components_contract(g).collect())
+        )
+        assert a == b, (a, b)
+
+    # 40-deep chain, min id at the END (max label travel distance)
+    check(40, [(i, i + 1) for i in range(1, 40)])
+    # two chains + two isolated vertices (ids 41, 42)
+    check(
+        42,
+        [(i, i + 1) for i in range(1, 20)]
+        + [(i, i + 1) for i in range(21, 40)],
+    )
+    # seeded random graph
+    rng = random.Random(8)
+    pairs = {
+        (rng.randrange(1, 81), rng.randrange(1, 81)) for _ in range(70)
+    }
+    check(80, [(a, b) for a, b in pairs if a != b])
+    # self-loop only: vertex labels itself, loop ignored
+    check(3, [(1, 1), (2, 3)])
+
+
 def test_triangle_count(spark, golden):
     """Chain graph has no triangles; closing edges create exactly the
     expected count, direction-insensitively."""
