@@ -234,6 +234,19 @@ def main() -> None:
     g.counts()
     timings["graph_build"] = round(time.perf_counter() - t0, 3)
 
+    # Round-8: write the canonical bucketed store BEFORE the headline
+    # loop, so EVERY g_ traversal query below reads the dual-clustered
+    # layout (zero stored-side Exchange on expansion joins) — the
+    # deployed-system read path, not a flagship-only twin. The write
+    # is the one-off layout cost, timed as its own entry.
+    t0 = time.perf_counter()
+    gq.materialize_graph_store(spark, sf_dir)
+    timings["g_bucketed_layout_write"] = round(
+        time.perf_counter() - t0, 3
+    )
+    g = gq._graph(spark, sf_dir)  # now store-backed
+    g.counts()
+
     for name in HEADLINE:
         fn = CATALOG[name].fn
         median_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
@@ -298,25 +311,12 @@ def main() -> None:
     median_timed(
         "ns_ivf_ann", lambda: pq.ivf_ann(spark, sf_dir).collect()
     )
-    # Bucketed-layout flagship (round-7): save_bucketed writes the
-    # dual-clustered edge tables once (timed as the one-off layout
-    # cost), then the SAME flagship traversal runs against the
-    # dst-clustered tables — every stored-side join exchange-free
-    # (test_bucketed_flagship_end_to_end pins the plan shape).
-    # Compare g_flagship_bucketed to g_principals_with_access above:
-    # the delta is what write-time clustering buys every query after.
-    from gsuites_gcp_graphdb_spark.graph import export as gex
-
-    t0 = time.perf_counter()
-    from gsuites_gcp_graphdb_spark.session import (  # noqa: E402
-        default_parallelism,
-    )
-
-    gex.save_bucketed(g, "bench_bucketed", buckets=default_parallelism())
-    timings["g_bucketed_layout_write"] = round(
-        time.perf_counter() - t0, 3
-    )
-    gb = gex.load_bucketed(spark, "bench_bucketed", edges_by="dst")
+    # Bucketed-layout flagship (round-7, kept for round-over-round
+    # continuity): since round 8 the store IS the default _graph()
+    # read path (written above, before the headline loop), so this
+    # entry now times the flagship against the same store-backed
+    # graph every other g_ query used.
+    gb = gq._graph(spark, sf_dir)
     median_timed(
         "g_flagship_bucketed",
         lambda: gq.principals_with_access_g(gb).collect(),

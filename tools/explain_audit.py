@@ -157,6 +157,13 @@ def main():
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Round-8: audit the DEPLOYED read path — materialize the bucketed
+    # store first so every g_ traversal below plans against it (the
+    # expansion joins must show bucketed scans, no stored-side
+    # Exchange), exactly what bench.py measures.
+    from gsuites_gcp_graphdb_spark.plans import graph_queries as _gq
+
+    _gq.materialize_graph_store(spark, sf_dir)
 
     out = [
         "# PLANS — physical-plan audit of headline queries",
