@@ -1402,9 +1402,9 @@ def cycle_core(
     dataflow-friendly dual of toposort). Non-empty IFF the graph has
     a directed cycle, and contains EVERY vertex on a cycle — plus,
     by construction, vertices on cycle-to-cycle walks (a connector
-    between two cycles keeps both degrees; exact cycle membership
-    would need SCC, which is DFS-shaped — the core is the sound
-    dataflow over-approximation and the right audit unit anyway: a
+    between two cycles keeps both degrees; EXACT cycle membership is
+    :func:`strongly_connected_components` below — the core is the
+    cheap sound over-approximation and the right audit unit anyway: a
     connector is implicated in the loop structure). The membership-
     loop audit this serves: a group transitively a member of itself
     breaks every reachability assumption the IAM model makes — the
@@ -1591,4 +1591,133 @@ def k_truss(
     sup = _support(canon)
     return canon.join(sup, ["a", "b"], "left").select(
         "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def strongly_connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """EXACT strongly connected components via iterated forward
+    coloring + backward confirmation (the Orzan coloring scheme, the
+    dataflow member of the FW-BW family Fleischer et al. introduced)
+    — the precise tool the Kahn-peel :func:`cycle_core` honestly
+    over-approximates (connectors between cycles survive the peel;
+    they do NOT share an SCC).
+
+    ``vertices`` is one column ``id``; ``edges`` two columns
+    ``src``/``dst`` of the same (orderable) type — ids may be strings
+    or integers, the algorithm only compares and mins them. Returns
+    (id, scc) where scc = the MIN id of the component (unique,
+    deterministic, engine-reproducible).
+
+    Per outer round: (1) propagate min ids FORWARD to fixpoint —
+    color(v) = min over {v} + colors of in-neighbours, so color(v) is
+    the least id that can reach v in the remaining graph; (2) every
+    vertex whose color is itself is a ROOT, and for members of
+    SCC(root), root is the component min (a smaller member would have
+    recolored the root); (3) confirm backward within each color:
+    starting from the roots, walk REVERSED edges restricted to
+    equal-colored endpoints — confirmed vertices are exactly
+    SCC(root); (4) emit confirmed components, delete their vertices,
+    repeat on the residue. Every round settles at least every current
+    root's SCC, so the outer loop runs O(longest chain of nested
+    colors) times — on audit-style graphs 1-2 rounds. All steps are
+    equi-joins + min-aggs, lineage truncated per round; per-fixpoint
+    rounds are bounded by the remaining graph's directed diameter.
+    Singletons (including vertices with no cycle through them) emit
+    themselves — total output rows == input vertices."""
+    remaining_v = _truncate(vertices.select("id").dropDuplicates())
+    e_all = _truncate(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    out: DataFrame | None = None
+    for _ in range(max_iter):
+        if not remaining_v.take(1):
+            break
+        e = e_all.join(
+            remaining_v.select(F.col("id").alias("src")),
+            ["src"],
+            "left_semi",
+        ).join(
+            remaining_v.select(F.col("id").alias("dst")),
+            ["dst"],
+            "left_semi",
+        )
+        e = _truncate(e)
+        # (1) forward min-coloring to fixpoint
+        color = _truncate(
+            remaining_v.select("id", F.col("id").alias("color"))
+        )
+        for _ in range(max_iter):
+            pushed = (
+                color.join(e, color.id == e.src)
+                .select(F.col("dst").alias("id"), "color")
+                .groupBy("id")
+                .agg(F.min("color").alias("n_color"))
+            )
+            new_color = color.join(pushed, ["id"], "left_outer").select(
+                "id",
+                F.least(
+                    F.col("color"), F.coalesce("n_color", "color")
+                ).alias("color"),
+                (
+                    F.col("n_color").isNotNull()
+                    & (F.col("n_color") < F.col("color"))
+                ).alias("__chg"),
+            )
+            new_color = _truncate(new_color)
+            changed = new_color.filter(F.col("__chg")).take(1)
+            color = new_color.drop("__chg")
+            if not changed:
+                break
+        # (2)+(3) backward confirmation restricted to equal colors:
+        # frontier starts at the roots; step v <- w along an edge
+        # (v, w) with color(v) == color(w) and w confirmed.
+        csrc = color.select(F.col("id").alias("src"), F.col("color").alias("__cs"))
+        cdst = color.select(F.col("id").alias("dst"), F.col("color").alias("__cd"))
+        e_same = _truncate(
+            e.join(csrc, ["src"])
+            .join(cdst, ["dst"])
+            .filter(F.col("__cs") == F.col("__cd"))
+            .select("src", "dst")
+        )
+        confirmed = _truncate(
+            color.filter(F.col("id") == F.col("color")).select("id")
+        )
+        frontier = confirmed
+        for _ in range(max_iter):
+            step = (
+                e_same.join(
+                    frontier.select(F.col("id").alias("dst")),
+                    ["dst"],
+                    "left_semi",
+                )
+                .select(F.col("src").alias("id"))
+                .dropDuplicates()
+                .join(confirmed, ["id"], "left_anti")
+            )
+            step = _truncate(step)
+            if not step.take(1):
+                break
+            confirmed = _truncate(confirmed.unionByName(step))
+            frontier = step
+        found = color.join(confirmed, ["id"], "left_semi").select(
+            "id", F.col("color").alias("scc")
+        )
+        found = _truncate(found)
+        out = found if out is None else out.unionByName(found)
+        out = _truncate(out)
+        remaining_v = _truncate(
+            remaining_v.join(found.select("id"), ["id"], "left_anti")
+        )
+    return (
+        out
+        if out is not None
+        else vertices.select(
+            "id", F.col("id").alias("scc")
+        ).limit(0)
     )

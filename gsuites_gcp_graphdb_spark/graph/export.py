@@ -179,7 +179,12 @@ def read_graphson(spark: SparkSession, path: str) -> Graph:
     the export wrote one tagged JSON record per element, so the
     import is a JSON scan + from_json over the properties payload —
     no driver materialization, any graph size."""
-    raw = spark.read.json(path)
+    # explicit schema: skips the inference job (a full extra scan at
+    # 100 TB) and keeps the columns resolvable when the export wrote
+    # an EMPTY graph (inference over zero records yields no schema)
+    raw = spark.read.schema(
+        "kind string, id long, label string, properties string"
+    ).json(path)
     v = (
         raw.filter(F.col("kind") == "vertex")
         .select(

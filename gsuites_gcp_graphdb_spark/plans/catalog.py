@@ -554,7 +554,7 @@ CATALOG: dict[str, QueryDef] = {
           UNION ALL
           SELECT 'bucket', count(*) FROM (
             SELECT DISTINCT p_size, p_name FROM part)
-        )
+        ) WHERE n > 0
         """,
     ),
     "g_edge_count": QueryDef(
@@ -581,7 +581,7 @@ CATALOG: dict[str, QueryDef] = {
         """
         SELECT 'user' AS label, min(c_name) AS email,
                CAST(false AS BOOLEAN) AS is_external
-        FROM customer
+        FROM customer HAVING count(*) > 0
         """,
     ),
     "g_user_exists": QueryDef(
@@ -613,12 +613,14 @@ CATALOG: dict[str, QueryDef] = {
         gq.next_role,
         """
         SELECT 'role' AS label, max(p_brand) AS name FROM part
+        HAVING count(*) > 0
         """,
     ),
     "g_role_by_id": QueryDef(
         gq.role_by_id,
         """
         SELECT 'role' AS label, min(p_brand) AS name FROM part
+        HAVING count(*) > 0
         """,
     ),
     "g_members_of_role": QueryDef(
@@ -740,8 +742,9 @@ CATALOG: dict[str, QueryDef] = {
           FROM edges_nk
         ),
         walk(l, k, d) AS (
-          SELECT 'user', (SELECT min(c_name) FROM customer),
-                 CAST(0 AS DOUBLE)
+          SELECT 'user', c, CAST(0 AS DOUBLE)
+          FROM (SELECT min(c_name) AS c FROM customer)
+          WHERE c IS NOT NULL
           UNION
           SELECT e.dl, e.dk, wk.d + e.w
           FROM walk wk JOIN edges_w e ON e.sl = wk.l AND e.sk = wk.k
@@ -939,7 +942,7 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 'project' AS label, count(DISTINCT p_name) AS n FROM part
           UNION ALL
           SELECT 'role', count(DISTINCT p_brand) FROM part
-        ) ORDER BY label
+        ) WHERE n > 0 ORDER BY label
         """,
     ),
     "g_degree_assortativity": QueryDef(
@@ -985,6 +988,38 @@ CATALOG: dict[str, QueryDef] = {
         SELECT CAST(0 AS BIGINT) AS n_core_vertices, TRUE AS is_dag
         """,
     ),
+    # Exact SCC (r7 verdict item 8): forward-coloring + backward
+    # confirmation on Spark; the oracle is the DEFINITION — recursive
+    # transitive closure, mutual reachability, min member id.
+    "g_scc": QueryDef(
+        gq.scc_event_graph,
+        """
+        WITH RECURSIVE seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        edges AS (
+          SELECT DISTINCT src, dst FROM seq
+          WHERE dst IS NOT NULL AND src <> dst
+        ),
+        verts AS (SELECT DISTINCT event_type AS id FROM events),
+        r(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        ),
+        mutual AS (
+          SELECT r1.b AS v, r1.a AS u
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+        )
+        SELECT v.id AS event_type,
+               least(v.id, coalesce(min(m.u), v.id)) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.v = v.id
+        GROUP BY v.id
+        """,
+    ),
     "g_export_roundtrip": QueryDef(
         gq.export_roundtrip_census,
         """
@@ -995,7 +1030,7 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 'project' AS label, count(DISTINCT p_name) AS n FROM part
           UNION ALL
           SELECT 'role', count(DISTINCT p_brand) FROM part
-        ) ORDER BY label
+        ) WHERE n > 0 ORDER BY label
         """,
     ),
     "g_sql_interface": QueryDef(
@@ -1008,7 +1043,7 @@ CATALOG: dict[str, QueryDef] = {
             FROM customer JOIN nation ON c_nationkey = n_nationkey)
           UNION ALL
           SELECT 'role', count(*) FROM ({_USER_ROLE})
-        )
+        ) WHERE n > 0
         """,
     ),
     "g_membership_paths": QueryDef(
@@ -1135,7 +1170,9 @@ CATALOG: dict[str, QueryDef] = {
           UNION
           SELECT dl, dk, sl, sk FROM edges_nk),
         walk1(l, k, d) AS (
-          SELECT 'user', (SELECT min(c_name) FROM customer), 0
+          SELECT 'user', c, 0
+          FROM (SELECT min(c_name) AS c FROM customer)
+          WHERE c IS NOT NULL
           UNION
           SELECT u.bl, u.bk, w.d + 1 FROM walk1 w JOIN und u
             ON u.al = w.l AND u.ak = w.k
@@ -1219,7 +1256,7 @@ CATALOG: dict[str, QueryDef] = {
           UNION ALL
           SELECT 'bucket', count(*) FROM (
             SELECT DISTINCT p_size, p_name FROM part)
-        )
+        ) WHERE n > 0
         """,
     ),
     "g_offboard_user": QueryDef(
@@ -1260,7 +1297,7 @@ CATALOG: dict[str, QueryDef] = {
                SELECT DISTINCT p_brand, p_size, p_name FROM part))
           - 1
           - (SELECT count(*) FROM ur, mu WHERE ur.c_name = mu.u)
-        )
+        ) WHERE n > 0
         """,
     ),
     "g_top_roles": QueryDef(

@@ -184,10 +184,15 @@ def next_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row is re-wrapped as a one-row DataFrame for the driver
     contract."""
     g = _graph(spark, sf_dir)
-    row = g.V().hasLabel("role").order_by(F.col("name").desc()).next()
-    return spark.createDataFrame(
-        [(row["label"], row["name"])], "label string, name string"
-    )
+    t = g.V().hasLabel("role").order_by(F.col("name").desc())
+    # hasNext() guard: next() on an empty traversal throws by Gremlin
+    # contract; the QUERY degrades to zero rows (oracle: HAVING)
+    if t.hasNext():
+        row = t.next()
+        rows = [(row["label"], row["name"])]
+    else:
+        rows = []
+    return spark.createDataFrame(rows, "label string, name string")
 
 
 def role_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,6 +894,43 @@ def cycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scc_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT strongly connected components
+    (graph/algorithms.strongly_connected_components — forward min-
+    coloring + backward confirmation) over the event-type TRANSITION
+    digraph: nodes = event types, edges = observed consecutive
+    transitions per user (the ns_events_transitions relation). Unlike
+    the built IAM graph (a DAG by construction, where every SCC is a
+    singleton and the query would prove nothing), user journeys
+    genuinely cycle (view -> click -> view), so the mutual-reach
+    structure is non-trivial and the recursive-CTE closure oracle
+    checks real component merges. Output: (event_type, scc) with scc
+    = the lexicographic-min type of the component — exact cycle
+    membership, the sharp version of the cycle_core audit."""
+    from pyspark.sql.window import Window
+
+    from ..graph.algorithms import strongly_connected_components
+    from ..sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("__next")
+    )
+    edges = (
+        seq.filter(F.col("__next").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("__next").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    verts = ev.select(F.col("event_type").alias("id")).dropDuplicates()
+    return strongly_connected_components(verts, edges).select(
+        F.col("id").alias("event_type"), "scc"
+    )
+
+
 def membership_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path projection (the 'via what path' half of the README.md:15-32
     audit): full 2-hop membership paths user -> group -> group rendered
@@ -1093,6 +1135,13 @@ def ppr_access_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     users = g.vertices.filter(F.col("label") == "user")
     source = users.orderBy(F.col("email").asc()).limit(1).select("id")
+    if not source.take(1):
+        # no principal to personalize on — empty cone, not an error
+        # (personalized_pagerank's >=1-source contract is the
+        # algorithm's; the QUERY degrades like its oracle)
+        return spark.createDataFrame(
+            [], "label string, key string, rank double"
+        )
     pr = personalized_pagerank(g, source, iterations=5)
     return (
         pr.filter(F.col("rank") > 0)
@@ -1153,7 +1202,10 @@ def offboard_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_row = e2.agg(F.count("*").cast("bigint").alias("n")).select(
         F.lit("edges").alias("label"), "n"
     )
-    return census.unionByName(edges_row)
+    # census policy (--empty gate): report only nonzero classes, so
+    # the global edge-count row vanishes with the graph exactly like
+    # the group-by label rows do
+    return census.unionByName(edges_row).filter(F.col("n") > 0)
 
 
 def snapshot_diff_permissions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,6 +1657,9 @@ def diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__far.key").alias("key"),
                 (-F.col("__far.nd")).cast("bigint").alias("ecc"),
             )
+            # min(struct) over an EMPTY sweep is one all-NULL row;
+            # no endpoints means no answer row (--empty gate)
+            .filter(F.col("id").isNotNull())
         )
 
     u = farthest(shortest_paths(und, src, edge_label=None)).localCheckpoint(

@@ -1434,7 +1434,10 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.agg(
         F.sum("__n").cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("vocab_size"),
-        F.sum((F.col("__n") == 1).cast("long"))
+        # count-the-matches, not sum-the-flags: SUM over zero rows is
+        # NULL while the oracle's count FILTER is 0 — the empty-input
+        # divergence class the --empty sweep exists to catch
+        F.count(F.when(F.col("__n") == 1, 1))
         .cast("bigint")
         .alias("n_hapax"),
         F.round(F.count("*") / F.sum("__n"), 6).alias(
@@ -1481,7 +1484,10 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__t"
         )
     ).first()
-    ths = [round(t, 6) for t in row[0]]
+    # percentile over ZERO rows is NULL — no thresholds, no bins;
+    # every (non-existent) row trivially lands in decile 1 and the
+    # group-by below returns the same empty frame the oracle does
+    ths = [round(t, 6) for t in (row[0] or [])]
     bin_col = sum(
         (F.col("value") >= F.lit(t)).cast("int") for t in ths
     ) + F.lit(1)
@@ -1749,14 +1755,21 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_days",
             "exact_month_users",
-            "all_days_within_10pct",
-            (
+            # vacuous truth over zero days — min() over no rows is
+            # NULL on Spark while the oracle pins TRUE (the recurring
+            # NULL-on-empty-aggregate class; --empty sweep gate)
+            F.coalesce("all_days_within_10pct", F.lit(True)).alias(
+                "all_days_within_10pct"
+            ),
+            F.coalesce(
                 F.abs(F.col("__merged") - F.col("exact_month_users"))
-                <= 0.1 * F.col("exact_month_users")
+                <= 0.1 * F.col("exact_month_users"),
+                F.lit(True),
             ).alias("month_within_10pct"),
-            (
+            F.coalesce(
                 F.abs(F.col("__merged") - F.col("__direct"))
-                <= 0.05 * F.greatest(F.col("__direct"), F.lit(1.0))
+                <= 0.05 * F.greatest(F.col("__direct"), F.lit(1.0)),
+                F.lit(True),
             ).alias("merge_within_5pct_of_direct"),
         )
     )

@@ -593,6 +593,7 @@ _GROUPING_SETS_SQL = """
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                             (l_linestatus), ())
+    HAVING count(*) > 0
 """
 
 
@@ -1240,6 +1241,7 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        HAVING count(*) > 0
         """,
     ),
     "rel_division": QueryDef(
@@ -1368,6 +1370,7 @@ ENTRIES: dict[str, QueryDef] = {
         """
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        HAVING count(*) > 0
         """,
     ),
     "rel_approx_distinct": QueryDef(

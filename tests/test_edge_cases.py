@@ -300,3 +300,65 @@ def test_cycle_core(spark):
     assert core_keys(
         [("a", "b"), ("b", "a"), ("c", "c"), ("b", "c")]
     ) == ["a", "b", "c"]
+
+
+def test_strongly_connected_components(spark):
+    """Exact SCC on literal digraphs: (a) two 2-cycles joined by a
+    one-way connector — the connector is a SINGLETON (the case the
+    Kahn-peel cycle_core over-approximates); (b) a 3-cycle with a
+    chord and a pendant; (c) a pure chain (all singletons); (d) a
+    nested-color graph needing two outer rounds; (e) string ids."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        strongly_connected_components,
+    )
+
+    def scc_of(n, pairs, ids=None):
+        ids = ids or list(range(1, n + 1))
+        v = spark.createDataFrame(
+            [(i,) for i in ids],
+            "id long" if isinstance(ids[0], int) else "id string",
+        )
+        e = spark.createDataFrame(
+            pairs,
+            "src long, dst long"
+            if isinstance(ids[0], int)
+            else "src string, dst string",
+        )
+        out = strongly_connected_components(v, e)
+        groups = {}
+        for r in out.collect():
+            groups.setdefault(r.scc, set()).add(r.id)
+        assert sum(len(g) for g in groups.values()) == len(ids)
+        assert all(min(g) == k for k, g in groups.items())
+        return sorted(
+            tuple(sorted(g)) for g in groups.values()
+        )
+
+    # (a) a<->b, connector v, c<->d  (ids: a=1 b=2 v=3 c=4 d=5)
+    assert scc_of(
+        5, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)]
+    ) == [(1, 2), (3,), (4, 5)]
+    # (b) 3-cycle 1->2->3->1 with chord 2->1, pendant 4->1
+    assert scc_of(4, [(1, 2), (2, 3), (3, 1), (2, 1), (4, 1)]) == [
+        (1, 2, 3),
+        (4,),
+    ]
+    # (c) chain: all singletons
+    assert scc_of(4, [(1, 2), (2, 3), (3, 4)]) == [
+        (1,),
+        (2,),
+        (3,),
+        (4,),
+    ]
+    # (d) two outer rounds: SCC {1,4} colors everything in round 1,
+    # SCC {2,3} only resolves after {1,4} is removed
+    assert scc_of(4, [(1, 2), (2, 3), (3, 2), (1, 4), (4, 1)]) == [
+        (1, 4),
+        (2, 3),
+    ]
+    # (e) string ids, self-loop is a singleton
+    assert scc_of(
+        3,
+        [("x", "y"), ("y", "x"), ("z", "z")],
+        ids=["x", "y", "z"],
+    ) == [("x", "y"), ("z",)]

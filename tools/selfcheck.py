@@ -5,7 +5,14 @@ the same fixture dir, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows hashed as
 normalized tuples).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [sf_dir] [query ...] [--empty]
+
+--empty (round-8, VERDICT r7 item 7): run the sweep against a
+synthesized 0-ROW fixture dir (same schemas as sf0.001, no rows) —
+the regression gate for the NULL-on-empty-aggregate bug class that
+recurred three rounds running (audit_metrics r6, members_consistent
+r7, cycle_census's empty-DAG path). Both engines must agree on every
+query over nothing.
 """
 
 from __future__ import annotations
@@ -53,8 +60,35 @@ def table_hash(cols, rows):
     return hashlib.md5("\n".join(row_hashes).encode()).hexdigest()
 
 
+def build_empty_fixture(spark, out_dir: str) -> None:
+    """Write 0-row copies of every fixture table (schemas inherited
+    from sf0.001) — single parquet FILES via pyarrow, matching the
+    real fixtures' layout so DuckDB's view glob works; idempotent via
+    a marker file."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from gsuites_gcp_graphdb_spark.sources.fixtures import TABLES
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            schema.empty_table(), f"{out_dir}/{t}.parquet"
+        )
+    open(marker, "w").close()
+
+
 def main():
     args = [a for a in sys.argv[1:]]
+    empty = "--empty" in args
+    args = [a for a in args if a != "--empty"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a]
 
@@ -65,6 +99,9 @@ def main():
     from gsuites_gcp_graphdb_spark.sources.fixtures import TABLES
 
     spark = get_spark("selfcheck")
+    if empty:
+        sf_dir = "/tmp/spark_graft_empty_fixture"
+        build_empty_fixture(spark, sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
