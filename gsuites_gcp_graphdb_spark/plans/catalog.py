@@ -1387,67 +1387,42 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # round-7 behavior changes/additions — must re-verify first
-    "ns_semantic_dedup",     # r7: tau-derived geometry + Hamming verify stage
-    "ns_events_span_overlap",  # r7: auto-sized buckets + exact integer floor-div
-    "g_export_roundtrip",    # r7 new: A21/A22 GraphML+GraphSON round-trip census
-    "rel_bloom_prejoin",     # r7 new: bloom-filter join pruning (map-side)
-    "ns_events_transitions", # r7 new: Markov next-event transition matrix
-    "ns_hamming_recall",     # r7 new: binary-sketch rerank recall bounds
-    "ns_events_scd2",        # r7 new: SCD2 gaps-and-islands episodes
-    "ns_events_value_deciles",  # r7 new: global decile binning, no global sort
-    "ns_vec_class_centroids",   # r7 new: class-centroid separation matrix
-    "ns_events_hll_rollup",  # r7: merge==direct claim relaxed to 5% (sf0.1 latent flip)
-    "ns_dedup_quality_rep",  # r7 new: quality-argmax cluster representative
-    "g_cycle_census",        # r7 new: Kahn-peel membership-loop audit
-    "g_degree_assortativity",  # r7 new: Newman degree-mixing coefficient
-    "ns_events_type_quartiles",  # r7 new: exact grouped interpolated quartiles
-    "ns_text_vocab_stats",   # r7 new: vocabulary/hapax/TTR census
-    # round-7 WINDOW ROTATION (VERDICT r6 item 2): the driver only
-    # correctness-checks the first 50 catalog names, and the blocks
-    # below last had a driver receipt in r1-r3 — surface them so
-    # CORRECTNESS_r07 proves the old surface never rotted. The r5/r6
-    # blocks (driver-green in their own rounds AND judge-selfchecked
-    # 172/172 in r6) rotate to the back.
-    # latest driver green is r1
-    "ns_dedup_exact",
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_minhash_verified",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash_md5",
-    "ns_knn_join",
-    "ns_text_langid",
-    "ns_topk_cosine",
-    "rel_revenue_by_nation",
-    # latest driver green is r2
-    "etl_filter_open_orders",
-    "etl_member_parse",
-    "etl_nested_collect_explode",
-    "etl_role_permission_inversion",
-    "g_degree_histogram",
-    "g_offboard_user",
-    "g_top_roles",
-    "g_triangle_count",
-    "g_upsert_merge",
-    "rel_cube_returns",
-    "rel_customers_in_both_statuses",
-    "rel_customers_without_orders",
-    "rel_event_props_json",
-    "rel_forecast_revenue",
-    "rel_market_share",
-    "rel_orders_per_month",
-    "rel_part_name_tokens",
-    "rel_pricing_summary",
-    "rel_priority_returns",
-    "rel_rollup_returns",
-    "rel_shipping_priority",
-    "rel_supplier_part_classes",
-    "rel_top_customers",
-    "rel_top_order_per_customer",
-    "rel_trade_volume",
-    # oldest r3 greens, filling the 50-entry driver window
-    "ns_decontaminate",
-    "ns_dedup_clusters",
+    # ---- round-8 window: changed/new first (driver checks the first
+    # 50 catalog names; everything here changed behavior, changed its
+    # oracle, or is new this round) ----
+    "g_scc",                   # r8 new: exact SCC, coloring + confirm
+    "g_skew_membership_auto",  # r8 new: encoded skew decision rule
+    "ns_semantic_dedup",       # r8: closure via union-find contraction
+    "ns_dedup_clusters",       # r8: closure via union-find contraction
+    "ns_dedup_quality_rep",    # r8: sits on dedup_clusters' closure
+    "g_connected_components",  # r8: pointer-halving + in-frame flag
+    "g_connected_components_star",  # r8: CC-family re-verify
+    "g_ktruss",                # r8: degree-oriented wedge join
+    "g_cycle_census",          # r8: self-loops kept (advisory fix)
+    "g_random_walks",          # r8: degs from resolved adjacency
+    "ns_events_scd2",          # r8: island-id lead() tiebreak
+    "ns_events_span_overlap",  # r8: exact-median bucket auto-sizing
+    "ns_events_range_join",    # r8: exact floor-div bucket ids
+    "ns_text_vocab_stats",     # r8: hapax count-of-matches (empty gate)
+    "ns_events_hll_rollup",    # r8: vacuous-true coalesce (empty gate)
+    "ns_events_value_deciles", # r8: zero-row percentile guard
+    "g_export_roundtrip",      # r8: explicit-schema GraphSON read
+    "g_count_by_label",        # r8: census oracle nonzero-class guard
+    "g_user_by_email",         # r8: point-lookup oracle HAVING guard
+    "g_upsert_merge",          # r8: census oracle nonzero-class guard
+    "g_offboard_user",         # r8: nonzero-class census both engines
+    "g_subgraph_role_project", # r8: census oracle nonzero-class guard
+    "g_sql_interface",         # r8: census oracle nonzero-class guard
+    "g_next_role",             # r8: hasNext guard + oracle HAVING
+    "g_role_by_id",            # r8: oracle HAVING guard
+    "rel_rollup_returns",      # r8: oracle HAVING (empty () row)
+    "rel_cube_returns",        # r8: oracle HAVING (empty () row)
+    "rel_grouping_sets",       # r8: shared-SQL HAVING (empty () row)
+    "g_weighted_distances",    # r8: oracle seed guard
+    "g_diameter",              # r8: empty-sweep guards both engines
+    "g_ppr_access",            # r8: empty-source guard
+    # ---- fill to 50 with the least-recently-driver-checked (last
+    # receipt r3; list(CATALOG)[:50] is the driver window) ----
     "ns_embedding_near_dup",
     "ns_embedding_norm_stats",
     "ns_lsh_recall",
@@ -1457,68 +1432,16 @@ _PRIORITY = [
     "ns_split_assign",
     "ns_stratified_sample",
     "ns_text_fingerprints",
-    # round-6 behavior changes/additions — must re-verify
-    "ns_semantic_dedup",     # r6: swapped to banded-LSH path + bounds oracle
-    "ns_events_trend",       # r6: seconds-unit x + nullif den guard
-    "ns_table_audit",        # r6: empty-table coalesce-to-0 metrics
-    "g_graph_summary",       # r6: edge-free degenerate row, both engines
-    "g_next_role",           # r6 new: A7 next() receipt
-    "g_role_by_id",          # r6 new: A15 hasId receipt
-    "ns_text_winnowing",     # r6 new: MOSS winnowing fingerprints
-    "ns_class_balance",      # r6 new: exact-integer class rebalancing
-    "rel_skyline_parts",     # r6 new: Pareto frontier, banded prefix-max
-    "ns_events_cusum",       # r6 new: two-pass CUSUM change points
-    "ns_dedup_containment",  # r6 new: asymmetric shingle containment
-    "ns_vec_dim_stats",      # r6 new: per-dimension embedding stats
-    "g_random_walks",        # r6 new: deterministic node2vec walks
-    "g_stress_sample",       # r6 new: all-integer sampled stress centrality
-    "ns_events_span_overlap",  # r6 new: interval-interval overlap join
-    "ns_vec_matryoshka",     # r6 new: truncated-dim search recall probe
-    "g_ktruss",              # r6 new: edge-support truss peel
-    "ns_events_gapfill",     # r6 new: dense-grid LOCF gap fill
-    # behavior changes round 5 — must re-verify
-    "ns_dedup_substring",    # new: ExactSubstr-style window dedup profile
-    "ns_text_dsir",          # new: DSIR importance scoring
-    "g_closeness_sample",    # new: landmark closeness centrality
-    "ns_incremental_agg",    # new: incremental view maintenance merge
-    "ns_fuzzy_match",        # new: blocked edit-distance entity resolution
-    "g_hits_top",            # new: HITS hubs/authorities, unrolled oracle
-    "ns_events_retention",   # new: cohort retention matrix
-    "ns_text_chunks",        # new: overlapping token-window chunking
-    "ns_vec_scalar_quant",   # new: int8 scalar quantization
-    "ns_filtered_ann",       # new: metadata-filtered vector search
-    "ns_events_anomaly",     # new: median/MAD robust outlier fence
-    "g_risk_report",         # new: per-user blast-radius audit
-    "g_harmonic_sample",     # new: sampled harmonic centrality
-    "rel_division",          # new: relational division (for-all)
-    "g_edge_census",         # new: schema census + dangling audit
-    "ns_events_assoc",       # new: market-basket association rules
-    "ns_text_collocations",  # new: PMI collocation mining
-    "ns_weighted_sample",    # new: A-Res weighted sampling
-    "rel_nation_presence",   # new: full-outer reconciliation join
-    "g_stream_ingest_e2e",   # delta-append snapshot store (was full rewrite)
-    "ns_text_repetition",    # empty-doc zero guard added engine+oracle
-    "ns_media_features",     # features now computed from decoded pixels
-    "g_weighted_distances",  # new: weighted shortest paths
-    "ns_text_pii",           # new: PII detection + redaction
-    "ns_text_normalize",     # new: canonical normalization census
-    "g_kcore",               # new: k-core decomposition
-    "ns_cms_heavy_hitters",  # new: count-min-sketch heavy hitters
-    "ns_layout_zorder",      # new: z-order multi-dim layout keys
-    "ns_events_stream_left_join",  # new: outer stream join w/ eviction
-    "ns_text_tfidf",         # new: per-doc top tf-idf term
-    "ns_events_funnel",      # new: sequential funnel attribution
-    "ns_events_multires_rollup",  # new: hypertable rollup cascade
-    "ns_pq_recall",          # new: product-quantization ADC search
-    "ns_events_hll_rollup",  # new: mergeable HLL sketch rollup
-    "g_diameter",            # new: double-sweep diameter estimate
-    "g_link_prediction",     # new: common-neighbor link prediction
-    "g_neighbor_minhash",    # new: MinHash neighbor-set similarity
-    "rel_pivot_status",      # new: explicit-domain pivot
-    "rel_unpivot_status",    # new: unpivot/melt round-trip
-    "ns_events_rolling_1h",  # new: RANGE-interval trailing window
-    "ns_events_stream_enrich",  # new: stream-static broadcast join
-    "rel_returned_items",    # new: Q10 returned-item ranking
+    "ns_text_length_histogram",
+    "ns_text_quality",
+    "ns_text_token_stats",
+    "ns_text_top_ngrams",
+    "rel_customer_distribution",
+    "rel_discounted_revenue",
+    "rel_excess_availability",
+    "rel_important_stock",
+    "rel_large_volume_customers",
+    "rel_late_shipments",
 ]
 
 

@@ -61,7 +61,13 @@ def materialize_graph_store(
     from ..graph.export import save_bucketed
 
     if buckets is None:
-        buckets = spark.sparkContext.defaultParallelism
+        # Bucket count is a LAYOUT knob: at cluster scale size it so
+        # each bucket holds ~128MB-1GB; locally match the build path's
+        # edge partitioning (par // 2) — the r8 A/B showed 32 buckets
+        # on a 32-thread box doubles per-stage task count and costs
+        # iterative queries (20+ edge scans) ~60% (hits 4.6 -> 7.4s),
+        # while 16 restores parity with a slight win (4.27s).
+        buckets = max(8, spark.sparkContext.defaultParallelism // 2)
     prefix = graph_store_prefix(sf_dir)
     # reuse the session's already-built (cached) graph when present —
     # the write is then pure layout cost, not a second build
