@@ -182,6 +182,16 @@ HEADLINE = [
     "ns_events_transitions",
     "ns_events_scd2",
     "ns_events_value_deciles",
+    # round-8 wave: exact SCC over the transition digraph, DAG depth
+    # layering, mergeable histogram quantiles (day->month rollup),
+    # BPE pair census (tokenizer-trainer hot loop), sqrt-temperature
+    # rebalancing, auto-regime skew join
+    "g_scc",
+    "g_dag_depth",
+    "ns_events_quantile_hist",
+    "ns_text_bpe_pairs",
+    "ns_mixture_temperature",
+    "g_skew_membership_auto",
 ]
 
 

@@ -1721,3 +1721,65 @@ def strongly_connected_components(
             "id", F.col("id").alias("scc")
         ).limit(0)
     )
+
+
+def dag_levels(
+    g: Graph,
+    edge_label: str | None = None,
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """LONGEST-PATH layering of a DAG: level(v) = the longest directed
+    path reaching v (sources and isolated vertices are level 0) — the
+    dependency-depth audit for the IAM containment graph: how deeply
+    nested can a grant chain get (the reference's recursive
+    getGroupMembers crawl, main.go:257-303, does work proportional to
+    exactly this depth), and the critical-path metric for any
+    dependency DAG.
+
+    Bellman-Ford-max relaxation: each round pushes level+1 along
+    edges and max-merges (one shuffle per round, convergence flag
+    computed in-frame, lineage truncated) — rounds = DAG depth, which
+    for audit graphs is single digits. On a CYCLIC graph longest path
+    is ill-defined (NP-hard general; unbounded through a cycle): the
+    loop stops at max_iter, so run cycle_core /
+    strongly_connected_components first when acyclicity is not known.
+    Returns (id, level)."""
+    e = g.edges
+    if edge_label is not None:
+        e = e.filter(F.col("label") == edge_label)
+    e = _truncate(
+        e.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    lvl = _truncate(
+        g.vertices.select(
+            "id", F.lit(0).cast("bigint").alias("level")
+        )
+    )
+    for _ in range(max_iter):
+        upd = (
+            lvl.join(e, lvl.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("level") + 1).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.max("cand").alias("cand"))
+        )
+        new_lvl = lvl.join(upd, ["id"], "left_outer").select(
+            "id",
+            F.greatest(
+                F.col("level"), F.coalesce("cand", "level")
+            ).alias("level"),
+            (
+                F.col("cand").isNotNull()
+                & (F.col("cand") > F.col("level"))
+            ).alias("__chg"),
+        )
+        new_lvl = _truncate(new_lvl)
+        changed = new_lvl.filter(F.col("__chg")).take(1)
+        lvl = new_lvl.drop("__chg")
+        if not changed:
+            break
+    return lvl

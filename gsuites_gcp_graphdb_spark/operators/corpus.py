@@ -324,3 +324,46 @@ def class_balance(
         )
         .drop("__n", "__nmin")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    class_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temperature",
+) -> DataFrame:
+    """Square-root TEMPERATURE sampling (alpha = 0.5): downsample
+    every class with keep probability sqrt(n_min / n_class) — the
+    standard multilingual/domain rebalancing curve (mC4/mT5 style
+    p_i ∝ n_i^alpha): harsher than no-op (alpha=1), gentler than the
+    hard floor of :func:`class_balance` (alpha=0), so head classes
+    shrink toward — but not onto — the tail. Expected kept per class
+    = sqrt(n_min * n_class), the geometric mean.
+
+    Determinism contract: the threshold is floor(65536 *
+    sqrt(n_min / n_class)) computed in IEEE doubles — division and
+    sqrt are CORRECTLY-ROUNDED operations, so both engines derive the
+    identical integer threshold (alpha=0.5 is chosen precisely
+    because sqrt is exact-deterministic where pow() is only
+    faithfully rounded and may differ across libm builds); the
+    accept test hash16(key) < threshold is then pure integers. The
+    minority class keeps every row (threshold = 65536).
+
+    Scale shape: one tiny per-class count, broadcast, map-only
+    filter — identical plan to class_balance. NULL-class rows are
+    excluded (inner join semantics, same contract as class_balance).
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    thr = F.floor(
+        F.lit(float(HASH_SPACE))
+        * F.sqrt(
+            F.col("__nmin").cast("double") / F.col("__n").cast("double")
+        )
+    )
+    return (
+        df.join(F.broadcast(counts), class_col)
+        .crossJoin(F.broadcast(nmin))
+        .withColumn("keep", hash16(F.col(key_col), salt) < thr)
+        .drop("__n", "__nmin")
+    )

@@ -988,6 +988,31 @@ CATALOG: dict[str, QueryDef] = {
         SELECT CAST(0 AS BIGINT) AS n_core_vertices, TRUE AS is_dag
         """,
     ),
+    # Longest-path DAG layering (r8): level histogram of the
+    # containment graph — the recursive-crawl depth bound. Oracle:
+    # deduplicated recursive walk from the sources, max depth per
+    # vertex, histogram.
+    "g_dag_depth": QueryDef(
+        gq.dag_depth_census,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        srcs AS (
+          SELECT l, k FROM verts_nk v
+          WHERE NOT EXISTS (SELECT 1 FROM edges_nk e
+                            WHERE e.dl = v.l AND e.dk = v.k)),
+        walk(l, k, d) AS (
+          SELECT l, k, 0 FROM srcs
+          UNION
+          SELECT e.dl, e.dk, w.d + 1
+          FROM walk w JOIN edges_nk e ON e.sl = w.l AND e.sk = w.k),
+        lv AS (SELECT l, k, max(d) AS lvl FROM walk GROUP BY 1, 2)
+        SELECT CAST(lvl AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_vertices
+        FROM lv GROUP BY 1
+        """,
+    ),
     # Exact SCC (r7 verdict item 8): forward-coloring + backward
     # confirmation on Spark; the oracle is the DEFINITION — recursive
     # transitive closure, mutual reachability, min member id.
@@ -1392,6 +1417,10 @@ _PRIORITY = [
     # oracle, or is new this round) ----
     "g_scc",                   # r8 new: exact SCC, coloring + confirm
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
+    "g_dag_depth",             # r8 new: longest-path DAG layering
+    "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing
+    "ns_events_quantile_hist", # r8 new: mergeable histogram quantiles
+    "ns_text_bpe_pairs",       # r8 new: BPE merge-step pair census
     "ns_semantic_dedup",       # r8: closure via union-find contraction
     "ns_dedup_clusters",       # r8: closure via union-find contraction
     "ns_dedup_quality_rep",    # r8: sits on dedup_clusters' closure
@@ -1438,10 +1467,6 @@ _PRIORITY = [
     "ns_text_top_ngrams",
     "rel_customer_distribution",
     "rel_discounted_revenue",
-    "rel_excess_availability",
-    "rel_important_stock",
-    "rel_large_volume_customers",
-    "rel_late_shipments",
 ]
 
 

@@ -937,6 +937,25 @@ def scc_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dag_depth_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layering (graph/algorithms.dag_levels) of the IAM
+    containment DAG, reported as a (level, n_vertices) histogram —
+    'how deep do grant chains nest': the work bound of the
+    reference's recursive getGroupMembers crawl and the audit's
+    critical path. Acyclicity is this catalog's own pinned fact
+    (g_cycle_census); the oracle re-derives levels as max path depth
+    from the sources via a deduplicated recursive walk."""
+    from ..graph.algorithms import dag_levels
+
+    g = _graph(spark, sf_dir)
+    lv = dag_levels(g)
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_vertices"))
+        .select(F.col("level").cast("bigint").alias("level"), "n_vertices")
+    )
+
+
 def membership_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path projection (the 'via what path' half of the README.md:15-32
     audit): full 2-hop membership paths user -> group -> group rendered

@@ -872,6 +872,166 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source census of square-root temperature sampling
+    (operators/corpus.temperature_sample, alpha=0.5): every source
+    thinned with keep probability sqrt(n_min/n_source) — the
+    mC4/mT5-style rebalancing curve between no-op (alpha=1) and the
+    hard floor of class_balance (alpha=0). The threshold
+    floor(65536*sqrt(n_min/n)) is derived with correctly-rounded IEEE
+    ops only (sqrt, not pow — pow may differ across libm builds), so
+    both engines make identical keep decisions. Output (source,
+    n_docs, n_kept); the minority source keeps all rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cp.temperature_sample(docs, class_col="source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("long"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def events_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation via an equi-width histogram
+    sketch — the 100 TB alternative to engine-specific quantile
+    sketches (Spark's QuantileSummaries and DuckDB's approx sketch
+    cannot be cross-merged or cross-checked; integer bucket counts
+    merge EXACTLY by addition on any engine). Pass 1 binds (lo, hi,
+    n, exact p50/p90/p99) in one aggregate; pass 2 builds per-DAY
+    128-bucket histograms (hash-agg, map-combinable) and merges them
+    to the month by summing counts — the rollup no raw re-read ever
+    touches; the quantile estimate reads the merged histogram's
+    cumulative counts (a 128-row broadcast self-join, no global
+    window). Claims: each estimate lands within ~one bucket width of
+    the exact quantile. Every number both engines emit derives from
+    identical integer counts and correctly-rounded double arithmetic,
+    so the comparison is an exact hash match, not a tolerance."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    nb = 128
+    row = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+        F.percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("ex"),
+    ).first()
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    schema = (
+        "n_events bigint, est_p50 double, est_p90 double,"
+        " est_p99 double, exact_p50 double, exact_p90 double,"
+        " exact_p99 double, p50_within_bucket boolean,"
+        " p90_within_bucket boolean, p99_within_bucket boolean"
+    )
+    if not n:
+        return spark.createDataFrame([], schema)
+    w = (hi - lo) / nb
+    bucket = (
+        F.when(F.lit(w) == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(w)),
+            )
+        )
+        .cast("long")
+    )
+    daily = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("__day"),
+            bucket.alias("__b"),
+        )
+        .groupBy("__day", "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    hist = daily.groupBy("__b").agg(F.sum("__c").alias("__c"))
+    h2 = hist.select(
+        F.col("__b").alias("__b2"), F.col("__c").alias("__c2")
+    )
+    cum = (
+        hist.join(F.broadcast(h2), F.col("__b2") <= F.col("__b"))
+        .groupBy("__b")
+        .agg(F.sum("__c2").alias("__cum"))
+    )
+    import math
+
+    outs = []
+    for p, ex in zip((0.5, 0.9, 0.99), row["ex"]):
+        target = math.ceil(p * n)
+        qb = cum.filter(F.col("__cum") >= F.lit(target)).agg(
+            F.min("__b").alias("qb")
+        )
+        est = qb.select(
+            (F.lit(lo) + (F.col("qb") + 1) * F.lit(w)).alias("est")
+        )
+        outs.append((est, float(ex)))
+    e50, e90, e99 = (o[0] for o in outs)
+    x50, x90, x99 = (o[1] for o in outs)
+    tol = 1.000001 * w if w else 1e-9
+    return (
+        e50.select(F.col("est").alias("__e50"))
+        .crossJoin(e90.select(F.col("est").alias("__e90")))
+        .crossJoin(e99.select(F.col("est").alias("__e99")))
+        .select(
+            F.lit(n).cast("bigint").alias("n_events"),
+            F.round("__e50", 6).alias("est_p50"),
+            F.round("__e90", 6).alias("est_p90"),
+            F.round("__e99", 6).alias("est_p99"),
+            F.round(F.lit(x50), 6).alias("exact_p50"),
+            F.round(F.lit(x90), 6).alias("exact_p90"),
+            F.round(F.lit(x99), 6).alias("exact_p99"),
+            (F.abs(F.col("__e50") - F.lit(x50)) <= F.lit(tol)).alias(
+                "p50_within_bucket"
+            ),
+            (F.abs(F.col("__e90") - F.lit(x90)) <= F.lit(tol)).alias(
+                "p90_within_bucket"
+            ),
+            (F.abs(F.col("__e99") - F.lit(x99)) <= F.lit(tol)).alias(
+                "p99_within_bucket"
+            ),
+        )
+    )
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-step statistics: the 20 most frequent adjacent
+    CHARACTER pairs inside whitespace tokens (ties broken
+    lexicographically) — the corpus census a byte-pair-encoding
+    tokenizer trainer computes every merge round; its hot loop is
+    exactly this hash-agg, so the scale shape (explode to pairs, one
+    map-combinable count, TakeOrdered top-k, no window) is the one
+    that matters at 100 TB. Pair extraction is a transform over
+    sequence(1, len-1) — array HOFs are CodegenFallback, but the
+    per-element work is a 2-char substring, far below the Arrow
+    round-trip break-even measured for the vector kernels."""
+    from ..functions.ranking import ranked_limit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return ranked_limit(
+        counts, [F.col("n").desc(), F.col("pair")], 20
+    ).select("rank", "pair", "n")
+
+
 def corpus_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language census of the data-driven rebalancing sampler
     (operators/corpus.class_balance): every language thinned toward
@@ -3668,6 +3828,92 @@ ENTRIES: dict[str, QueryDef] = {
           FROM documents)
         SELECT doc_id, n_chars, sample_key FROM keyed
         ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+    ),
+    "ns_mixture_temperature": QueryDef(
+        corpus_temperature_sample,
+        """
+        WITH cnt AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        mn AS (SELECT min(n) AS nmin FROM cnt),
+        keyed AS (
+          SELECT d.source,
+                 (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                      || ':temperature'), 1, 4))::BIGINT
+                  < floor(65536.0 * sqrt(CAST(mn.nmin AS DOUBLE)
+                                         / cnt.n))) AS keep
+          FROM documents d JOIN cnt USING (source), mn)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM keyed GROUP BY source
+        """,
+    ),
+    "ns_events_quantile_hist": QueryDef(
+        events_quantile_hist,
+        """
+        WITH ev AS (
+          SELECT value FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT min(value) AS lo, max(value) AS hi, count(*) AS n,
+                 quantile_cont(value, 0.5) AS x50,
+                 quantile_cont(value, 0.9) AS x90,
+                 quantile_cont(value, 0.99) AS x99
+          FROM ev),
+        w AS (SELECT (hi - lo) / 128 AS w FROM b),
+        hist AS (
+          SELECT CASE WHEN w.w = 0 THEN 0
+                      ELSE least(127, CAST(floor((value - b.lo) / w.w)
+                                           AS BIGINT)) END AS bk,
+                 count(*) AS c
+          FROM ev, b, w GROUP BY 1),
+        cum AS (
+          SELECT h1.bk, sum(h2.c) AS cum
+          FROM hist h1 JOIN hist h2 ON h2.bk <= h1.bk GROUP BY 1),
+        q AS (
+          SELECT
+            (SELECT min(bk) FROM cum, b
+              WHERE cum >= ceil(0.5 * b.n)) AS q50,
+            (SELECT min(bk) FROM cum, b
+              WHERE cum >= ceil(0.9 * b.n)) AS q90,
+            (SELECT min(bk) FROM cum, b
+              WHERE cum >= ceil(0.99 * b.n)) AS q99),
+        tol AS (
+          SELECT CASE WHEN w.w = 0 THEN 1e-9
+                      ELSE 1.000001 * w.w END AS t FROM w)
+        SELECT CAST(b.n AS BIGINT) AS n_events,
+               round(b.lo + (q.q50 + 1) * w.w, 6) AS est_p50,
+               round(b.lo + (q.q90 + 1) * w.w, 6) AS est_p90,
+               round(b.lo + (q.q99 + 1) * w.w, 6) AS est_p99,
+               round(b.x50, 6) AS exact_p50,
+               round(b.x90, 6) AS exact_p90,
+               round(b.x99, 6) AS exact_p99,
+               (abs(b.lo + (q.q50 + 1) * w.w - b.x50) <= tol.t)
+                 AS p50_within_bucket,
+               (abs(b.lo + (q.q90 + 1) * w.w - b.x90) <= tol.t)
+                 AS p90_within_bucket,
+               (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
+                 AS p99_within_bucket
+        FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_text_bpe_pairs": QueryDef(
+        text_bpe_pairs,
+        """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        p AS (
+          SELECT unnest(list_transform(
+                   range(1, length(w)),
+                   i -> substr(w, CAST(i AS INT), 2))) AS pair
+          FROM toks WHERE length(w) >= 2),
+        c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, pair)
+                    AS BIGINT) AS rank,
+               pair, n
+        FROM c ORDER BY n DESC, pair LIMIT 20
         """,
     ),
     "ns_class_balance": QueryDef(

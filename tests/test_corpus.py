@@ -185,3 +185,34 @@ def test_class_balance(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_temperature_sample(spark):
+    """sqrt-temperature thinning: the minority class keeps every row
+    (threshold = full hash space); keep RATES order inversely with
+    class size; decisions are deterministic across invocations."""
+    from gsuites_gcp_graphdb_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.source, [0, 0])
+        kept[r.source][0] += 1
+        kept[r.source][1] += int(r.keep)
+    assert kept["small"] == [25, 25]  # minority keeps all
+    # expected kept ~= geometric mean sqrt(nmin * n): 100 for big,
+    # 50 for mid — allow generous hash noise
+    assert 60 <= kept["big"][1] <= 140
+    assert 30 <= kept["mid"][1] <= 70
+    # rate monotonicity: bigger class -> smaller keep rate
+    assert kept["big"][1] / 400 < kept["mid"][1] / 100 < 1.0
+    again = temperature_sample(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -466,3 +466,20 @@ def test_hits_golden(golden):
     assert abs(hubs - 1.0) < 1e-9 and abs(auths - 1.0) < 1e-9
     assert rows["gcp-project-200601"][0] == 0.0  # sink: no out-edges
     assert rows["user1@domain.com"][1] == 0.0    # source: no in-edges
+
+
+def test_dag_levels(spark):
+    """Longest-path layering: a diamond with a long arm assigns the
+    sink the LONGEST path length, sources and isolated vertices 0."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import dag_levels
+
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    # 1 -> 2 -> 3 -> 5 (long arm), 1 -> 4 -> 5 (short arm), 6 isolated
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 5), (1, 4), (4, 5)],
+        "src long, dst long",
+    ).select(
+        "src", "dst", F.lit("in").alias("label"), F.lit(1.0).alias("weight")
+    )
+    out = {r.id: r.level for r in dag_levels(Graph(v, e)).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 3, 6: 0}

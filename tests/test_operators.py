@@ -941,3 +941,28 @@ def test_near_dup_sparse_partitions(spark):
         emb, threshold=0.9, dim=8
     ).collect()
     assert [(r.id_a, r.id_b, r.cos_sim) for r in got] == [(1, 2, 1.0)]
+
+
+def test_bpe_pairs_hand_computed(spark):
+    """Adjacent char-pair counts on a tiny corpus match the by-hand
+    answer; single-char tokens contribute nothing."""
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        text_bpe_pairs,
+    )
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "abab x", "en", "s", 6), (2, "bab", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="bpe_test_")
+    docs.coalesce(1).write.parquet(
+        os.path.join(d, "documents.parquet"), mode="overwrite"
+    )
+    out = {(r.pair): (r.rank, r.n) for r in text_bpe_pairs(spark, d).collect()}
+    # 'abab' -> ab, ba, ab ; 'bab' -> ba, ab ; 'x' -> nothing
+    assert out["ab"] == (1, 3)
+    assert out["ba"] == (2, 2)
+    assert len(out) == 2
