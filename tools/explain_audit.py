@@ -154,6 +154,18 @@ def main():
         # DEGREE-oriented wedge join (struct(d, id) comparisons in
         # the join/filter), never a raw id self-join at a hub
         "g_ktruss",
+        # round-8 second wave: SCC and DAG-depth are fixpoint loops so
+        # only their final shape shows here; the quantile histogram
+        # must be hash-aggs + a broadcast 128-row cumulative self-join
+        # (no global window); BPE pairs must be explode -> ONE
+        # map-combinable hash-agg -> TakeOrderedAndProject; the
+        # temperature sampler is a broadcast of two tiny aggregates
+        # into a map-only filter
+        "g_scc",
+        "g_dag_depth",
+        "ns_events_quantile_hist",
+        "ns_text_bpe_pairs",
+        "ns_mixture_temperature",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
