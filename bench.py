@@ -192,6 +192,10 @@ HEADLINE = [
     "ns_text_bpe_pairs",
     "ns_mixture_temperature",
     "g_skew_membership_auto",
+    # round-8 third wave: exact-integer Gram + power iteration (the
+    # n*d^2 self-join is the timed part; 8 power rounds are d^2-row
+    # aggs with literal-bound vectors)
+    "ns_vec_pca_power",
 ]
 
 

@@ -1,0 +1,233 @@
+"""Distributed linear algebra over embedding columns: the Gram
+matrix and top-eigenvector power iteration — the whitening / PCA /
+spectral-diagnostic primitive a training-data pipeline runs over its
+embedding store (is one direction dominating? how concentrated is the
+spectrum?). The reference has no vector surface at all; this extends
+the engine's embedding operators (operators/similarity.py) with the
+classic dense-spectral tool, built to this codebase's cross-engine
+determinism policy (DESIGN.md float rules).
+
+Determinism design — why every number here hash-matches DuckDB:
+
+- Inputs quantize ONCE to integer micro-units
+  (``floor(x * 1e6 + 0.5)``; multiply/add/floor are all
+  correctly-rounded IEEE ops on identical doubles).
+- The Gram matrix S = X^T X is EXACT integer arithmetic (sums of
+  int64 products in DECIMAL(38,0) — DuckDB mirrors in HUGEINT), so
+  the one true float hazard — order-dependent float summation across
+  rows — never arises.
+- Each power step w = S v is again an exact integer product-sum;
+  normalization uses the INFINITY norm (max |w_j| — an
+  order-independent aggregate, unlike a float 2-norm sum) and one
+  correctly-rounded double division per coordinate, re-quantized to
+  micro-units. No pow/exp/log anywhere (libm-dependent); see the
+  sqrt-vs-pow note in operators/corpus.temperature_sample.
+- The Rayleigh quotient is a ratio of two exact integers, converted
+  and divided once in double, rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000
+
+
+def _xint(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, x) with x quantized to integer micro-units."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim", "__x"
+        ),
+    ).select(
+        "id",
+        "dim",
+        F.floor(F.col("__x") * MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def gram_matrix(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The (uncentered) Gram / scatter matrix S_ij = sum_rows x_i x_j
+    in exact integer micro^2 units: (i, j, s DECIMAL(38,0)).
+
+    Scale shape: one self-equi-join of the exploded (id, dim, x)
+    relation on id (n*d^2 product rows — the irreducible cost of a
+    dense Gram; at 100 TB you'd block over dims) feeding ONE
+    map-combinable hash-agg on (i, j); output is d^2 rows regardless
+    of corpus size."""
+    x = _xint(df, id_col, vec_col)
+    a = x.select(
+        F.col("id"), F.col("dim").alias("i"), F.col("x").alias("xi")
+    )
+    b = x.select(
+        F.col("id"), F.col("dim").alias("j"), F.col("x").alias("xj")
+    )
+    return (
+        a.join(b, ["id"])
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+            ).alias("s")
+        )
+    )
+
+
+def spectral_summary(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row spectral concentration report from the exact-integer
+    Gram matrix, no iteration needed: trace and squared Frobenius
+    norm are exact DECIMAL(38) sums, and the participation ratio
+    ``tr(S)^2 / ||S||_F^2`` — a.k.a. the EFFECTIVE RANK
+    (sum lambda)^2 / (sum lambda^2), between 1 (all variance in one
+    direction = embedding collapse) and d (isotropic) — needs only
+    those two integers. Returns (n_vectors, dim, trace_value,
+    effective_rank, top_dim, top_dim_share).
+
+    Decimal headroom: s_ij <= n * MICRO^2, so frob2 <= d^2 * n^2 *
+    1e24 — at n = 1e6 64-dim unit-ish vectors that is ~4e39/1e4 ≈
+    1e36 < 1e38; quantize coarser (or block the dim range) beyond
+    ~1e7 rows. All divisions happen once, in double, rounded to 6 via
+    the floor spelling (DESIGN.md float policy).
+
+    Empty input: the top-diagonal join partner has no rows, so the
+    result is 0 rows on both engines (not a NULL-filled row)."""
+    S = gram_matrix(df, id_col, vec_col)
+    agg = S.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("s"))).alias(
+            "tr"
+        ),
+        F.sum(
+            (F.col("s") * F.col("s")).cast("decimal(38,0)")
+        ).alias("frob2"),
+    )
+    topd = (
+        S.filter(F.col("i") == F.col("j"))
+        .orderBy(F.col("s").desc(), F.col("i"))
+        .limit(1)
+        .select(F.col("i").alias("top_dim"), F.col("s").alias("smax"))
+    )
+    cnt = df.agg(
+        F.count("*").alias("n_vectors"),
+        F.max(F.size(F.col(vec_col))).alias("dim"),
+    )
+    t = F.col("tr").cast("double")
+    f2 = F.col("frob2").cast("double")
+    six = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        agg.crossJoin(topd)
+        .crossJoin(cnt)
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("dim").cast("long").alias("dim"),
+            six(t / F.lit(float(MICRO)) ** 2).alias("trace_value"),
+            six(t * t / F.nullif(f2, F.lit(0.0))).alias(
+                "effective_rank"
+            ),
+            F.col("top_dim").cast("long").alias("top_dim"),
+            six(
+                F.col("smax").cast("double")
+                / F.nullif(t, F.lit(0.0))
+            ).alias("top_dim_share"),
+        )
+    )
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    top_dims: int = 8,
+) -> DataFrame:
+    """Top eigenvector of the Gram matrix by ``iterations`` rounds of
+    infinity-norm-normalized power iteration; returns the ``top_dims``
+    largest-|loading| dimensions as (rank, dim, loading_micro,
+    eigval): loading_micro is the eigenvector coordinate in exact
+    micro-units (sign preserved), eigval the Rayleigh quotient in the
+    ORIGINAL value units (micro^2 rescaled), rounded to 6.
+
+    The d-vector v is collected (d values — the same bounded
+    parameter-bind as the IVF centroid fetch,
+    operators/similarity.ivf_topk) and re-broadcast as literals each
+    round, so every step is one d^2-row hash-agg with NO join and no
+    iterative lineage growth. The uniform start vector has nonzero
+    overlap with the top eigenvector of any PSD Gram matrix unless
+    the data is degenerate; convergence to rank stability is what the
+    unit test pins."""
+    spark = df.sparkSession
+    S = gram_matrix(df, id_col, vec_col).localCheckpoint(eager=True)
+    d = S.agg(F.max("i")).first()[0]
+    if d is None:
+        return spark.createDataFrame(
+            [],
+            "rank bigint, dim bigint, loading_micro bigint,"
+            " eigval double",
+        )
+    d = int(d) + 1
+    v = [MICRO] * d
+    for _ in range(iterations):
+        vlit = F.array(*[F.lit(int(c)) for c in v])
+        w_rows = (
+            S.groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("s")
+                    * F.element_at(
+                        vlit, F.col("j").cast("int") + 1
+                    )
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [0] * d
+        for r in w_rows:
+            w[int(r["i"])] = int(r["w"])
+        maxabs = max(abs(c) for c in w)
+        if maxabs == 0:
+            break
+        # one correctly-rounded double division + re-quantize per
+        # coordinate — identical arithmetic on both engines
+        v = [
+            int(
+                math.floor((float(c) / float(maxabs)) * MICRO + 0.5)
+            )
+            for c in w
+        ]
+    # Rayleigh quotient from exact integers: (v^T S v) / (v^T v),
+    # rescaled from micro^2 value units to original units
+    vlit = F.array(*[F.lit(int(c)) for c in v])
+    num_row = S.agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)")
+            * F.element_at(vlit, F.col("i").cast("int") + 1)
+            * F.element_at(vlit, F.col("j").cast("int") + 1)
+        ).alias("num")
+    ).first()
+    num = int(num_row["num"])
+    den = sum(c * c for c in v)
+    # floor(x*1e6 + 0.5)/1e6, NOT round(): Python round() is
+    # half-to-even while SQL round() is half-away — the floor spelling
+    # is the one both engines replay bit-identically
+    raw = (float(num) / float(den)) / float(MICRO) ** 2
+    eigval = math.floor(raw * 1e6 + 0.5) / 1e6
+    ranked = sorted(
+        ((abs(c), -dim, c, dim) for dim, c in enumerate(v)),
+        reverse=True,
+    )[:top_dims]
+    rows = [
+        (rk + 1, dim, c, eigval)
+        for rk, (_, _, c, dim) in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank bigint, dim bigint, loading_micro bigint, eigval double",
+    )

@@ -1416,6 +1416,8 @@ _PRIORITY = [
     # 50 catalog names; everything here changed behavior, changed its
     # oracle, or is new this round) ----
     "g_scc",                   # r8 new: exact SCC, coloring + confirm
+    "ns_vec_pca_power",        # r8 new: exact-integer power iteration
+    "ns_vec_spectral_summary", # r8 new: effective rank from Gram
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -872,6 +872,131 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding store via exact-
+    integer power iteration (operators/linalg.power_iteration_top):
+    the spectral diagnostic for embedding collapse (one direction
+    dominating = redundant representations). Every intermediate is an
+    exact integer (micro-unit quantization, DECIMAL(38) Gram sums,
+    infinity-norm normalization) with one correctly-rounded double
+    division per coordinate per round, so the oracle — the SAME eight
+    iterations unrolled as CTEs over HUGEINT — hash-matches exactly;
+    no tolerance compare anywhere."""
+    from ..operators import linalg as la
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return la.power_iteration_top(emb)
+
+
+_GRAM_CTES = [
+    """xint AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 unnest(range(0, len(embedding))) AS dim,
+                 unnest(list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT))) AS x
+          FROM embeddings)""",
+    """s AS MATERIALIZED (
+          SELECT a.dim AS i, b.dim AS j,
+                 sum(CAST(a.x AS HUGEINT) * b.x) AS s
+          FROM xint a JOIN xint b USING (id) GROUP BY 1, 2)""",
+]
+
+
+def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
+    """vec_pca_power oracle: the identical quantize -> exact-HUGEINT
+    Gram -> infinity-norm power rounds, unrolled (aggregation is not
+    allowed in a recursive CTE term, so this mirrors _pagerank_sql's
+    unrolled-iteration pattern in catalog.py)."""
+    ctes = [
+        *_GRAM_CTES,
+        """v0 AS MATERIALIZED (SELECT DISTINCT dim,
+                         CAST(1000000 AS HUGEINT) AS v FROM xint)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+          SELECT s.i AS dim, sum(s.s * v{k - 1}.v) AS w
+          FROM s JOIN v{k - 1} ON v{k - 1}.dim = s.j GROUP BY 1)"""
+        )
+        ctes.append(f"m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{k})")
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+          SELECT dim, CAST(floor(CAST(w AS DOUBLE)
+                           / (SELECT CAST(m AS DOUBLE) FROM m{k})
+                           * 1000000 + 0.5) AS HUGEINT) AS v
+          FROM w{k})"""
+        )
+    last = f"v{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        num AS (
+          SELECT sum(s.s * vi.v * vj.v) AS num
+          FROM s JOIN {last} vi ON vi.dim = s.i
+                 JOIN {last} vj ON vj.dim = s.j),
+        den AS (SELECT sum(v * v) AS den FROM {last}),
+        ev AS (
+          SELECT floor(CAST(num.num AS DOUBLE)
+                       / CAST(den.den AS DOUBLE)
+                       / 1e12 * 1e6 + 0.5) / 1e6 AS eigval
+          FROM num, den)
+        SELECT CAST(row_number() OVER (ORDER BY abs(v) DESC, dim)
+                    AS BIGINT) AS rank,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(v AS BIGINT) AS loading_micro,
+               ev.eigval AS eigval
+        FROM {last}, ev
+        ORDER BY abs(v) DESC, dim LIMIT {top_dims}"""
+    )
+
+
+def vec_spectral_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row spectral concentration report
+    (operators/linalg.spectral_summary): exact-integer trace +
+    squared Frobenius norm of the Gram matrix, participation-ratio
+    effective rank (sum lambda)^2 / (sum lambda^2) — the
+    embedding-collapse scalar that needs NO eigendecomposition — and
+    the dominant diagonal direction. Complements ns_vec_pca_power
+    (which direction) with how-concentrated."""
+    from ..operators import linalg as la
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return la.spectral_summary(emb)
+
+
+_SPECTRAL_SQL = (
+    "WITH "
+    + ",\n".join(_GRAM_CTES)
+    + """,
+    agg AS (
+      SELECT sum(CASE WHEN i = j THEN s END) AS tr,
+             sum(s * s) AS frob2
+      FROM s),
+    topd AS (
+      SELECT i AS top_dim, s AS smax FROM s WHERE i = j
+      ORDER BY s DESC, i LIMIT 1),
+    cnt AS (
+      SELECT count(*) AS n_vectors, max(len(embedding)) AS dim
+      FROM embeddings)
+    SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(dim AS BIGINT) AS dim,
+           floor(CAST(tr AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS trace_value,
+           floor(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                 / nullif(CAST(frob2 AS DOUBLE), 0)
+                 * 1e6 + 0.5) / 1e6 AS effective_rank,
+           CAST(top_dim AS BIGINT) AS top_dim,
+           floor(CAST(smax AS DOUBLE)
+                 / nullif(CAST(tr AS DOUBLE), 0)
+                 * 1e6 + 0.5) / 1e6 AS top_dim_share
+    FROM agg, topd, cnt"""
+)
+
+
 def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source census of square-root temperature sampling
     (operators/corpus.temperature_sample, alpha=0.5): every source
@@ -3829,6 +3954,10 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT doc_id, n_chars, sample_key FROM keyed
         ORDER BY sample_key DESC, doc_id LIMIT 50
         """,
+    ),
+    "ns_vec_pca_power": QueryDef(vec_pca_power, _pca_sql()),
+    "ns_vec_spectral_summary": QueryDef(
+        vec_spectral_summary, _SPECTRAL_SQL
     ),
     "ns_mixture_temperature": QueryDef(
         corpus_temperature_sample,

@@ -166,6 +166,12 @@ def main():
         "ns_events_quantile_hist",
         "ns_text_bpe_pairs",
         "ns_mixture_temperature",
+        # round-8 third wave: the PCA Gram must be ONE shuffle on id
+        # for the self-join feeding a map-combinable (i, j) hash-agg;
+        # every power round is a d^2-row agg with the vector bound as
+        # literals (no join in the round), so only the final ranked
+        # projection shows here
+        "ns_vec_pca_power",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
