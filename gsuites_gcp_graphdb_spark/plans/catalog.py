@@ -982,6 +982,41 @@ CATALOG: dict[str, QueryDef] = {
         FROM s
         """,
     ),
+    "g_label_assortativity": QueryDef(
+        gq.label_assortativity,
+        f"""
+        WITH {_EDGES_NK.strip()},
+        e2 AS (
+          SELECT sl, sk, dl, dk FROM edges_nk
+          WHERE NOT (sl = dl AND sk = dk)
+        ),
+        und AS (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM e2
+          UNION
+          SELECT dl, dk, sl, sk FROM e2
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS HUGEINT) AS m,
+                 CAST(coalesce(sum(CASE WHEN al = bl THEN 1
+                                        ELSE 0 END), 0)
+                      AS HUGEINT) AS t,
+                 CAST(count(DISTINCT al) AS BIGINT) AS nl
+          FROM und
+        ),
+        sab AS (
+          SELECT sum(a * a) AS sab
+          FROM (SELECT CAST(count(*) AS HUGEINT) AS a
+                FROM und GROUP BY al)
+        )
+        SELECT CAST(m AS BIGINT) AS n_edge_ends,
+               nl AS n_labels,
+               CAST(t AS BIGINT) AS same_label_pairs,
+               round(CAST(m * t - sab AS DOUBLE)
+                     / nullif(CAST(m * m - sab AS DOUBLE), 0.0),
+                     6) AS assortativity
+        FROM tot, sab
+        """,
+    ),
     "g_cycle_census": QueryDef(
         gq.cycle_census,
         """
@@ -1418,6 +1453,7 @@ _PRIORITY = [
     "g_scc",                   # r8 new: exact SCC, coloring + confirm
     "ns_vec_pca_power",        # r8 new: exact-integer power iteration
     "ns_vec_spectral_summary", # r8 new: effective rank from Gram
+    "g_label_assortativity",   # r8 new: categorical mixing coefficient
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

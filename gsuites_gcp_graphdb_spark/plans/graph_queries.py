@@ -881,6 +881,73 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (label-mixing) assortativity (Newman 2003, eq. 2):
+    over the symmetrized deduped edge relation with endpoint vertex
+    labels, r = (m*T - sum_i a_i^2) / (m^2 - sum_i a_i^2) where m is
+    the ordered-pair count, T the same-label pair count, and a_i the
+    label-i row sum (by symmetry row sums equal column sums, the same
+    Sy==Sx shortcut degree_assortativity uses). Answers "do entities
+    bind within their own type?" — an IAM graph is strongly
+    DISASSORTATIVE by construction (users bind to groups/roles, not
+    to users), and r drifting upward flags modeling errors like
+    group-to-group membership explosions.
+
+    Exact-integer discipline: m, T, a_i are counts; num and den are
+    DECIMAL(38,0) products (m^2 at 1e12 edges ~ 1e24, far inside
+    headroom); ONE double division, round(6), nullif on the
+    single-label denominator. Plan: two label-resolve equi-joins, a
+    handful of map-combinable hash-aggs, one-row crossJoins — no
+    window, no collect."""
+    g = _graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    vl = g.vertices.select("id", "label")
+    p = (
+        und.join(vl, und.src == vl.id)
+        .select(F.col("label").alias("al"), "dst")
+        .join(
+            vl.select(F.col("id").alias("id2"), F.col("label").alias("bl")),
+            F.col("dst") == F.col("id2"),
+        )
+        .select("al", "bl")
+    )
+    d38 = "decimal(38,0)"
+    tot = p.agg(
+        F.count("*").cast(d38).alias("__m"),
+        # coalesce: empty-graph sum is NULL on both engines, but the
+        # same-label COUNT is semantically 0 (the --empty gate class)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("al") == F.col("bl"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("__t"),
+        F.countDistinct("al").cast("bigint").alias("__nl"),
+    )
+    sab = (
+        p.groupBy("al")
+        .agg(F.count("*").cast(d38).alias("__a"))
+        .agg(F.sum(F.col("__a") * F.col("__a")).alias("__sab"))
+    )
+    num = F.col("__m") * F.col("__t") - F.col("__sab")
+    den = F.col("__m") * F.col("__m") - F.col("__sab")
+    return tot.crossJoin(sab).select(
+        F.col("__m").cast("bigint").alias("n_edge_ends"),
+        F.col("__nl").alias("n_labels"),
+        F.col("__t").cast("bigint").alias("same_label_pairs"),
+        F.round(
+            num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def cycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership-loop audit (graph/algorithms.cycle_core): Kahn-peel
     the 'in' edge relation; a non-empty residue means some principal
