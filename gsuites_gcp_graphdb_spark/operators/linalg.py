@@ -141,37 +141,17 @@ def spectral_summary(
     )
 
 
-def power_iteration_top(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    iterations: int = 8,
-    top_dims: int = 8,
-) -> DataFrame:
-    """Top eigenvector of the Gram matrix by ``iterations`` rounds of
-    infinity-norm-normalized power iteration; returns the ``top_dims``
-    largest-|loading| dimensions as (rank, dim, loading_micro,
-    eigval): loading_micro is the eigenvector coordinate in exact
-    micro-units (sign preserved), eigval the Rayleigh quotient in the
-    ORIGINAL value units (micro^2 rescaled), rounded to 6.
-
-    The d-vector v is collected (d values — the same bounded
-    parameter-bind as the IVF centroid fetch,
-    operators/similarity.ivf_topk) and re-broadcast as literals each
-    round, so every step is one d^2-row hash-agg with NO join and no
-    iterative lineage growth. The uniform start vector has nonzero
-    overlap with the top eigenvector of any PSD Gram matrix unless
-    the data is degenerate; convergence to rank stability is what the
-    unit test pins."""
-    spark = df.sparkSession
-    S = gram_matrix(df, id_col, vec_col).localCheckpoint(eager=True)
+def _power_vector(S: DataFrame, iterations: int) -> list[int] | None:
+    """``iterations`` rounds of infinity-norm-normalized power
+    iteration over a checkpointed Gram relation; returns the
+    micro-quantized eigenvector as a Python list (d values — the
+    bounded parameter-bind pattern), or None on an empty matrix.
+    Every round is one d^2-row hash-agg with the current vector bound
+    as literals: no join, no lineage growth, nothing collected that
+    scales with the corpus."""
     d = S.agg(F.max("i")).first()[0]
     if d is None:
-        return spark.createDataFrame(
-            [],
-            "rank bigint, dim bigint, loading_micro bigint,"
-            " eigval double",
-        )
+        return None
     d = int(d) + 1
     v = [MICRO] * d
     for _ in range(iterations):
@@ -202,6 +182,91 @@ def power_iteration_top(
             )
             for c in w
         ]
+    return v
+
+
+def principal_extremes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """The ``k`` most extreme vectors at EACH end of the corpus's top
+    principal direction — outlier detection along the axis that
+    explains the most variance (a mislabeled batch, a source whose
+    embeddings drifted, boilerplate collapsing into one direction all
+    surface here first). Returns (side, rank, id, proj_micro2):
+    side 'high'/'low', proj_micro2 the exact-integer projection
+    sum_dim x_dim * v_dim in micro^2 units — NO division anywhere, so
+    the oracle replays it bit-for-bit from the same unrolled rounds.
+
+    Plan shape: the power vector binds as d literals, the projection
+    is one map-combinable hash-agg over the exploded (id, dim, x)
+    relation, and each side is a TakeOrdered top-k — no window (ranks
+    are recoverable from the returned projections), no full sort."""
+    x = _xint(df, id_col, vec_col)
+    S = gram_matrix(df, id_col, vec_col).localCheckpoint(eager=True)
+    v = _power_vector(S, iterations)
+    spark = df.sparkSession
+    if v is None:
+        return spark.createDataFrame(
+            [], "side string, id bigint, proj_micro2 bigint"
+        )
+    vlit = F.array(*[F.lit(int(c)) for c in v])
+    proj = x.groupBy("id").agg(
+        F.sum(
+            F.col("x") * F.element_at(vlit, F.col("dim").cast("int") + 1)
+        ).alias("proj_micro2")
+    )
+    cols = [
+        F.col("id").cast("long").alias("id"),
+        F.col("proj_micro2").cast("long").alias("proj_micro2"),
+    ]
+    hi = (
+        proj.orderBy(F.col("proj_micro2").desc(), F.col("id"))
+        .limit(k)
+        .select(F.lit("high").alias("side"), *cols)
+    )
+    lo = (
+        proj.orderBy(F.col("proj_micro2").asc(), F.col("id"))
+        .limit(k)
+        .select(F.lit("low").alias("side"), *cols)
+    )
+    return hi.unionByName(lo)
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    top_dims: int = 8,
+) -> DataFrame:
+    """Top eigenvector of the Gram matrix by ``iterations`` rounds of
+    infinity-norm-normalized power iteration; returns the ``top_dims``
+    largest-|loading| dimensions as (rank, dim, loading_micro,
+    eigval): loading_micro is the eigenvector coordinate in exact
+    micro-units (sign preserved), eigval the Rayleigh quotient in the
+    ORIGINAL value units (micro^2 rescaled), rounded to 6.
+
+    The d-vector v is collected (d values — the same bounded
+    parameter-bind as the IVF centroid fetch,
+    operators/similarity.ivf_topk) and re-broadcast as literals each
+    round, so every step is one d^2-row hash-agg with NO join and no
+    iterative lineage growth. The uniform start vector has nonzero
+    overlap with the top eigenvector of any PSD Gram matrix unless
+    the data is degenerate; convergence to rank stability is what the
+    unit test pins."""
+    spark = df.sparkSession
+    S = gram_matrix(df, id_col, vec_col).localCheckpoint(eager=True)
+    v = _power_vector(S, iterations)
+    if v is None:
+        return spark.createDataFrame(
+            [],
+            "rank bigint, dim bigint, loading_micro bigint,"
+            " eigval double",
+        )
     # Rayleigh quotient from exact integers: (v^T S v) / (v^T v),
     # rescaled from micro^2 value units to original units
     vlit = F.array(*[F.lit(int(c)) for c in v])

@@ -903,11 +903,13 @@ _GRAM_CTES = [
 ]
 
 
-def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
-    """vec_pca_power oracle: the identical quantize -> exact-HUGEINT
-    Gram -> infinity-norm power rounds, unrolled (aggregation is not
-    allowed in a recursive CTE term, so this mirrors _pagerank_sql's
-    unrolled-iteration pattern in catalog.py)."""
+def _power_round_ctes(iterations: int) -> list[str]:
+    """The shared quantize -> exact-HUGEINT Gram -> infinity-norm
+    power rounds, unrolled (aggregation is not allowed in a recursive
+    CTE term, so this mirrors _pagerank_sql's unrolled-iteration
+    pattern in catalog.py). MATERIALIZED is load-bearing: DuckDB
+    re-inlines multiply-referenced CTEs, which makes the round chain
+    exponential without it."""
     ctes = [
         *_GRAM_CTES,
         """v0 AS MATERIALIZED (SELECT DISTINCT dim,
@@ -927,6 +929,13 @@ def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
                            * 1000000 + 0.5) AS HUGEINT) AS v
           FROM w{k})"""
         )
+    return ctes
+
+
+def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
+    """vec_pca_power oracle: the identical power rounds, then the
+    ranked top-|loading| projection + Rayleigh eigenvalue."""
+    ctes = _power_round_ctes(iterations)
     last = f"v{iterations}"
     return (
         "WITH "
@@ -949,6 +958,45 @@ def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
                ev.eigval AS eigval
         FROM {last}, ev
         ORDER BY abs(v) DESC, dim LIMIT {top_dims}"""
+    )
+
+
+def vec_principal_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Outlier detection along the dominant principal direction
+    (operators/linalg.principal_extremes): the 10 most extreme
+    embeddings at each end of the corpus's top eigenvector — where a
+    mislabeled batch, a drifted source, or collapsed boilerplate
+    surfaces first. The projection sum_dim x_dim*v_dim is an exact
+    integer (no division anywhere past the shared power rounds), so
+    the oracle replays it bit-for-bit."""
+    from ..operators import linalg as la
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return la.principal_extremes(emb)
+
+
+def _principal_extremes_sql(iterations: int = 8, k: int = 10) -> str:
+    ctes = _power_round_ctes(iterations)
+    last = f"v{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        proj AS MATERIALIZED (
+          SELECT id, sum(CAST(x AS HUGEINT) * v) AS proj
+          FROM xint JOIN {last} ON {last}.dim = xint.dim
+          GROUP BY id),
+        hi AS (
+          SELECT 'high' AS side, CAST(id AS BIGINT) AS id,
+                 CAST(proj AS BIGINT) AS proj_micro2
+          FROM proj ORDER BY proj DESC, id LIMIT {k}),
+        lo AS (
+          SELECT 'low' AS side, CAST(id AS BIGINT) AS id,
+                 CAST(proj AS BIGINT) AS proj_micro2
+          FROM proj ORDER BY proj ASC, id LIMIT {k})
+        SELECT * FROM hi UNION ALL SELECT * FROM lo"""
     )
 
 
@@ -3958,6 +4006,9 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_vec_pca_power": QueryDef(vec_pca_power, _pca_sql()),
     "ns_vec_spectral_summary": QueryDef(
         vec_spectral_summary, _SPECTRAL_SQL
+    ),
+    "ns_vec_principal_extremes": QueryDef(
+        vec_principal_extremes, _principal_extremes_sql()
     ),
     "ns_mixture_temperature": QueryDef(
         corpus_temperature_sample,

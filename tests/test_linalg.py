@@ -57,6 +57,40 @@ def test_power_iteration_sign_convention(spark):
     ]
 
 
+def test_principal_extremes_hand_computed(spark):
+    """v converges to axis 0, so projections are x[0]*1e6 exactly:
+    vectors 1/2 project to 3e12, vector 3 to 0; with k > n both
+    sides list all vectors, ordered by (side, projection, id)."""
+    emb = spark.createDataFrame(
+        [(1, [3.0, 0.0]), (2, [3.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.side, r.id): r.proj_micro2
+        for r in la.principal_extremes(emb, k=2).collect()
+    }
+    m2 = 3 * MICRO * MICRO
+    assert got == {
+        ("high", 1): m2,
+        ("high", 2): m2,
+        ("low", 3): 0,
+        ("low", 1): m2,
+    }
+
+
+def test_principal_extremes_empty(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = la.principal_extremes(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "side",
+        "id",
+        "proj_micro2",
+    ]
+
+
 def test_spectral_summary_hand_computed(spark):
     """Gram = diag(18, 1) in value units: trace 19, effective rank
     19^2/(18^2+1^2) = 361/325, top dim 0 with share 18/19."""
