@@ -1455,6 +1455,7 @@ _PRIORITY = [
     "ns_vec_spectral_summary", # r8 new: effective rank from Gram
     "g_label_assortativity",   # r8 new: categorical mixing coefficient
     "ns_vec_principal_extremes",  # r8 new: PCA-projection outliers
+    "ns_split_leakage_safe",   # r8 new: cluster-atomic train/val split
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

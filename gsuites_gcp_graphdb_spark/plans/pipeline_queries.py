@@ -2167,6 +2167,78 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    the assignment unit, not documents — hash-splitting doc ids puts
+    near-identical texts on both sides of the train/val fence, and
+    the eval set silently becomes training data (the memorization
+    leak decontamination alone can't catch, because the dup is inside
+    the corpus). Verified n-gram Jaccard pairs (the same
+    ns_dedup_clusters pair relation) -> union-find closure -> every
+    doc keyed by its cluster representative (singletons by their own
+    id) -> content-hash split on the REPRESENTATIVE. The
+    n_leaked_pairs column is EARNED, not assumed: the pair relation
+    is re-joined against the final assignment and cross-split pairs
+    counted (0 by construction; any other value is a bug this query
+    would surface).
+
+    Plan shape: the closure is partition-local union-find
+    contraction; assignment is a map-only hash; the audit is two
+    broadcast-able equi-joins into one-row aggregates crossJoined
+    onto the 3-row census."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=JACCARD_TAU, max_df=MAX_DF
+    ).select("id_a", "id_b")
+    members = dd.semantic_dedup_members(pairs).select(
+        "id", "cluster_rep"
+    )
+    keyed = docs.join(
+        members, docs.doc_id == members.id, "left"
+    ).select(
+        docs.doc_id,
+        docs.n_chars,
+        F.coalesce(members.cluster_rep, docs.doc_id).alias("rep"),
+    )
+    assigned = cp.hash_split(
+        keyed, SPLIT_FRACTIONS, key_col="rep", salt="split"
+    )
+    asg = assigned.select(F.col("doc_id"), F.col("split"))
+    leaks = (
+        pairs.join(
+            asg.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            asg.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("sb"),
+            ),
+            "id_b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_leaked_pairs")
+        )
+    )
+    census = assigned.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+    )
+    return census.crossJoin(leaks)
+
+
 QUALITY_CUT = 0.7
 
 
@@ -4394,6 +4466,53 @@ ENTRIES: dict[str, QueryDef] = {
                CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
                     AS BIGINT) AS sum_quality_micro
         FROM sp GROUP BY 1
+        """,
+    ),
+    "ns_split_leakage_safe": QueryDef(
+        split_leakage_safe,
+        f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS_CUT.lstrip()},
+        p AS (
+          SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_TAU}
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT id_a AS v FROM p UNION SELECT id_b FROM p),
+        reach(v, m) AS (
+          SELECT v, v FROM nodes
+          UNION
+          SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.v
+        ),
+        comp AS (SELECT v, min(m) AS m FROM reach GROUP BY v),
+        keyed AS (
+          SELECT d.doc_id, d.n_chars,
+                 coalesce(c.m, d.doc_id) AS rep
+          FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        ),
+        sp AS (
+          SELECT doc_id, n_chars, rep,
+                 {_sql_split_case(_sql_hex16(
+                     "CAST(rep AS VARCHAR) || ':split'"))} AS split
+          FROM keyed
+        ),
+        leaks AS (
+          SELECT CAST(coalesce(sum(CASE WHEN sa.split <> sb.split
+                                        THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_leaked_pairs
+          FROM p
+          JOIN sp sa ON sa.doc_id = p.id_a
+          JOIN sp sb ON sb.doc_id = p.id_b
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+               n_leaked_pairs
+        FROM sp, leaks
+        GROUP BY split, n_leaked_pairs
         """,
     ),
     "ns_split_assign": QueryDef(

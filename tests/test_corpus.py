@@ -3,6 +3,9 @@ splits, mixture sampling, decontamination, sequence packing."""
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -216,3 +219,36 @@ def test_temperature_sample(spark):
     assert kept["big"][1] / 400 < kept["mid"][1] / 100 < 1.0
     again = temperature_sample(df).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_split_leakage_safe_cluster_atomic(spark):
+    """Two near-identical docs (Jaccard >= tau on 3-shingles) must
+    land in the SAME split — the cluster, not the doc, is the
+    assignment unit — and the earned leak audit must report 0."""
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        split_leakage_safe,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base + " extra", "en", "s", len(base) + 6),
+            (3, "totally different words nothing shared here at all",
+             "en", "s", 50),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="leak_split_")
+    docs.coalesce(1).write.parquet(
+        os.path.join(d, "documents.parquet"), mode="overwrite"
+    )
+    rows = split_leakage_safe(spark, d).collect()
+    assert sum(r.n_docs for r in rows) == 3
+    assert all(r.n_leaked_pairs == 0 for r in rows)
+    # docs 1+2 share a cluster: total clusters across splits is 2
+    assert sum(r.n_clusters for r in rows) == 2
