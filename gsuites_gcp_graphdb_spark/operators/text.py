@@ -529,6 +529,38 @@ def chunk_documents(
     )
 
 
+def _winnow_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h): md5 of every positional k-token shingle."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            shingles(F.col(text_col), k, distinct=False)
+        ).alias("pos", "g"),
+    ).select(id_col, "pos", F.md5("g").alias("h"))
+
+
+def _winnow_fp_relation(
+    grams: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """(id, fp): the distinct winnowed fingerprints per document —
+    the w-window running minimum over the positional shingle hashes
+    (doc-partitioned window, never global). Shared by the per-doc
+    census and the source-overlap matrix."""
+    from pyspark.sql import Window
+
+    doc = Window.partitionBy(id_col)
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("__n", F.count("*").over(doc))
+        .withColumn("fp", F.min("h").over(run))
+        .filter(F.col("pos") <= F.col("__n") - w)
+        .select(id_col, "fp")
+        .dropDuplicates()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -558,23 +590,8 @@ def winnow_fingerprints(
     winnowed stream is ~2/(w+1) of the k-gram stream), one join back.
     Hashes compared as md5 hex strings — identical lexicographic
     order in DuckDB."""
-    from pyspark.sql import Window
-
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            shingles(F.col(text_col), k, distinct=False)
-        ).alias("pos", "g"),
-    ).select(id_col, "pos", F.md5("g").alias("h"))
-    doc = Window.partitionBy(id_col)
-    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    fps = (
-        grams.withColumn("__n", F.count("*").over(doc))
-        .withColumn("fp", F.min("h").over(run))
-        .filter(F.col("pos") <= F.col("__n") - w)
-        .select(id_col, "fp")
-        .dropDuplicates()
-    )
+    grams = _winnow_grams(df, id_col, text_col, k)
+    fps = _winnow_fp_relation(grams, id_col, w)
     share = fps.groupBy("fp").agg(
         F.count_distinct(F.col(id_col)).alias("__nd")
     )
@@ -596,4 +613,80 @@ def winnow_fingerprints(
         "n_kgrams",
         F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
         F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Source-by-source shared-fingerprint matrix — the provenance
+    audit "which sources copy from which": winnowed fingerprints
+    (same scheme/guarantee as :func:`winnow_fingerprints` — any
+    shared run of >= w+k-1 tokens leaves at least one common
+    fingerprint) are deduped to (source, fp), self-joined on fp
+    across ordered source pairs, and counted. overlap_coef divides by
+    the SMALLER source's fingerprint count (containment-style: a tiny
+    source cloned from a big one scores ~1 even though the big side
+    barely notices). Pairs sharing nothing are absent, not 0 rows.
+
+    Scale shape: the join key is the fingerprint value, output
+    bounded by (distinct fp) x (sources sharing it)^2 — sources are
+    few; no doc x doc pair space ever forms. The only windows are
+    doc-partitioned running minima."""
+    fps = _winnow_fp_relation(
+        _winnow_grams(df, id_col, text_col, k), id_col, w
+    )
+    sf = (
+        fps.join(
+            df.select(F.col(id_col), F.col(source_col).alias("__src")),
+            [id_col],
+        )
+        .select(F.col("__src").alias("source"), "fp")
+        .dropDuplicates()
+    )
+    per = sf.groupBy("source").agg(F.count("*").alias("__n"))
+    a = sf.alias("a")
+    b = sf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        pairs.join(
+            per.select(
+                F.col("source").alias("source_a"),
+                F.col("__n").alias("__na"),
+            ),
+            ["source_a"],
+        )
+        .join(
+            per.select(
+                F.col("source").alias("source_b"),
+                F.col("__n").alias("__nb"),
+            ),
+            ["source_b"],
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_fp",
+            F.round(
+                F.col("n_shared_fp").cast("double")
+                / F.least("__na", "__nb").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
     )

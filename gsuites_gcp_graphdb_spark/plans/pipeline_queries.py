@@ -1585,6 +1585,19 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(docs, k=5, w=4)
 
 
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source provenance audit
+    (operators/text.source_overlap_matrix): which sources share
+    winnowed fingerprints with which — cross-source boilerplate,
+    mirrored scrapes, and wholesale copying show up as high
+    containment-style overlap_coef (shared / smaller side's
+    fingerprint count). Same winnowing guarantee as
+    ns_text_winnowing; output is source-pair-bounded, never
+    doc-pair-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.source_overlap_matrix(docs, k=5, w=4)
+
+
 def text_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (operators/text.dsir_importance):
     per-doc mean log-ratio of unigram likelihood under the target
@@ -4382,6 +4395,46 @@ ENTRIES: dict[str, QueryDef] = {
                CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fingerprints,
                CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_fp
         FROM kg LEFT JOIN pd USING (doc_id)
+        """,
+    ),
+    "ns_text_source_overlap": QueryDef(
+        text_source_overlap,
+        """
+        WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
+                 unnest(list_transform(
+                   range(0, greatest(len(toks) - 5, 0) + 1),
+                   i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h
+          FROM t),
+        w1 AS (
+          SELECT doc_id, pos, h,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM g),
+        fps AS (SELECT DISTINCT doc_id, fp FROM w1 WHERE pos <= n - 4),
+        sf AS (
+          SELECT DISTINCT t.source, f.fp
+          FROM fps f JOIN t ON t.doc_id = f.doc_id),
+        per AS (SELECT source, count(*) AS n FROM sf GROUP BY 1),
+        pr AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM sf a JOIN sf b
+            ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               CAST(n_shared AS BIGINT) AS n_shared_fp,
+               round(CAST(n_shared AS DOUBLE)
+                     / least(pa.n, pb.n), 6) AS overlap_coef
+        FROM pr
+        JOIN per pa ON pa.source = pr.source_a
+        JOIN per pb ON pb.source = pr.source_b
         """,
     ),
     "ns_text_dsir": QueryDef(

@@ -966,3 +966,24 @@ def test_bpe_pairs_hand_computed(spark):
     assert out["ab"] == (1, 3)
     assert out["ba"] == (2, 2)
     assert len(out) == 2
+
+
+def test_source_overlap_matrix(spark):
+    """Two sources sharing a >= w+k-1 token run must share at least
+    one winnowed fingerprint (the winnowing guarantee); a disjoint
+    source appears in no pair row; coef is containment-normalized."""
+    shared = "a b c d e f g h i j k l"  # 12 tokens >> w+k-1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one more words here", "s1"),
+            (2, "lead tokens first " + shared, "s2"),
+            (3, "nothing common here at all with anyone else ever", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = tx.source_overlap_matrix(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("s1", "s2")
+    assert r.n_shared_fp >= 1
+    assert 0 < r.overlap_coef <= 1.0
