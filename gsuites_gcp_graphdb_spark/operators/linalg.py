@@ -236,12 +236,54 @@ def principal_extremes(
     return hi.unionByName(lo)
 
 
+def centered_scatter(
+    df: DataFrame,
+    S: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """(M, n) where M = n*S - t t^T is n^2 times the covariance
+    matrix, every entry an exact DECIMAL(38) integer (t = per-dim
+    integer column sums; no mean division anywhere — centering via
+    the scaled identity n*Cov = S - t t^T / n, multiplied through by
+    n). d^2 rows from a tiny t x t cross join merged onto S.
+
+    Headroom: |t_i t_j| <= (n*MICRO)^2 — at n = 1e6 unit-ish vectors
+    that is 1e24, and n*|S_ij| <= n^2*MICRO^2 the same; both orders
+    of magnitude inside DECIMAL(38) until n ~ 1e12 rows."""
+    n_row = df.agg(F.count("*").alias("n")).first()
+    n = int(n_row["n"])
+    if n == 0:
+        return S, 0
+    x = _xint(df, id_col, vec_col)
+    t = x.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("t")
+    )
+    tt = (
+        t.select(F.col("dim").alias("i"), F.col("t").alias("ti"))
+        .crossJoin(
+            t.select(F.col("dim").alias("j"), F.col("t").alias("tj"))
+        )
+        .select("i", "j", (F.col("ti") * F.col("tj")).alias("__tt"))
+    )
+    return (
+        S.join(tt, ["i", "j"])
+        .select(
+            "i",
+            "j",
+            (F.col("s") * F.lit(n) - F.col("__tt")).alias("s"),
+        ),
+        n,
+    )
+
+
 def power_iteration_top(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 8,
     top_dims: int = 8,
+    centered: bool = False,
 ) -> DataFrame:
     """Top eigenvector of the Gram matrix by ``iterations`` rounds of
     infinity-norm-normalized power iteration; returns the ``top_dims``
@@ -257,10 +299,28 @@ def power_iteration_top(
     iterative lineage growth. The uniform start vector has nonzero
     overlap with the top eigenvector of any PSD Gram matrix unless
     the data is degenerate; convergence to rank stability is what the
-    unit test pins."""
+    unit test pins.
+
+    With ``centered=True`` the iteration runs on the CENTERED scatter
+    M = n*S - t t^T (t = per-dimension integer column sums) — still
+    every entry an exact integer, no mean division anywhere — giving
+    the true covariance top direction (the uncentered top direction
+    is often just the mean direction when embeddings share a bias);
+    eigval is then the scatter eigenvalue per row, i.e. the VARIANCE
+    along the principal direction, in original value units."""
     spark = df.sparkSession
     S = gram_matrix(df, id_col, vec_col).localCheckpoint(eager=True)
-    v = _power_vector(S, iterations)
+    scale = 1
+    if centered:
+        S, n = centered_scatter(df, S, id_col, vec_col)
+        if n == 0:
+            S = None
+        else:
+            S = S.localCheckpoint(eager=True)
+            # M = n * (scatter), and eigval is reported per-row
+            # (variance): lambda_M / n^2 in value units
+            scale = n * n
+    v = _power_vector(S, iterations) if S is not None else None
     if v is None:
         return spark.createDataFrame(
             [],
@@ -282,7 +342,7 @@ def power_iteration_top(
     # floor(x*1e6 + 0.5)/1e6, NOT round(): Python round() is
     # half-to-even while SQL round() is half-away — the floor spelling
     # is the one both engines replay bit-identically
-    raw = (float(num) / float(den)) / float(MICRO) ** 2
+    raw = (float(num) / float(den)) / float(MICRO) ** 2 / float(scale)
     eigval = math.floor(raw * 1e6 + 0.5) / 1e6
     ranked = sorted(
         ((abs(c), -dim, c, dim) for dim, c in enumerate(v)),

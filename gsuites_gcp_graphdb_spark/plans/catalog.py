@@ -1457,6 +1457,7 @@ _PRIORITY = [
     "ns_vec_principal_extremes",  # r8 new: PCA-projection outliers
     "ns_split_leakage_safe",   # r8 new: cluster-atomic train/val split
     "ns_text_source_overlap",  # r8 new: source provenance matrix
+    "ns_vec_pca_centered",     # r8 new: centered-scatter variance axis
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

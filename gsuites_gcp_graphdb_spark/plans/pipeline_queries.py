@@ -903,13 +903,15 @@ _GRAM_CTES = [
 ]
 
 
-def _power_round_ctes(iterations: int) -> list[str]:
+def _power_round_ctes(iterations: int, mat: str = "s") -> list[str]:
     """The shared quantize -> exact-HUGEINT Gram -> infinity-norm
     power rounds, unrolled (aggregation is not allowed in a recursive
     CTE term, so this mirrors _pagerank_sql's unrolled-iteration
     pattern in catalog.py). MATERIALIZED is load-bearing: DuckDB
     re-inlines multiply-referenced CTEs, which makes the round chain
-    exponential without it."""
+    exponential without it. ``mat`` names the (i, j, s) matrix the
+    rounds multiply by — the raw Gram ('s') or the centered scatter
+    ('cm')."""
     ctes = [
         *_GRAM_CTES,
         """v0 AS MATERIALIZED (SELECT DISTINCT dim,
@@ -918,8 +920,8 @@ def _power_round_ctes(iterations: int) -> list[str]:
     for k in range(1, iterations + 1):
         ctes.append(
             f"""w{k} AS MATERIALIZED (
-          SELECT s.i AS dim, sum(s.s * v{k - 1}.v) AS w
-          FROM s JOIN v{k - 1} ON v{k - 1}.dim = s.j GROUP BY 1)"""
+          SELECT {mat}.i AS dim, sum({mat}.s * v{k - 1}.v) AS w
+          FROM {mat} JOIN v{k - 1} ON v{k - 1}.dim = {mat}.j GROUP BY 1)"""
         )
         ctes.append(f"m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{k})")
         ctes.append(
@@ -932,24 +934,51 @@ def _power_round_ctes(iterations: int) -> list[str]:
     return ctes
 
 
-def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
-    """vec_pca_power oracle: the identical power rounds, then the
-    ranked top-|loading| projection + Rayleigh eigenvalue."""
-    ctes = _power_round_ctes(iterations)
+_CENTER_CTES = [
+    """t AS MATERIALIZED (
+          SELECT dim, sum(CAST(x AS HUGEINT)) AS t
+          FROM xint GROUP BY 1)""",
+    """cnt AS MATERIALIZED (
+          SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)""",
+    """cm AS MATERIALIZED (
+          SELECT s.i, s.j,
+                 s.s * (SELECT n FROM cnt) - ti.t * tj.t AS s
+          FROM s JOIN t ti ON ti.dim = s.i
+                 JOIN t tj ON tj.dim = s.j)""",
+]
+
+
+def _pca_sql(
+    iterations: int = 8, top_dims: int = 8, centered: bool = False
+) -> str:
+    """vec_pca_power / vec_pca_centered oracle: the identical power
+    rounds (over the raw Gram, or the exact-integer centered scatter
+    n*S - t t^T), then the ranked top-|loading| projection + Rayleigh
+    eigenvalue (centered: divided by n^2 — the variance along the
+    direction)."""
+    mat = "cm" if centered else "s"
+    rounds = _power_round_ctes(iterations, mat)
+    ng = len(_GRAM_CTES)
+    ctes = (
+        rounds[:ng] + _CENTER_CTES + rounds[ng:] if centered else rounds
+    )
     last = f"v{iterations}"
+    ev_scale = (
+        "/ CAST((SELECT n * n FROM cnt) AS DOUBLE)" if centered else ""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f""",
         num AS (
-          SELECT sum(s.s * vi.v * vj.v) AS num
-          FROM s JOIN {last} vi ON vi.dim = s.i
-                 JOIN {last} vj ON vj.dim = s.j),
+          SELECT sum({mat}.s * vi.v * vj.v) AS num
+          FROM {mat} JOIN {last} vi ON vi.dim = {mat}.i
+                 JOIN {last} vj ON vj.dim = {mat}.j),
         den AS (SELECT sum(v * v) AS den FROM {last}),
         ev AS (
           SELECT floor(CAST(num.num AS DOUBLE)
                        / CAST(den.den AS DOUBLE)
-                       / 1e12 * 1e6 + 0.5) / 1e6 AS eigval
+                       / 1e12 {ev_scale} * 1e6 + 0.5) / 1e6 AS eigval
           FROM num, den)
         SELECT CAST(row_number() OVER (ORDER BY abs(v) DESC, dim)
                     AS BIGINT) AS rank,
@@ -959,6 +988,20 @@ def _pca_sql(iterations: int = 8, top_dims: int = 8) -> str:
         FROM {last}, ev
         ORDER BY abs(v) DESC, dim LIMIT {top_dims}"""
     )
+
+
+def vec_pca_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True covariance top direction: power iteration on the CENTERED
+    scatter M = n*S - t t^T (operators/linalg.centered_scatter) —
+    when embeddings share a bias, the uncentered top direction
+    (ns_vec_pca_power) is just that mean; this is the direction of
+    maximal VARIANCE, with eigval the variance along it. Every M
+    entry is still an exact integer (centering without a mean
+    division), so the oracle hash-matches the unrolled rounds."""
+    from ..operators import linalg as la
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return la.power_iteration_top(emb, centered=True)
 
 
 def vec_principal_extremes(
@@ -4089,6 +4132,9 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_vec_pca_power": QueryDef(vec_pca_power, _pca_sql()),
+    "ns_vec_pca_centered": QueryDef(
+        vec_pca_centered, _pca_sql(centered=True)
+    ),
     "ns_vec_spectral_summary": QueryDef(
         vec_spectral_summary, _SPECTRAL_SQL
     ),

@@ -140,3 +140,31 @@ def test_power_iteration_zero_matrix(spark):
     )
     rows = la.power_iteration_top(emb).collect()
     assert [r.eigval for r in rows] == [0.0, 0.0]
+
+
+def test_centered_vs_uncentered(spark):
+    """Vectors = mean direction e0 plus small variance along e1: the
+    UNCENTERED top direction is the mean axis (dim 0), the CENTERED
+    top direction is the variance axis (dim 1), and the centered
+    eigval is the variance along it."""
+    emb = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, -1.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    un = la.power_iteration_top(emb).collect()
+    assert un[0].dim == 0  # mean direction dominates raw Gram
+    ce = la.power_iteration_top(emb, centered=True).collect()
+    assert ce[0].dim == 1  # variance lives on axis 1
+    assert ce[0].loading_micro in (MICRO, -MICRO)
+    # scatter eigval = sum of squared deviations / ... reported as
+    # variance: mean 0, deviations (1, -1, 0) -> var = 2/3
+    import math
+
+    assert ce[0].eigval == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6
+
+
+def test_centered_empty(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert la.power_iteration_top(emb, centered=True).count() == 0
