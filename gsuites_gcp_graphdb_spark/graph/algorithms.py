@@ -547,6 +547,52 @@ def connected_components_star(
     )
 
 
+def clustering_coefficient(g: Graph) -> DataFrame:
+    """Global clustering coefficient (transitivity): one row
+    (n_triangles, n_wedges, transitivity) where transitivity =
+    3 * triangles / wedges over the undirected simple graph — the
+    standard "how often do two neighbours of a vertex also connect"
+    audit scalar (IAM graphs sit near 0 except for the
+    role->bucket->project containment triangles; drift upward means
+    entity relations are densifying into cliques).
+
+    Exact-integer discipline: wedges are computed as
+    sum_v d_v*(d_v - 1) (an even integer, DECIMAL(38) — twice the
+    wedge count, so transitivity = 6T / that, avoiding any /2
+    before the ONE shared double division); triangle counting reuses
+    :func:`triangle_count`'s degree-ordered orientation (the O(sqrt m)
+    out-degree guard). nullif on wedge-free graphs."""
+    tri = triangle_count(g)
+    und = (
+        g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            g.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w2 = sym.groupBy("a").agg(F.count("*").alias("d")).agg(
+        F.coalesce(
+            F.sum(
+                (F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__w2")
+    )
+    return tri.crossJoin(w2).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.floor(F.col("__w2") / 2).cast("bigint").alias("n_wedges"),
+        F.round(
+            (F.col("n_triangles") * 6).cast("double")
+            / F.nullif(F.col("__w2").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )
+
+
 def triangle_count(g: Graph) -> DataFrame:
     """Global undirected triangle count — one row (n_triangles) — by
     DEGREE-ordered orientation (the compact-forward algorithm): every

@@ -1278,6 +1278,43 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
         """,
     ),
+    "g_clustering_coefficient": QueryDef(
+        gq.clustering_coefficient_global,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        named AS (
+          SELECT sl || chr(1) || sk AS a, dl || chr(1) || dk AS b
+          FROM edges_nk
+        ),
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM named WHERE a <> b
+        ),
+        degs AS (
+          SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1
+        ),
+        wed AS (
+          SELECT coalesce(sum(CAST(d AS HUGEINT) * (d - 1)),
+                          CAST(0 AS HUGEINT)) AS w2
+          FROM degs
+        ),
+        tri AS (
+          SELECT CAST(count(*) AS HUGEINT) AS t
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+          WHERE EXISTS (
+            SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+        )
+        SELECT CAST(t AS BIGINT) AS n_triangles,
+               CAST(w2 // 2 AS BIGINT) AS n_wedges,
+               round(CAST(6 * t AS DOUBLE)
+                     / nullif(CAST(w2 AS DOUBLE), 0.0),
+                     6) AS transitivity
+        FROM tri, wed
+        """,
+    ),
     "g_degree_histogram": QueryDef(
         gq.degree_histogram,
         f"""
@@ -1458,6 +1495,8 @@ _PRIORITY = [
     "ns_split_leakage_safe",   # r8 new: cluster-atomic train/val split
     "ns_text_source_overlap",  # r8 new: source provenance matrix
     "ns_vec_pca_centered",     # r8 new: centered-scatter variance axis
+    "g_clustering_coefficient",  # r8 new: global transitivity scalar
+    "ns_events_type_gini",     # r8 new: log-free diversity score
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1180,6 +1180,20 @@ def triangle_count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_graph(spark, sf_dir))
 
 
+def clustering_coefficient_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global transitivity (graph/algorithms.clustering_coefficient):
+    3*triangles/wedges over the undirected simple IAM graph — near 0
+    by construction here (containment triangles only); upward drift
+    means entity relations are densifying into cliques. Exact-integer
+    wedge census, one shared division, degree-ordered triangle
+    enumeration underneath."""
+    from ..graph.algorithms import clustering_coefficient
+
+    return clustering_coefficient(_graph(spark, sf_dir))
+
+
 def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-of-aggregate: the out-degree distribution over ALL
     vertices (zero-degree sinks included) — the hub-skew profile a

@@ -1772,6 +1772,35 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_term(docs)
 
 
+def events_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioural-diversity score: Gini impurity of the
+    event-type distribution, 1 - sum((c_i/n)^2) = (n^2 - sum c_i^2)
+    / n^2 — the concentration/diversity audit entropy would give,
+    WITHOUT log (libm-dependent, banned from hash-matched arithmetic
+    — DESIGN.md float rules); 0 = every event one type, ->1 = spread
+    across many. Two map-combinable hash-aggs, exact integers until
+    the one shared division."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("__c")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.sum("__c").cast(d38).alias("__n"),
+        F.sum((F.col("__c") * F.col("__c")).cast(d38)).alias("__ss"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    n2 = F.col("__n") * F.col("__n")
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("__n").cast("bigint").alias("n_events"),
+        "n_types",
+        F.round(
+            (n2 - F.col("__ss")).cast("double") / n2.cast("double"), 6
+        ).alias("gini"),
+    )
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream:
     for each user's time-ordered event sequence, count (event_type ->
@@ -3180,6 +3209,26 @@ ENTRIES: dict[str, QueryDef] = {
                                      ) AS valid_to,
                n_events
         FROM ep
+        """,
+    ),
+    "ns_events_type_gini": QueryDef(
+        events_type_gini,
+        """
+        WITH per AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        agg AS (
+          SELECT user_id,
+                 sum(CAST(c AS HUGEINT)) AS n,
+                 sum(CAST(c AS HUGEINT) * c) AS ss,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM per GROUP BY 1)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS n_events,
+               n_types,
+               round(CAST(n * n - ss AS DOUBLE)
+                     / CAST(n * n AS DOUBLE), 6) AS gini
+        FROM agg
         """,
     ),
     "ns_events_transitions": QueryDef(
