@@ -172,6 +172,14 @@ def main():
         # literals (no join in the round), so only the final ranked
         # projection shows here
         "ns_vec_pca_power",
+        # round-8 fourth wave: the leakage-safe split must show the
+        # map-only hash-CASE assignment and broadcast-able audit
+        # joins (never a doc x doc product); source overlap must be
+        # fp-keyed joins with doc-partitioned windows only; the gini
+        # score is two chained hash-aggs, no window
+        "ns_split_leakage_safe",
+        "ns_text_source_overlap",
+        "ns_events_type_gini",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
