@@ -367,3 +367,58 @@ def temperature_sample(
         .withColumn("keep", hash16(F.col(key_col), salt) < thr)
         .drop("__n", "__nmin")
     )
+
+
+def greedy_budget_select(
+    df: DataFrame,
+    budget: int,
+    cost_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    band_width: int = 16384,
+) -> DataFrame:
+    """Exact greedy prefix selection under a total cost budget: rows
+    are taken in (``order_col`` DESC, ``id_col`` ASC) order while the
+    running ``cost_col`` sum stays <= ``budget`` — "fill the token
+    budget with the best data first", the subset-selection step of a
+    pretraining pipeline. Adds ``selected``.
+
+    No global window (the round-4/5 discipline): ``order_col`` (a
+    non-negative integer score) bands by ``band_width``; pass 1 is a
+    WITHIN-band inclusive cumulative sum, pass 2 adds each band's
+    offset — the total cost of all strictly-HIGHER bands — via a
+    broadcast triangular join over the tiny per-band table. Costs are
+    non-negative so the running sum is monotone and the selected set
+    is a true prefix."""
+    d = df.withColumn(
+        "__band", F.floor(F.col(order_col) / F.lit(band_width))
+    )
+    wb = (
+        Window.partitionBy("__band")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn(
+        "__local", F.sum(F.col(cost_col).cast("decimal(38,0)")).over(wb)
+    )
+    bands = d.groupBy("__band").agg(
+        F.sum(F.col(cost_col).cast("decimal(38,0)")).alias("__bt")
+    )
+    higher = bands.select(
+        F.col("__band").alias("__hb"), F.col("__bt").alias("__hm")
+    )
+    offs = (
+        bands.join(F.broadcast(higher), F.col("__hb") > F.col("__band"))
+        .groupBy("__band")
+        .agg(F.sum("__hm").alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offs), ["__band"], "left")
+        .withColumn(
+            "__cum",
+            F.col("__local")
+            + F.coalesce(F.col("__off"), F.lit(0).cast("decimal(38,0)")),
+        )
+        .withColumn("selected", F.col("__cum") <= F.lit(budget))
+        .drop("__band", "__local", "__off", "__cum")
+    )

@@ -1497,6 +1497,7 @@ _PRIORITY = [
     "ns_vec_pca_centered",     # r8 new: centered-scatter variance axis
     "g_clustering_coefficient",  # r8 new: global transitivity scalar
     "ns_events_type_gini",     # r8 new: log-free diversity score
+    "ns_corpus_budget_select", # r8 new: banded greedy budget prefix
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -2324,6 +2324,43 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.crossJoin(leaks)
 
 
+BUDGET_CHARS = 100_000
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection census
+    (operators/corpus.greedy_budget_select): fill a fixed character
+    budget with the highest-quality documents first (quality-micro
+    DESC, doc_id tiebreak — an exact greedy prefix, computed banded,
+    never a global window), then report per source how much survived
+    — the "best N tokens" step of assembling a pretraining mix.
+    Costs are exact integers; the budget boundary is a deterministic
+    integer compare on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000)
+        .cast("bigint")
+        .alias("__qm"),
+    )
+    d = docs.select("doc_id", "source", "n_chars").join(q, "doc_id")
+    sel = cp.greedy_budget_select(
+        d, BUDGET_CHARS, cost_col="n_chars", order_col="__qm"
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("selected").cast("int"))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(F.col("selected"), F.col("n_chars"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("chars_selected"),
+    )
+
+
 QUALITY_CUT = 0.7
 
 
@@ -4614,6 +4651,38 @@ ENTRIES: dict[str, QueryDef] = {
                CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
                     AS BIGINT) AS sum_quality_micro
         FROM sp GROUP BY 1
+        """,
+    ),
+    "ns_corpus_budget_select": QueryDef(
+        corpus_budget_select,
+        f"""
+        WITH q AS (
+          SELECT doc_id, source, n_chars,
+            CAST(round(round(0.4 * least(
+                    CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CASE WHEN round(
+                    (CAST(length(text) AS DOUBLE)
+                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                    BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                + 0.3 * least(
+                    {_sql_stop_ratio(tx.STOPWORDS["en"])} * 10.0, 1.0),
+              6) * 1000000) AS BIGINT) AS qm
+          FROM documents),
+        c AS (
+          SELECT source, n_chars,
+                 sum(CAST(n_chars AS HUGEINT))
+                   OVER (ORDER BY qm DESC, doc_id) AS cum
+          FROM q)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(CASE WHEN cum <= {BUDGET_CHARS}
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE WHEN cum <= {BUDGET_CHARS}
+                                      THEN n_chars END), 0)
+                    AS BIGINT) AS chars_selected
+        FROM c GROUP BY source
         """,
     ),
     "ns_split_leakage_safe": QueryDef(

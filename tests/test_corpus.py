@@ -252,3 +252,28 @@ def test_split_leakage_safe_cluster_atomic(spark):
     assert all(r.n_leaked_pairs == 0 for r in rows)
     # docs 1+2 share a cluster: total clusters across splits is 2
     assert sum(r.n_clusters for r in rows) == 2
+
+
+def test_greedy_budget_select_prefix_exact(spark):
+    """The selected set is exactly the greedy prefix in (score DESC,
+    id ASC) order, across bands (band_width=2 forces multi-band), and
+    costs are never partially taken."""
+    rows = [
+        # (doc_id, cost, score): greedy order by score desc, id asc
+        (1, 40, 9),
+        (2, 40, 7),
+        (3, 40, 5),
+        (4, 40, 5),  # tie with 3 -> id order
+        (5, 40, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cost long, score long")
+    out = cp.greedy_budget_select(
+        df, budget=120, cost_col="cost", order_col="score", band_width=2
+    )
+    sel = {r.doc_id for r in out.collect() if r.selected}
+    assert sel == {1, 2, 3}  # 3x40 fits, the 4th overflows
+    # budget exactly at a boundary includes the boundary row
+    out2 = cp.greedy_budget_select(
+        df, budget=160, cost_col="cost", order_col="score", band_width=2
+    )
+    assert {r.doc_id for r in out2.collect() if r.selected} == {1, 2, 3, 4}
