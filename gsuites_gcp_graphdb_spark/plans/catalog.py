@@ -1278,6 +1278,65 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
         """,
     ),
+    "g_reciprocity": QueryDef(
+        gq.reciprocity,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+          WHERE NOT (sl = dl AND sk = dk)
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_reciprocated
+          FROM e a
+          WHERE EXISTS (
+            SELECT 1 FROM e b
+            WHERE b.sl = a.dl AND b.sk = a.dk
+              AND b.dl = a.sl AND b.dk = a.sk)
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_edges, n_reciprocated,
+               round(CAST(n_reciprocated AS DOUBLE)
+                     / nullif(CAST(n_edges AS DOUBLE), 0.0),
+                     6) AS reciprocity
+        FROM t, m
+        """,
+    ),
+    "g_degree_heterogeneity": QueryDef(
+        gq.degree_heterogeneity,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        e2 AS (
+          SELECT sl, sk, dl, dk FROM edges_nk
+          WHERE NOT (sl = dl AND sk = dk)
+        ),
+        und AS (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM e2
+          UNION
+          SELECT dl, dk, sl, sk FROM e2
+        ),
+        deg AS (
+          SELECT al, ak, CAST(count(*) AS HUGEINT) AS d
+          FROM und GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 coalesce(sum(d), CAST(0 AS HUGEINT)) AS s1,
+                 coalesce(sum(d * d), CAST(0 AS HUGEINT)) AS s2
+          FROM deg
+        )
+        SELECT CAST(n AS BIGINT) AS n_vertices,
+               round(CAST(s1 AS DOUBLE)
+                     / nullif(CAST(n AS DOUBLE), 0.0), 6)
+                 AS mean_degree,
+               round(CAST(n * s2 AS DOUBLE)
+                     / nullif(CAST(s1 * s1 AS DOUBLE), 0.0), 6)
+                 AS kappa
+        FROM s
+        """,
+    ),
     "g_clustering_coefficient": QueryDef(
         gq.clustering_coefficient_global,
         f"""
@@ -1498,6 +1557,8 @@ _PRIORITY = [
     "g_clustering_coefficient",  # r8 new: global transitivity scalar
     "ns_events_type_gini",     # r8 new: log-free diversity score
     "ns_corpus_budget_select", # r8 new: banded greedy budget prefix
+    "g_reciprocity",           # r8 new: mutual-edge audit scalar
+    "g_degree_heterogeneity",  # r8 new: hub moment ratio kappa
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1180,6 +1180,82 @@ def triangle_count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_graph(spark, sf_dir))
 
 
+def reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity: the fraction of distinct non-loop edges
+    whose reverse edge also exists — near 0 on a containment/
+    membership DAG by construction; ANY rise means a mutual-ownership
+    loop is forming (the condition the cycle audit exists for, caught
+    at the cheapest possible signal: one self-semi-join, no
+    traversal). Exact integer counts, one shared division."""
+    g = _graph(spark, sf_dir)
+    e = (
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    tot = e.agg(F.count("*").cast("bigint").alias("__n"))
+    mut = mutual.agg(F.count("*").cast("bigint").alias("__m"))
+    return tot.crossJoin(mut).select(
+        F.col("__n").alias("n_edges"),
+        F.col("__m").alias("n_reciprocated"),
+        F.round(
+            F.col("__m").cast("double")
+            / F.nullif(F.col("__n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def degree_heterogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree heterogeneity kappa = <d^2>/<d>^2 = n * sum(d^2) /
+    (sum d)^2 over the undirected simple graph — the moment ratio
+    that governs how fast anything spreads through the graph (access
+    reachability, epidemic threshold ~ <d>/(<d^2>-<d>)): kappa >> 1
+    means hub-dominated, near 1 means homogeneous. The scalar twin of
+    g_degree_histogram's full distribution. Exact DECIMAL(38)
+    moments, one shared division."""
+    g = _graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    deg = und.groupBy("src").agg(F.count("*").alias("__d"))
+    d38 = "decimal(38,0)"
+    s = deg.agg(
+        F.count("*").cast(d38).alias("__n"),
+        F.coalesce(F.sum(F.col("__d").cast(d38)), F.lit(0).cast(d38))
+        .alias("__s1"),
+        F.coalesce(
+            F.sum((F.col("__d") * F.col("__d")).cast(d38)),
+            F.lit(0).cast(d38),
+        ).alias("__s2"),
+    )
+    return s.select(
+        F.col("__n").cast("bigint").alias("n_vertices"),
+        F.round(
+            F.col("__s1").cast("double")
+            / F.nullif(F.col("__n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mean_degree"),
+        F.round(
+            (F.col("__n") * F.col("__s2")).cast("double")
+            / F.nullif(
+                (F.col("__s1") * F.col("__s1")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
 def clustering_coefficient_global(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
