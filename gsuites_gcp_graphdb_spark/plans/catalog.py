@@ -1278,6 +1278,30 @@ CATALOG: dict[str, QueryDef] = {
           SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
         """,
     ),
+    "g_grant_path_census": QueryDef(
+        gq.grant_path_census,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+        ),
+        u AS (SELECT k FROM verts_nk WHERE l = 'user'),
+        walk(vl, vk, len) AS (
+          SELECT 'user', k, 0 FROM u
+          UNION ALL
+          SELECT e.dl, e.dk, w.len + 1
+          FROM walk w JOIN e ON e.sl = w.vl AND e.sk = w.vk
+        )
+        SELECT vk AS projectid,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(min(len) AS INT) AS min_len,
+               CAST(max(len) AS INT) AS max_len
+        FROM walk WHERE vl = 'project'
+        GROUP BY 1
+        """,
+    ),
     "g_reciprocity": QueryDef(
         gq.reciprocity,
         f"""
@@ -1559,6 +1583,7 @@ _PRIORITY = [
     "ns_corpus_budget_select", # r8 new: banded greedy budget prefix
     "g_reciprocity",           # r8 new: mutual-edge audit scalar
     "g_degree_heterogeneity",  # r8 new: hub moment ratio kappa
+    "g_grant_path_census",     # r8 new: DP path counting blast radius
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

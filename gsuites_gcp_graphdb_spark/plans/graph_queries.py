@@ -1180,6 +1180,42 @@ def triangle_count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_graph(spark, sf_dir))
 
 
+def grant_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT grant paths reach each project from the user
+    population, and how short/long the grant chains are — the
+    blast-radius audit behind the reference's 'who can access'
+    queries (README.md:15-32), counted by DAG dynamic programming
+    (graph/algorithms.dag_path_counts) instead of path enumeration:
+    multiplicities sum through an O(|V|)-row frontier, so a hub role
+    carrying 10k member paths costs one integer, not 10k rows (and
+    the path-length spread falls out of the round number for free —
+    a max_len jump flags a new indirection layer in the grant
+    graph). Per-user distinct reachability is the separate
+    who_can_reach_min_project / principals_with_access audit. Returns
+    per project: projectid, n_paths (total user->project paths),
+    min_len, max_len. Oracle: recursive-CTE full path enumeration
+    over the natural-key graph, grouped to the same census."""
+    from ..graph.algorithms import dag_path_counts
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select("id")
+    projects = g.vertices.filter(F.col("label") == "project").select(
+        "id", "projectid"
+    )
+    counts = dag_path_counts(g, users, projects)
+    return (
+        counts.join(
+            projects, counts.target_id == projects.id
+        )
+        .select(
+            "projectid",
+            F.col("n_paths").cast("bigint").alias("n_paths"),
+            "min_len",
+            "max_len",
+        )
+    )
+
+
 def reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed reciprocity: the fraction of distinct non-loop edges
     whose reverse edge also exists — near 0 on a containment/

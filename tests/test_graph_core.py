@@ -483,3 +483,36 @@ def test_dag_levels(spark):
     )
     out = {r.id: r.level for r in dag_levels(Graph(v, e)).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 3, 6: 0}
+
+
+def test_dag_path_counts_multiplicity(spark):
+    """Diamond DAG: s->a->t, s->b->t, plus a direct s->t edge = 3
+    distinct paths (min_len 1, max_len 2); multiplicities sum through
+    the collapsed O(|V|) frontier instead of enumerating rows."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import dag_path_counts
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    v = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "id long"
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 9), (3, 9), (1, 9)],
+        "src long, dst long",
+    )
+    g = Graph(v, e)
+    src = spark.createDataFrame([(1,)], "id long")
+    tgt = spark.createDataFrame([(9,)], "id long")
+    rows = dag_path_counts(g, src, tgt).collect()
+    assert [
+        (r.target_id, int(r.n_paths), r.min_len, r.max_len) for r in rows
+    ] == [(9, 3, 1, 2)]
+
+    # A source sitting mid-path of another source: both inject
+    # multiplicity 1 at round 0, so 1->2->9 and 2->9 are distinct
+    # counted paths through the collapsed frontier.
+    e2 = spark.createDataFrame([(1, 2), (2, 9)], "src long, dst long")
+    src2 = spark.createDataFrame([(1,), (2,)], "id long")
+    rows2 = dag_path_counts(Graph(v, e2), src2, tgt).collect()
+    assert [
+        (r.target_id, int(r.n_paths), r.min_len, r.max_len) for r in rows2
+    ] == [(9, 2, 1, 2)]

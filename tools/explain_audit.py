@@ -180,6 +180,13 @@ def main():
         "ns_split_leakage_safe",
         "ns_text_source_overlap",
         "ns_events_type_gini",
+        # round-8 fifth wave: the path-census DP is a fixpoint loop so
+        # only the final census agg shows here — the load-bearing
+        # property is the COLLAPSED O(|V|) frontier (see SCALING.md);
+        # the visible plan must be hash-aggs over the arrival union +
+        # a broadcast-able project-dim join, no window, no per-user
+        # key anywhere
+        "g_grant_path_census",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
