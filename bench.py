@@ -196,6 +196,22 @@ HEADLINE = [
     # n*d^2 self-join is the timed part; 8 power rounds are d^2-row
     # aggs with literal-bound vectors)
     "ns_vec_pca_power",
+    # round-8 fourth/fifth waves: leakage-safe split (map-only
+    # hash-CASE + audit joins), provenance overlap (fp-keyed joins),
+    # banded token-budget selection, centered PCA, the DP grant-path
+    # census (collapsed O(|V|) frontier), and the cheap one-pass
+    # audit scalars (reciprocity, degree heterogeneity, global
+    # clustering, event-type gini)
+    "ns_split_leakage_safe",
+    "ns_text_source_overlap",
+    "ns_corpus_budget_select",
+    "ns_vec_pca_centered",
+    "g_grant_path_census",
+    "g_reach_anf",
+    "g_reciprocity",
+    "g_degree_heterogeneity",
+    "g_clustering_coefficient",
+    "ns_events_type_gini",
 ]
 
 

@@ -352,6 +352,108 @@ def dag_path_counts(
     )
 
 
+def reach_cardinality_sketch(
+    g: Graph,
+    sources: DataFrame,
+    targets: DataFrame,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Approximate DISTINCT-source reachability per target — "how
+    many distinct users can reach this project" — via ANF/HyperBall
+    register-sketch propagation (Palmer/Gibbons/Faloutsos ANF, KDD
+    2002; Boldi/Rosa/Vigna HyperBall). The exact answer needs the
+    distinct (source, target) pair relation — O(|S| x |V|), the same
+    blowup dag_path_counts documents — while the sketch carries at
+    most 64 (register, rho) rows per vertex and max-merges along
+    edges, so the frontier is O(64 x |V|) per round at ANY source
+    count: this is THE scalable form of multi-source distinct
+    reachability counting.
+
+    Determinism for the cross-engine oracle: registers come from
+    md5-derived integers (reg = h48('anf|'||key) % 64; rho = 1 +
+    trailing zeros of h48('anfr|'||key), capped at 48), max-merge is
+    order-free, and the HLL raw estimate keeps everything an exact
+    BIGINT (sum of 2^(48-rho) per register, absent registers
+    contributing 2^48) until ONE shared division by the precomputed
+    double alpha_64 * 64^2 * 2^48 = 8.174213467662545e17 — DuckDB
+    replays the identical arithmetic on the exact reachable-pair
+    relation, so sketches match register-for-register. No
+    small-range linear-counting correction: it needs ln(), which is
+    libm-dependent cross-engine (raw estimate documented as such).
+
+    sources: (id, skey) — skey the stable natural key string that
+    both engines hash. targets: (id). Returns (target_id,
+    est_sources DOUBLE round6, regs_set, sum_scaled) — the two
+    integer columns pin the sketch exactly; est_sources is the
+    alpha-scaled raw-HLL estimate. ``max_rounds`` guards non-DAG
+    input (registers would circulate but stay max-bounded)."""
+    m = 64
+    e = g.edges.select("src", "dst").dropDuplicates()
+    src = sources.select(
+        F.col("id").alias("v"), F.col("skey").cast("string").alias("k")
+    ).dropDuplicates(["v"])
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("anf|"), F.col("k"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("anfr|"), F.col("k"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    b = F.bin(h2)
+    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    rho = F.least(tz + F.lit(1), F.lit(48)).cast("int")
+    frontier = _truncate(
+        src.select("v", (h1 % m).alias("reg"), rho.alias("rho"))
+        .groupBy("v", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    t_ids = targets.select(F.col("id").alias("__t")).dropDuplicates()
+    arrivals: list[DataFrame] = []
+    for _ in range(max_rounds):
+        step = (
+            frontier.join(e, frontier.v == e.src)
+            .groupBy(F.col("dst").alias("v"), "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        step = _truncate(step)
+        if step.isEmpty():
+            break
+        arrivals.append(
+            step.join(t_ids, step.v == F.col("__t"), "left_semi")
+        )
+        frontier = step
+    spark = g.edges.sparkSession
+    if not arrivals:
+        return spark.createDataFrame(
+            [], "target_id bigint, est_sources double,"
+            " regs_set bigint, sum_scaled bigint"
+        )
+    allarr = arrivals[0]
+    for a in arrivals[1:]:
+        allarr = allarr.unionByName(a)
+    merged = allarr.groupBy("v", "reg").agg(F.max("rho").alias("rho"))
+    two48 = 1 << 48
+    per_t = merged.groupBy(F.col("v").alias("target_id")).agg(
+        (
+            F.sum(F.expr("shiftleft(1L, CAST(48 - rho AS INT))"))
+            + (F.lit(m) - F.count("*")) * F.lit(two48)
+        ).alias("sum_scaled"),
+        F.count("*").cast("bigint").alias("regs_set"),
+    )
+    return per_t.select(
+        "target_id",
+        F.round(
+            F.lit(8.174213467662545e17) / F.col("sum_scaled").cast("double"),
+            6,
+        ).alias("est_sources"),
+        "regs_set",
+        "sum_scaled",
+    )
+
+
 def connected_components(
     g: Graph, max_iter: int = DEFAULT_MAX_ITER, shortcut: bool = True
 ) -> DataFrame:

@@ -1302,6 +1302,53 @@ CATALOG: dict[str, QueryDef] = {
         GROUP BY 1
         """,
     ),
+    "g_reach_anf": QueryDef(
+        gq.reach_anf,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+        ),
+        u AS (SELECT k FROM verts_nk WHERE l = 'user'),
+        reach(uk, vl, vk) AS (
+          SELECT k, 'user', k FROM u
+          UNION
+          SELECT r.uk, e.dl, e.dk
+          FROM reach r JOIN e ON e.sl = r.vl AND e.sk = r.vk
+        ),
+        regs AS (
+          SELECT vk,
+                 (('0x' || substr(md5('anf|' || uk), 1, 12))::BIGINT
+                  % 64) AS reg,
+                 least(
+                   length(bin(('0x' || substr(md5('anfr|' || uk), 1,
+                     12))::BIGINT))
+                   - length(regexp_replace(
+                       bin(('0x' || substr(md5('anfr|' || uk), 1,
+                         12))::BIGINT), '0+$', '')) + 1,
+                   48) AS rho
+          FROM reach WHERE vl = 'project'
+        ),
+        mx AS (SELECT vk, reg, max(rho) AS rho FROM regs GROUP BY 1, 2),
+        agg AS (
+          SELECT vk,
+                 CAST(sum(1::BIGINT << (48 - rho))
+                      + (64 - count(*)) * 281474976710656
+                      AS BIGINT) AS sum_scaled,
+                 CAST(count(*) AS BIGINT) AS regs_set
+          FROM mx GROUP BY 1
+        )
+        SELECT vk AS projectid,
+               round(8.174213467662545e17 / CAST(sum_scaled AS DOUBLE),
+                     6) AS est_users,
+               regs_set, sum_scaled
+        FROM agg
+        ORDER BY sum_scaled, projectid
+        LIMIT 20
+        """,
+    ),
     "g_reciprocity": QueryDef(
         gq.reciprocity,
         f"""
@@ -1584,6 +1631,7 @@ _PRIORITY = [
     "g_reciprocity",           # r8 new: mutual-edge audit scalar
     "g_degree_heterogeneity",  # r8 new: hub moment ratio kappa
     "g_grant_path_census",     # r8 new: DP path counting blast radius
+    "g_reach_anf",             # r8 new: ANF/HyperBall distinct reach
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1216,6 +1216,48 @@ def grant_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reach_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-USER reach per project — the scalable
+    companion to g_grant_path_census (which counts paths, not
+    people) and to who_can_reach_min_project (exact, but built on
+    the (user, project) pair relation that is O(|S| x |V|) at scale):
+    ANF/HyperBall register sketches (graph/algorithms.
+    reach_cardinality_sketch) propagate md5-derived HLL registers
+    along grant edges in O(64 x |V|) frontier rows per round, so
+    "how many distinct principals can touch this resource" stays
+    computable when the user population is web-scale. Top-20
+    projects by estimated reach; the integer register columns
+    (regs_set, sum_scaled) pin the sketch exactly, est_users is the
+    alpha-scaled raw-HLL estimate. Oracle: DuckDB builds the exact
+    reachable pair relation (fine at sf0.01) and replays the
+    identical register arithmetic — sketches must match
+    register-for-register."""
+    from ..graph.algorithms import reach_cardinality_sketch
+
+    g = _graph(spark, sf_dir)
+    users = g.vertices.filter(F.col("label") == "user").select(
+        "id", F.col("email").alias("skey")
+    )
+    projects = g.vertices.filter(F.col("label") == "project").select(
+        "id", "projectid"
+    )
+    sk = reach_cardinality_sketch(g, users, projects)
+    # Top-k on the EXACT integer (smaller register sum <=> larger
+    # estimate), never on the rounded double — float order never
+    # crosses engines in a top-k cut.
+    return (
+        sk.join(projects, sk.target_id == projects.id)
+        .select(
+            "projectid",
+            F.col("est_sources").alias("est_users"),
+            "regs_set",
+            "sum_scaled",
+        )
+        .orderBy("sum_scaled", "projectid")
+        .limit(20)
+    )
+
+
 def reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed reciprocity: the fraction of distinct non-loop edges
     whose reverse edge also exists — near 0 on a containment/

@@ -516,3 +516,51 @@ def test_dag_path_counts_multiplicity(spark):
     assert [
         (r.target_id, int(r.n_paths), r.min_len, r.max_len) for r in rows2
     ] == [(9, 2, 1, 2)]
+
+
+def test_reach_cardinality_sketch_matches_direct(spark):
+    """Merge correctness: the sketch a target accumulates through
+    multi-hop propagation must equal the sketch computed directly
+    from its exact reachable source set (max-merge is exact) —
+    replayed here register-for-register with hashlib."""
+    import hashlib
+
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        reach_cardinality_sketch,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph
+
+    # u1,u2 -> a -> t ; u3 -> t ; u4 -> b (never reaches t)
+    v = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "id long"
+    )
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (10, 99), (3, 99), (4, 11)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u3"), (4, "u4")],
+        "id long, skey string",
+    )
+    tgt = spark.createDataFrame([(99,)], "id long")
+    rows = reach_cardinality_sketch(Graph(v, e), src, tgt).collect()
+    assert len(rows) == 1 and rows[0].target_id == 99
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    regs = {}
+    for k in ("u1", "u2", "u3"):  # exact reachable set of 99
+        reg = h48("anf|" + k) % 64
+        h2 = h48("anfr|" + k)
+        b = bin(h2)[2:]
+        rho = min(len(b) - len(b.rstrip("0")) + 1, 48)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    sum_scaled = sum(1 << (48 - r) for r in regs.values()) + (
+        64 - len(regs)
+    ) * (1 << 48)
+    assert rows[0].regs_set == len(regs)
+    assert rows[0].sum_scaled == sum_scaled
+    assert rows[0].est_sources == round(
+        8.174213467662545e17 / float(sum_scaled), 6
+    )
