@@ -204,6 +204,7 @@ HEADLINE = [
     # clustering, event-type gini)
     "ns_split_leakage_safe",
     "ns_text_source_overlap",
+    "ns_text_bpe_train",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

@@ -1632,6 +1632,7 @@ _PRIORITY = [
     "g_degree_heterogeneity",  # r8 new: hub moment ratio kappa
     "g_grant_path_census",     # r8 new: DP path counting blast radius
     "g_reach_anf",             # r8 new: ANF/HyperBall distinct reach
+    "ns_text_bpe_train",       # r8 new: BPE merge-training loop
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1248,6 +1248,97 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "pair", "n")
 
 
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (operators/text.bpe_train): 8 greedy merge
+    rounds over the corpus word-frequency table — the tokenizer-
+    trainer loop itself, where ns_text_bpe_pairs is only its
+    round-1 census. Returns the learned merge table (merge_round,
+    left_tok, right_tok, merged, pair_count) — the artifact a
+    tokenizer ships. State is the distinct-word token table (cost
+    O(vocab x word length) per round, corpus mass rides the integer
+    freq weight); greedy left-to-right merging is closed-form window
+    arithmetic (left != right pairs can never overlap; left = right
+    runs merge at odd in-run ranks), so the DuckDB oracle replays
+    all 8 rounds as unrolled MATERIALIZED CTEs and the merge tables
+    hash-match."""
+    from ..operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, rounds=8)
+
+
+def _bpe_round_ctes(rounds: int) -> str:
+    """Unrolled-round CTE chain for the BPE-training oracle — same
+    generator pattern as _power_round_ctes (every multiply-referenced
+    CTE MATERIALIZED, or DuckDB re-inlines the whole chain per
+    reference and goes exponential)."""
+    parts = [
+        """
+        w0 AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+          WHERE length(w) >= 1 GROUP BY 1),
+        s0raw AS (
+          SELECT w, freq,
+                 CAST(unnest(range(1, length(w) + 1)) AS INT) AS i
+          FROM w0),
+        s0 AS MATERIALIZED (
+          SELECT w, freq, i - 1 AS pos, substr(w, i, 1) AS tok
+          FROM s0raw)
+        """
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+        p{r} AS MATERIALIZED (
+          SELECT w, freq, pos, tok,
+                 lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM s{r - 1}),
+        b{r} AS MATERIALIZED (
+          SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS n
+          FROM p{r} WHERE nxt IS NOT NULL
+          GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+        i{r} AS MATERIALIZED (
+          SELECT p.*, b.a, b.b,
+                 sum(CASE WHEN p.tok = b.a THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY p.w ORDER BY p.pos
+                         ROWS UNBOUNDED PRECEDING) AS cum_a
+          FROM p{r} p CROSS JOIN b{r} b),
+        k{r} AS MATERIALIZED (
+          SELECT *, row_number() OVER (
+                   PARTITION BY w,
+                     CASE WHEN tok = a THEN pos - cum_a
+                          ELSE -pos - 1 END
+                   ORDER BY pos) AS rk
+          FROM i{r}),
+        m{r} AS MATERIALIZED (
+          SELECT *, (tok = a AND coalesce(nxt = b, FALSE)
+                     AND (a <> b OR rk % 2 = 1)) AS start
+          FROM k{r}),
+        n{r} AS MATERIALIZED (
+          SELECT *, coalesce(lag(start) OVER (
+                   PARTITION BY w ORDER BY pos), FALSE) AS consumed
+          FROM m{r}),
+        s{r} AS MATERIALIZED (
+          SELECT w, freq,
+                 CAST(row_number() OVER (
+                   PARTITION BY w ORDER BY pos) AS INT) - 1 AS pos,
+                 CASE WHEN start THEN a || b ELSE tok END AS tok
+          FROM n{r} WHERE NOT consumed)
+        """
+        )
+    unions = "\n          UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS left_tok, b AS right_tok,"
+        f" a || b AS merged, n AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"\n        {unions}\n        ORDER BY merge_round"
+    )
+
+
 def corpus_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language census of the data-driven rebalancing sampler
     (operators/corpus.class_balance): every language thinned toward
@@ -4294,6 +4385,7 @@ ENTRIES: dict[str, QueryDef] = {
         FROM b, w, q, tol WHERE b.n > 0
         """,
     ),
+    "ns_text_bpe_train": QueryDef(text_bpe_train, _bpe_round_ctes(8)),
     "ns_text_bpe_pairs": QueryDef(
         text_bpe_pairs,
         """

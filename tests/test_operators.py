@@ -987,3 +987,21 @@ def test_source_overlap_matrix(spark):
     assert (r.source_a, r.source_b) == ("s1", "s2")
     assert r.n_shared_fp >= 1
     assert 0 < r.overlap_coef <= 1.0
+
+
+def test_bpe_train_greedy_merges(spark):
+    """Hand-computed merge sequence, including the equal-token run
+    case: 'aaaa' merges greedily left-to-right ([aa, aa], pair count
+    counts overlapping occurrences like real BPE trainers), and the
+    loop stops early when no adjacent pairs remain."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa b ab")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in tx.bpe_train(docs, rounds=8).collect()]
+    assert rows == [(1, "a", "a", "aa", 2), (2, "a", "b", "ab", 1)]
+
+    docs2 = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    rows2 = [tuple(r) for r in tx.bpe_train(docs2, rounds=2).collect()]
+    # round 1: (a,a) appears 3x (overlapping census), merges to
+    # [aa, aa]; round 2: (aa,aa) once.
+    assert rows2 == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
