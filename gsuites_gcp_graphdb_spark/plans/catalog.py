@@ -1633,6 +1633,7 @@ _PRIORITY = [
     "g_grant_path_census",     # r8 new: DP path counting blast radius
     "g_reach_anf",             # r8 new: ANF/HyperBall distinct reach
     "ns_text_bpe_train",       # r8 new: BPE merge-training loop
+    "rel_cdc_diff",            # r8 new: CDC snapshot diff census
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1075,7 +1075,142 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.table_diff): classify every
+    order key across two table versions as inserted / deleted /
+    updated / unchanged with a changed-column mask, then census by
+    (change_type, changed_cols) with the exact net price movement —
+    the warehouse-sync audit every incremental materialization needs
+    (the relational twin of g_snapshot_diff). Version 2 is derived
+    from orders by md5-deterministic mutations both engines replay
+    identically: 3% deleted, 10% price +1.00, 5% repriority to
+    '9-CDC', 2% cloned under a shifted key (inserts). One key-equi
+    full-outer join (co-partitioned SMJ at scale), map-side
+    classification, census output; price arithmetic rides
+    DECIMAL(18,2) so sums are order-free exact, cast to double at
+    the very end."""
+    from ..operators.cdc import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cols = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    survivors = orders.filter(h(":cdc_del") >= 1966)
+    mutated = survivors.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            h(":cdc_upd") < 6554, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(h(":cdc_pri") < 3277, F.lit("9-CDC"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    inserted = survivors.filter(h(":cdc_ins") < 1311).select(
+        (F.col("o_orderkey") + F.lit(100000000000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    v2 = mutated.unionByName(inserted)
+    d = table_diff(orders, v2, ["o_orderkey"], cols)
+    dec = "decimal(18,2)"
+    return (
+        d.groupBy("change_type", "changed_cols")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.coalesce(
+                    F.col("new_o_totalprice").cast(dec), F.lit(0).cast(dec)
+                )
+                - F.coalesce(
+                    F.col("old_o_totalprice").cast(dec), F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("price_delta"),
+        )
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_cdc_diff": QueryDef(
+        cdc_orders_diff,
+        """
+        WITH h AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 o_orderpriority,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_del'), 1, 4))::BIGINT AS hdel,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_upd'), 1, 4))::BIGINT AS hupd,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_pri'), 1, 4))::BIGINT AS hpri,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_ins'), 1, 4))::BIGINT AS hins
+          FROM orders),
+        v2 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN hupd < 6554 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN hpri < 3277 THEN '9-CDC'
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM h WHERE hdel >= 1966
+          UNION ALL
+          SELECT o_orderkey + 100000000000, o_orderstatus,
+                 o_totalprice, o_orderpriority
+          FROM h WHERE hdel >= 1966 AND hins < 1311
+        ),
+        o1 AS (SELECT o_orderkey AS k1, TRUE AS op,
+                      o_orderstatus AS s1, o_totalprice AS p1,
+                      o_orderpriority AS r1
+               FROM orders),
+        n1 AS (SELECT o_orderkey AS k2, TRUE AS np,
+                      o_orderstatus AS s2, o_totalprice AS p2,
+                      o_orderpriority AS r2
+               FROM v2),
+        j AS (
+          SELECT op, np, s1, p1, r1, s2, p2, r2,
+                 concat_ws(',',
+                   CASE WHEN r1 IS DISTINCT FROM r2
+                        THEN 'o_orderpriority' END,
+                   CASE WHEN s1 IS DISTINCT FROM s2
+                        THEN 'o_orderstatus' END,
+                   CASE WHEN p1 IS DISTINCT FROM p2
+                        THEN 'o_totalprice' END) AS mask
+          FROM o1 FULL OUTER JOIN n1 ON o1.k1 = n1.k2
+        )
+        SELECT CASE WHEN op IS NULL THEN 'inserted'
+                    WHEN np IS NULL THEN 'deleted'
+                    WHEN mask <> '' THEN 'updated'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN op IS NULL OR np IS NULL THEN ''
+                    ELSE mask END AS changed_cols,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(coalesce(CAST(p2 AS DECIMAL(18,2)),
+                                 CAST(0 AS DECIMAL(18,2)))
+                        - coalesce(CAST(p1 AS DECIMAL(18,2)),
+                                   CAST(0 AS DECIMAL(18,2))))
+                    AS DOUBLE) AS price_delta
+        FROM j GROUP BY 1, 2
+        """,
+    ),
     "rel_bloom_prejoin": QueryDef(
         bloom_prejoin_revenue,
         """

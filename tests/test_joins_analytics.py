@@ -637,3 +637,30 @@ def test_skew_join_auto_size_hint(spark):
         sorted(map(tuple, out.collect()))
         == sorted(map(tuple, left.join(right, "k").collect()))
     )
+
+
+def test_table_diff_classification(spark):
+    """Every change class plus null-safety: NULL -> value counts as a
+    change (IS DISTINCT FROM), absent-side rows classify as
+    inserted/deleted with an empty mask."""
+    from gsuites_gcp_graphdb_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, p double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "cc", 31.0), (5, "e", 50.0)],
+        "k long, s string, p double",
+    )
+    rows = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in table_diff(old, new, ["k"], ["s", "p"]).collect()
+    }
+    assert rows == {
+        1: ("unchanged", ""),
+        2: ("updated", "p"),       # NULL -> 20.0 is a change
+        3: ("updated", "p,s"),     # mask sorted by column name
+        4: ("deleted", ""),
+        5: ("inserted", ""),
+    }
