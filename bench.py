@@ -206,6 +206,7 @@ HEADLINE = [
     "ns_text_source_overlap",
     "ns_text_bpe_train",
     "rel_cdc_diff",
+    "ns_events_attribution",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

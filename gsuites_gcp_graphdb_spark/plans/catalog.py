@@ -1634,6 +1634,7 @@ _PRIORITY = [
     "g_reach_anf",             # r8 new: ANF/HyperBall distinct reach
     "ns_text_bpe_train",       # r8 new: BPE merge-training loop
     "rel_cdc_diff",            # r8 new: CDC snapshot diff census
+    "ns_events_attribution",   # r8 new: journey first/last touch
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

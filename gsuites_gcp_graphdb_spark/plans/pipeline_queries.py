@@ -1248,6 +1248,60 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "pair", "n")
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey-scoped conversion attribution — the marketing-
+    analytics classic: every 'purchase' is attributed to the FIRST
+    and LAST touch (view/click) in its journey, where a journey is
+    everything since the user's previous purchase (count of prior
+    purchases via a per-user cumulative window, the standard
+    journey id). Touch extraction is first/last IGNORE NULLS over
+    the (user, journey) window; purchases with no touches attribute
+    to 'direct'. Census by (first_touch, last_touch) with conversion
+    counts, touch volume, and revenue in order-free DECIMAL(18,2).
+    All windows are user- or journey-partitioned (never global);
+    ties break on event_id, which is unique, so both engines order
+    identically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = F.coalesce(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    s = ev.withColumn("j", j)
+    wj = (
+        Window.partitionBy("user_id", "j")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    marked = s.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(wj).alias("ft"),
+        F.last(touch, ignorenulls=True).over(wj).alias("lt"),
+        F.sum(touch.isNotNull().cast("long")).over(wj).alias("nt"),
+    )
+    conv = marked.filter(F.col("event_type") == "purchase")
+    return conv.groupBy(
+        F.coalesce("ft", F.lit("direct")).alias("first_touch"),
+        F.coalesce("lt", F.lit("direct")).alias("last_touch"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.sum("nt").cast("bigint").alias("n_touches"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge TRAINING (operators/text.bpe_train): 8 greedy merge
     rounds over the corpus word-frequency table — the tokenizer-
@@ -4383,6 +4437,45 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_attribution": QueryDef(
+        events_attribution,
+        """
+        WITH ev AS (
+          SELECT * FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        s AS (
+          SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS j
+          FROM ev),
+        m AS (
+          SELECT event_type, value,
+                 first_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id, j ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS ft,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id, j ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS lt,
+                 sum(CASE WHEN event_type IN ('view', 'click')
+                     THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id, j) AS nt
+          FROM s)
+        SELECT coalesce(ft, 'direct') AS first_touch,
+               coalesce(lt, 'direct') AS last_touch,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               CAST(sum(nt) AS BIGINT) AS n_touches,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM m WHERE event_type = 'purchase'
+        GROUP BY 1, 2
         """,
     ),
     "ns_text_bpe_train": QueryDef(text_bpe_train, _bpe_round_ctes(8)),

@@ -103,3 +103,44 @@ def test_gapfill_locf_dense_grid_and_carry(spark):
     assert got[("a", 9)] == (90, True)
     assert got[("b", 101)] == (5, False)
     assert got[("b", 102)] == (7, True)
+
+
+def test_events_attribution_journeys(spark, tmp_path):
+    """Journeys reset at each purchase: touches between purchases
+    attribute to the NEXT purchase only; a purchase with no preceding
+    touch in its journey is 'direct'."""
+    import os
+
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        events_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:01:00", 7, "click", 0.0, "{}"),
+        (3, "2024-01-01 10:02:00", 7, "purchase", 10.0, "{}"),
+        (4, "2024-01-01 10:03:00", 7, "purchase", 5.0, "{}"),
+        (5, "2024-01-01 10:04:00", 7, "click", 0.0, "{}"),
+        (6, "2024-01-01 10:05:00", 7, "purchase", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/events.parquet", mode="overwrite")
+    out = {
+        (r.first_touch, r.last_touch): (
+            r.n_conversions,
+            r.n_touches,
+            r.revenue,
+        )
+        for r in events_attribution(spark, d).collect()
+    }
+    assert out == {
+        ("view", "click"): (1, 2, 10.0),
+        ("direct", "direct"): (1, 0, 5.0),
+        ("click", "click"): (1, 1, 2.0),
+    }
