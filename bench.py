@@ -207,6 +207,7 @@ HEADLINE = [
     "ns_text_bpe_train",
     "rel_cdc_diff",
     "ns_events_attribution",
+    "ns_events_pit_lookup",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

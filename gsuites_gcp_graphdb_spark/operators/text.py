@@ -692,6 +692,31 @@ def source_overlap_matrix(
     )
 
 
+def bpe_token_census(
+    df: DataFrame,
+    rounds: int = 8,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``rounds`` BPE merges (bpe_train) and APPLY them — the
+    train->apply closure of the tokenizer loop. Application is free:
+    tokenization is deterministic per distinct word, so the trainer's
+    final vocab-keyed state IS the applied tokenization, and corpus
+    token counts are just the per-word counts weighted by the exact
+    integer word frequency (never a second corpus pass). Returns the
+    top-``k`` subword tokens by weighted count (rank, tok, n) after
+    the learned merges."""
+    from ..functions.ranking import ranked_limit
+
+    _, state = _bpe_loop(df, rounds, text_col)
+    counts = state.groupBy("tok").agg(
+        F.sum("freq").cast("bigint").alias("n")
+    )
+    return ranked_limit(
+        counts, [F.col("n").desc(), F.col("tok")], k
+    ).select("rank", "tok", "n")
+
+
 def bpe_train(
     df: DataFrame,
     rounds: int = 8,
@@ -729,6 +754,15 @@ def bpe_train(
     result runs ``rounds`` small jobs eagerly. Ties break
     lexicographically on (left, right) so both engines pick the same
     pair."""
+    return _bpe_loop(df, rounds, text_col)[0]
+
+
+def _bpe_loop(
+    df: DataFrame, rounds: int, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer loop: returns (merge table, final token state
+    (w, freq, pos, tok)) — bpe_train keeps the merges,
+    bpe_token_census weights the final state by the word freq."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -807,4 +841,4 @@ def bpe_train(
             .withColumn("pos", F.row_number().over(wspec) - 1)
         )
         state = rebuilt.localCheckpoint(eager=True)
-    return spark.createDataFrame(merges, out_schema)
+    return spark.createDataFrame(merges, out_schema), state

@@ -1635,6 +1635,8 @@ _PRIORITY = [
     "ns_text_bpe_train",       # r8 new: BPE merge-training loop
     "rel_cdc_diff",            # r8 new: CDC snapshot diff census
     "ns_events_attribution",   # r8 new: journey first/last touch
+    "ns_events_pit_lookup",    # r8 new: SCD2 point-in-time join
+    "ns_text_bpe_apply",       # r8 new: applied-BPE token census
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1321,11 +1321,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, rounds=8)
 
 
-def _bpe_round_ctes(rounds: int) -> str:
-    """Unrolled-round CTE chain for the BPE-training oracle — same
-    generator pattern as _power_round_ctes (every multiply-referenced
-    CTE MATERIALIZED, or DuckDB re-inlines the whole chain per
-    reference and goes exponential)."""
+def _bpe_round_ctes(rounds: int, final: str = "merges") -> str:
+    """Unrolled-round CTE chain for the BPE oracles — same generator
+    pattern as _power_round_ctes (every multiply-referenced CTE
+    MATERIALIZED, or DuckDB re-inlines the whole chain per reference
+    and goes exponential). ``final``: 'merges' selects the learned
+    merge table; 'census' selects the top-20 applied-token census
+    from the final state weighted by word frequency."""
     parts = [
         """
         w0 AS MATERIALIZED (
@@ -1382,15 +1384,41 @@ def _bpe_round_ctes(rounds: int) -> str:
           FROM n{r} WHERE NOT consumed)
         """
         )
-    unions = "\n          UNION ALL ".join(
-        f"SELECT {r} AS merge_round, a AS left_tok, b AS right_tok,"
-        f" a || b AS merged, n AS pair_count FROM b{r}"
-        for r in range(1, rounds + 1)
-    )
+    if final == "census":
+        tail = f"""
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, tok)
+                    AS BIGINT) AS rank, tok, n
+        FROM (SELECT tok, CAST(sum(freq) AS BIGINT) AS n
+              FROM s{rounds} GROUP BY 1)
+        ORDER BY n DESC, tok LIMIT 20
+        """.strip()
+    else:
+        unions = "\n          UNION ALL ".join(
+            f"SELECT {r} AS merge_round, a AS left_tok, b AS right_tok,"
+            f" a || b AS merged, n AS pair_count FROM b{r}"
+            for r in range(1, rounds + 1)
+        )
+        tail = f"{unions}\n        ORDER BY merge_round"
     return (
         "WITH " + ",".join(p.strip() for p in parts)
-        + f"\n        {unions}\n        ORDER BY merge_round"
+        + f"\n        {tail}"
     )
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY closure of the tokenizer loop
+    (operators/text.bpe_token_census): after the 8 learned merges,
+    the top-20 subword tokens by corpus-weighted count. Application
+    costs nothing beyond training: tokenization is deterministic per
+    distinct word, so the trainer's final vocab-keyed state IS the
+    applied tokenization and corpus counts are per-word counts times
+    the exact integer word frequency — never a second corpus pass.
+    The oracle reuses the training CTE chain and reads the final
+    state instead of the merge table."""
+    from ..operators.text import bpe_token_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_census(docs, rounds=8, k=20)
 
 
 def corpus_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2113,6 +2141,72 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
+    )
+
+
+def events_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) dimension lookup — the warehouse staple
+    events_scd2 exists to serve: build the user-state dimension from
+    the NON-purchase event stream (gaps-and-islands episodes, same
+    construction as ns_events_scd2), then join every purchase to the
+    episode covering its timestamp (valid_from <= ts < valid_to,
+    open episode = NULL valid_to) and census revenue by the state
+    the user was in when they bought. Purchases before the user's
+    first state event attribute to 'none'.
+
+    Scale shape: the lookup is an equi-join on user_id with the
+    interval containment as a post-join range condition — SMJ/BHJ on
+    the key, never a BroadcastNestedLoop — and episodes tile each
+    user's timeline disjointly, so the join multiplies nothing (the
+    left join matches at most one episode per purchase). Revenue
+    rides DECIMAL(18,2), cast to double at the end."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    isl = state.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__island"),
+    )
+    ep = isl.groupBy("user_id", "__island", "event_type").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "__island")
+    dim = ep.select(
+        F.col("user_id").alias("d_uid"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = fact.join(
+        dim,
+        (fact.user_id == dim.d_uid)
+        & (dim.valid_from <= fact.ts)
+        & (dim.valid_to.isNull() | (fact.ts < dim.valid_to)),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce("state_type", F.lit("none")).alias("state_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -4439,6 +4533,52 @@ ENTRIES: dict[str, QueryDef] = {
         FROM b, w, q, tol WHERE b.n > 0
         """,
     ),
+    "ns_events_pit_lookup": QueryDef(
+        events_pit_lookup,
+        """
+        WITH marked AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events WHERE event_type <> 'purchase'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+          SELECT user_id, event_type, ts,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        ),
+        ep AS (
+          SELECT user_id, island, event_type,
+                 min(ts) AS valid_from
+          FROM islands GROUP BY user_id, island, event_type
+        ),
+        dim AS (
+          SELECT user_id AS d_uid, event_type AS state_type,
+                 valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, island
+                                       ) AS valid_to
+          FROM ep
+        ),
+        fact AS (
+          SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT coalesce(d.state_type, 'none') AS state_type,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM fact f LEFT JOIN dim d
+          ON f.user_id = d.d_uid
+         AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        GROUP BY 1
+        """,
+    ),
     "ns_events_attribution": QueryDef(
         events_attribution,
         """
@@ -4479,6 +4619,9 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_text_bpe_train": QueryDef(text_bpe_train, _bpe_round_ctes(8)),
+    "ns_text_bpe_apply": QueryDef(
+        text_bpe_apply, _bpe_round_ctes(8, final="census")
+    ),
     "ns_text_bpe_pairs": QueryDef(
         text_bpe_pairs,
         """

@@ -50,7 +50,14 @@ def get_spark(app_name: str = "gsuites-gcp-graphdb-spark") -> SparkSession:
         # scale (threshold-gated), essential at target scale.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode note: the driver JVM heap IS the whole cluster —
+        # every executor thread and every lingering localCheckpoint
+        # block lives in it. 8g forced constant full GCs on the
+        # 88-query bench suite (measured: common-suite 125.6s at 8g
+        # vs 112.8s at 32g, identical workload/box) and OOMed a
+        # frontier-heavy probe that 32g absorbs. The box has 128 GiB;
+        # a real cluster sizes executor memory per node instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1005,3 +1005,18 @@ def test_bpe_train_greedy_merges(spark):
     # round 1: (a,a) appears 3x (overlapping census), merges to
     # [aa, aa]; round 2: (aa,aa) once.
     assert rows2 == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_bpe_token_census_applies_merges(spark):
+    """After training on 'aa aa b ab' (merges: a+a, a+b), the applied
+    census weights final tokens by word frequency: 'aa' appears in 2
+    words of freq (2,1)... hand-check the full table."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa b ab")], "doc_id long, text string"
+    )
+    rows = [
+        (r.rank, r.tok, r.n)
+        for r in tx.bpe_token_census(docs, rounds=8, k=20).collect()
+    ]
+    # words: aa(freq 2) -> [aa]; b(1) -> [b]; ab(1) -> [ab]
+    assert rows == [(1, "aa", 2), (2, "ab", 1), (3, "b", 1)]

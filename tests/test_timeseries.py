@@ -144,3 +144,41 @@ def test_events_attribution_journeys(spark, tmp_path):
         ("direct", "direct"): (1, 0, 5.0),
         ("click", "click"): (1, 1, 2.0),
     }
+
+
+def test_events_pit_lookup_boundaries(spark, tmp_path):
+    """Containment is half-open [valid_from, valid_to): a purchase at
+    exactly a state-change tick attributes to the NEW state; a
+    purchase before the user's first state event is 'none'; episodes
+    tile disjointly so no purchase double-counts."""
+    import os
+
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        events_pit_lookup,
+    )
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 7, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+        (3, "2024-01-01 11:00:00", 7, "purchase", 2.0, "{}"),
+        (4, "2024-01-01 12:00:00", 7, "click", 0.0, "{}"),
+        (5, "2024-01-01 12:00:00", 7, "purchase", 4.0, "{}"),
+        (6, "2024-01-01 13:00:00", 7, "purchase", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/events.parquet", mode="overwrite")
+    out = {
+        r.state_type: (r.n_purchases, r.revenue)
+        for r in events_pit_lookup(spark, d).collect()
+    }
+    assert out == {
+        "none": (1, 1.0),   # 09:00 purchase precedes any state
+        "view": (1, 2.0),   # 11:00 inside [10:00, 12:00)
+        "click": (2, 12.0), # 12:00 tick attributes to the NEW state
+    }

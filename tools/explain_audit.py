@@ -187,6 +187,10 @@ def main():
         # a broadcast-able project-dim join, no window, no per-user
         # key anywhere
         "g_grant_path_census",
+        # the PIT lookup must show an equi-join on user_id with the
+        # interval containment as a join/filter condition — any
+        # BroadcastNestedLoop here is a bug
+        "ns_events_pit_lookup",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
