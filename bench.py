@@ -208,6 +208,7 @@ HEADLINE = [
     "rel_cdc_diff",
     "ns_events_attribution",
     "ns_events_pit_lookup",
+    "rel_trailing_window",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

@@ -178,6 +178,109 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    hash_shingles: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin family —
+    Bayardo/Ma/Srikant WWW'07, Xiao et al. WWW'08): same output as
+    ngram_jaccard_pairs at t = threshold_num/threshold_den, but the
+    candidate self-join runs over per-doc PREFIXES instead of full
+    posting lists — the classic set-similarity-join cut.
+
+    Lossless by the prefix lemma: order every doc's shingles by one
+    global total order (ascending document frequency, rarest first —
+    the order that shrinks candidates most — tie-broken by shingle);
+    J(A,B) >= t implies |A∩B| >= ceil(t·max(|A|,|B|)), and a pair
+    with overlap >= alpha must share an element inside BOTH prefixes
+    of length |x| − alpha + 1 <= |x| − ceil(t|x|) + 1. The threshold
+    enters the prefix length as EXACT integer arithmetic
+    (ceil(t·s) = (num·s + den − 1) div den), so no float rounding
+    can shorten a prefix below the lossless bound.
+
+    Verification joins the (distinct) candidate pairs back to the
+    full posting lists keyed on (id, shingle) — cost is candidates ×
+    set size, not postings², which is the whole point at 100 TB."""
+    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
+    if max_df is not None:
+        heavy = (
+            posts.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
+        posts = posts.withColumn(
+            "set_size",
+            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
+        )
+    posts = _scratch_persist(posts)
+    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("__gdf"))
+    ranked = posts.join(dfreq, ["shingle"]).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__gdf", "shingle")
+        ),
+    )
+    num, den = threshold_num, threshold_den
+    plen = (
+        F.col("set_size")
+        - F.expr(f"({num}L * set_size + {den - 1}L) DIV {den}L")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("__rk") <= plen).select(
+        "id", "set_size", "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pa = posts.select(F.col("id").alias("__ia"), "shingle")
+    pb = posts.select(
+        F.col("id").alias("__ib"), F.col("shingle").alias("__shb")
+    )
+    inter = (
+        cand.join(pa, cand.id_a == F.col("__ia"))
+        .join(
+            pb,
+            (cand.id_b == F.col("__ib"))
+            & (F.col("shingle") == F.col("__shb")),
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+            6,
+        ),
+    )
+    t = float(num) / float(den)
+    return jac.filter(F.col("jaccard") >= t).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

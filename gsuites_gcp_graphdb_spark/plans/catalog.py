@@ -1637,6 +1637,8 @@ _PRIORITY = [
     "ns_events_attribution",   # r8 new: journey first/last touch
     "ns_events_pit_lookup",    # r8 new: SCD2 point-in-time join
     "ns_text_bpe_apply",       # r8 new: applied-BPE token census
+    "rel_trailing_window",     # r8 new: time-RANGE frame window
+    "ns_dedup_ngram_prefix",   # r8 new: AllPairs prefix ssjoin
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -78,6 +78,26 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact Jaccard (operators/
+    dedup.ngram_jaccard_pairs_prefix): SAME pair set as
+    ns_dedup_ngram_jaccard — the prefix cut is lossless — but the
+    candidate self-join runs over rarest-first per-doc prefixes
+    instead of full posting lists, the classic set-similarity-join
+    optimization for web-scale corpora. Shares the baseline's oracle
+    verbatim: identical output is the correctness claim."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_prefix(
+        docs, n=SHINGLE_N, threshold_num=1, threshold_den=2,
+        max_df=MAX_DF,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
 CONTAIN_TAU = 0.6
 
 
@@ -3539,6 +3559,15 @@ ENTRIES: dict[str, QueryDef] = {
           (SELECT CAST(count(*) AS BIGINT) FROM (
              SELECT min(doc_id) FROM documents GROUP BY md5(text)))
             AS n_after_dedup
+        """,
+    ),
+    "ns_dedup_ngram_prefix": QueryDef(
+        ngram_jaccard_prefix,
+        f"""
+        WITH {_SQL_JACCARD_PAIRS_CUT.lstrip()}
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               jaccard
+        FROM jac WHERE jaccard >= {JACCARD_TAU}
         """,
     ),
     "ns_dedup_ngram_jaccard": QueryDef(

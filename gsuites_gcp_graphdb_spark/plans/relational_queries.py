@@ -1075,6 +1075,34 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the one frame kind the catalog's
+    other windows don't exercise (ROWS frames count rows; RANGE
+    frames bound by VALUE distance): per order, the customer's
+    trailing-30-day revenue, frame = RANGE [now-30d, now] over epoch
+    seconds. Peers with equal order dates all enter each other's
+    frames, so the result is tie-insensitive by construction (no
+    tiebreak needed — the frame, not the order, defines membership).
+    Customer-partitioned (never global); sums ride DECIMAL(18,2),
+    cast to double at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; the session
+    # timezone is pinned UTC so unix_timestamp IS the epoch.
+    sec = F.unix_timestamp(F.col("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
 def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot diff (operators/cdc.table_diff): classify every
     order key across two table versions as inserted / deleted /
@@ -1150,6 +1178,18 @@ def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENTRIES: dict[str, QueryDef] = {
+    "rel_trailing_window": QueryDef(
+        trailing_window_revenue,
+        """
+        SELECT o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_30d
+        FROM orders
+        """,
+    ),
     "rel_cdc_diff": QueryDef(
         cdc_orders_diff,
         """

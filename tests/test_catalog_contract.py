@@ -33,7 +33,13 @@ def test_oracles_reference_only_known_views():
                     qd.sql,
                 )
         )
-        for _kw, table in ident.findall(qd.sql):
+        # `x IS [NOT] DISTINCT FROM y` is an operator, not a table
+        # reference — strip it before scanning for FROM/JOIN targets.
+        scannable = re.sub(
+            r"IS\s+(?:NOT\s+)?DISTINCT\s+FROM", "IS_DISTINCT_OP",
+            qd.sql, flags=re.I,
+        )
+        for _kw, table in ident.findall(scannable):
             assert (
                 table.lower() in known
                 or table in ctes

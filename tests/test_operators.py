@@ -1020,3 +1020,27 @@ def test_bpe_token_census_applies_merges(spark):
     ]
     # words: aa(freq 2) -> [aa]; b(1) -> [b]; ab(1) -> [ab]
     assert rows == [(1, "aa", 2), (2, "ab", 1), (3, "b", 1)]
+
+
+def test_ngram_prefix_join_lossless(spark):
+    """The AllPairs prefix filter must produce EXACTLY the baseline
+    inverted-index pair set (prefix lemma: lossless at t=1/2),
+    including asymmetric-size pairs where the per-set prefix bound
+    is the subtle case."""
+    from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = sorted(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_df=5
+        ).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold_num=1, threshold_den=2, max_df=5
+        ).collect()
+    )
+    assert len(base) > 0
+    assert pref == base
