@@ -1302,6 +1302,46 @@ CATALOG: dict[str, QueryDef] = {
         GROUP BY 1
         """,
     ),
+    "g_offboard_blast": QueryDef(
+        gq.offboard_blast,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+        ),
+        u AS (SELECT k FROM verts_nk WHERE l = 'user'),
+        r0 AS (SELECT min(k) AS rk FROM verts_nk WHERE l = 'role'),
+        walk_b(vl, vk) AS (
+          SELECT 'user', k FROM u
+          UNION ALL
+          SELECT e.dl, e.dk
+          FROM walk_b w JOIN e ON e.sl = w.vl AND e.sk = w.vk
+        ),
+        nb AS (SELECT vk, count(*) AS n FROM walk_b
+               WHERE vl = 'project' GROUP BY 1),
+        e2 AS (
+          SELECT e.sl, e.sk, e.dl, e.dk FROM e, r0
+          WHERE NOT (e.sl = 'role' AND e.sk = r0.rk)
+            AND NOT (e.dl = 'role' AND e.dk = r0.rk)
+        ),
+        walk_a(vl, vk) AS (
+          SELECT 'user', k FROM u
+          UNION ALL
+          SELECT e2.dl, e2.dk
+          FROM walk_a w JOIN e2 ON e2.sl = w.vl AND e2.sk = w.vk
+        ),
+        na AS (SELECT vk, count(*) AS n FROM walk_a
+               WHERE vl = 'project' GROUP BY 1)
+        SELECT nb.vk AS projectid,
+               CAST(nb.n AS BIGINT) AS n_paths_before,
+               CAST(coalesce(na.n, 0) AS BIGINT) AS n_paths_after,
+               CAST(nb.n - coalesce(na.n, 0) AS BIGINT) AS n_paths_lost
+        FROM nb LEFT JOIN na ON na.vk = nb.vk
+        WHERE nb.n - coalesce(na.n, 0) > 0
+        """,
+    ),
     "g_reach_anf": QueryDef(
         gq.reach_anf,
         f"""
@@ -1639,6 +1679,7 @@ _PRIORITY = [
     "ns_text_bpe_apply",       # r8 new: applied-BPE token census
     "rel_trailing_window",     # r8 new: time-RANGE frame window
     "ns_dedup_ngram_prefix",   # r8 new: AllPairs prefix ssjoin
+    "g_offboard_blast",        # r8 new: role-removal path impact
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1258,6 +1258,65 @@ def reach_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def offboard_blast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What breaks if we delete this role — the change-impact audit
+    the reference's offboarding flow needs before a drop()
+    (README.md:320-411's manual 'who can access' checks, made
+    subtractive): pick the lexicographically-first role (a
+    deterministic stand-in for 'the role under review'), count
+    user->project grant paths WITH and WITHOUT its vertex via the
+    collapsed-frontier DP (graph/algorithms.dag_path_counts — two
+    O(|V|)-frontier runs, never a pair relation), and report every
+    project that loses paths: projectid, n_paths_before,
+    n_paths_after, n_paths_lost. Projects whose entire access flows
+    through the role show n_paths_after = 0 — the lockout list."""
+    from ..graph.algorithms import dag_path_counts
+
+    g = _graph(spark, sf_dir)
+    role = (
+        g.vertices.filter(F.col("label") == "role")
+        .orderBy("name")
+        .limit(1)
+        .select("id")
+    )
+    rid = role.first()
+    users = g.vertices.filter(F.col("label") == "user").select("id")
+    projects = g.vertices.filter(F.col("label") == "project").select(
+        "id", "projectid"
+    )
+    before = dag_path_counts(g, users, projects).select(
+        "target_id", F.col("n_paths").alias("__nb")
+    )
+    if rid is None:
+        e2 = g.edges
+    else:
+        e2 = g.edges.filter(
+            (F.col("src") != rid["id"]) & (F.col("dst") != rid["id"])
+        )
+    after = dag_path_counts(
+        Graph(g.vertices, e2), users, projects
+    ).select(F.col("target_id").alias("__ta"), F.col("n_paths").alias("__na"))
+    d38 = "decimal(38,0)"
+    out = (
+        before.join(after, before.target_id == F.col("__ta"), "left")
+        .join(projects, before.target_id == projects.id)
+        .select(
+            "projectid",
+            F.col("__nb").cast("bigint").alias("n_paths_before"),
+            F.coalesce(F.col("__na"), F.lit(0).cast(d38))
+            .cast("bigint")
+            .alias("n_paths_after"),
+            (
+                F.col("__nb")
+                - F.coalesce(F.col("__na"), F.lit(0).cast(d38))
+            )
+            .cast("bigint")
+            .alias("n_paths_lost"),
+        )
+    )
+    return out.filter(F.col("n_paths_lost") > 0)
+
+
 def reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed reciprocity: the fraction of distinct non-loop edges
     whose reverse edge also exists — near 0 on a containment/
