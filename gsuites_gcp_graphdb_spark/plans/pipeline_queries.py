@@ -1626,6 +1626,60 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the median of pairwise
+    slopes (Theil 1950 / Sen 1968), the outlier-proof sibling of the
+    OLS slope in ns_events_trend (one corrupted day moves OLS, but
+    not the slope median). Scale shape: the pair space is over DAILY
+    AGGREGATES per type (days², ~10³ pairs per type at any corpus
+    size — the corpus collapses into the exact DECIMAL day sums
+    first), so the self-join is bounded by the calendar, never the
+    event count. Each slope is ONE double division of exact inputs
+    (decimal value delta / integer day delta); the median
+    interpolates identically in both engines ((a+b)/2 on even
+    counts). Returns (event_type, n_days, ts_slope round6)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .withColumn(
+            "dn", (F.unix_timestamp("d") / F.lit(86400)).cast("bigint")
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("dn").alias("d1"),
+        F.col("v").alias("v1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("dn").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = a.join(
+        b,
+        (a.event_type == F.col("__et")) & (F.col("d1") < F.col("d2")),
+    ).select(
+        "event_type",
+        (
+            (F.col("v2") - F.col("v1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    ndays = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("ts_slope")
+    )
+    return ndays.join(med, ["event_type"], "left").select(
+        "event_type", "n_days", "ts_slope"
+    )
+
+
 def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend slope of value over time — drift detection
     for event streams. The whole regression is ONE map-side-combinable
@@ -4560,6 +4614,32 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_theil_sen": QueryDef(
+        events_theil_sen,
+        """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS d,
+                 sum(CAST(value AS DECIMAL(18,2))) AS v,
+                 CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+                   AS dn
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type,
+                 CAST(b.v - a.v AS DOUBLE)
+                   / CAST(b.dn - a.dn AS DOUBLE) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.dn < b.dn
+        ),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        med AS (SELECT event_type,
+                       round(quantile_cont(slope, 0.5), 6) AS ts_slope
+                FROM pairs GROUP BY 1)
+        SELECT nd.event_type, nd.n_days, med.ts_slope
+        FROM nd LEFT JOIN med ON med.event_type = nd.event_type
         """,
     ),
     "ns_events_pit_lookup": QueryDef(
