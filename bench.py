@@ -210,6 +210,7 @@ HEADLINE = [
     "ns_events_pit_lookup",
     "rel_trailing_window",
     "ns_events_theil_sen",
+    "ns_events_seq_ngrams",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

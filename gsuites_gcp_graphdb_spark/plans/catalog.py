@@ -1681,6 +1681,7 @@ _PRIORITY = [
     "ns_dedup_ngram_prefix",   # r8 new: AllPairs prefix ssjoin
     "g_offboard_blast",        # r8 new: role-removal path impact
     "ns_events_theil_sen",     # r8 new: robust median-slope trend
+    "ns_events_seq_ngrams",    # r8 new: behavior trigram census
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

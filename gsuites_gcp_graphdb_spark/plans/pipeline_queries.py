@@ -1626,6 +1626,42 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the top-20 event-type TRIGRAMS
+    across per-user ordered streams — the path-analysis census
+    (what do users do in threes) complementing the first-order
+    Markov matrix (ns_events_transitions) with second-order context.
+    One user-partitioned window (two leads), one map-combinable
+    hash-agg, TakeOrdered top-k with a lexicographic tiebreak — the
+    same scale shape as the BPE pair census. Ties in ts break on the
+    unique event_id, so both engines order streams identically."""
+    from pyspark.sql.window import Window
+
+    from ..functions.ranking import ranked_limit
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t1"), F.col("t2")
+            ).alias("trigram")
+        )
+    )
+    counts = tri.groupBy("trigram").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return ranked_limit(
+        counts, [F.col("n").desc(), F.col("trigram")], 20
+    ).select("rank", "trigram", "n")
+
+
 def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per event type — the median of pairwise
     slopes (Theil 1950 / Sen 1968), the outlier-proof sibling of the
@@ -4614,6 +4650,27 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_seq_ngrams": QueryDef(
+        events_seq_ngrams,
+        """
+        WITH tri AS (
+          SELECT event_type || '>' || t1 || '>' || t2 AS trigram
+          FROM (
+            SELECT event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ) WHERE t2 IS NOT NULL
+        ),
+        c AS (SELECT trigram, CAST(count(*) AS BIGINT) AS n
+              FROM tri GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram)
+                    AS BIGINT) AS rank,
+               trigram, n
+        FROM c ORDER BY n DESC, trigram LIMIT 20
         """,
     ),
     "ns_events_theil_sen": QueryDef(
