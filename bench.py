@@ -211,6 +211,7 @@ HEADLINE = [
     "rel_trailing_window",
     "ns_events_theil_sen",
     "ns_events_seq_ngrams",
+    "g_metapath_census",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

@@ -1302,6 +1302,21 @@ CATALOG: dict[str, QueryDef] = {
         GROUP BY 1
         """,
     ),
+    "g_metapath_census": QueryDef(
+        gq.metapath_census,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+        )
+        SELECT e1.sl AS src_label, e1.dl AS mid_label,
+               e2.dl AS dst_label,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM e e1 JOIN e e2 ON e1.dl = e2.sl AND e1.dk = e2.sk
+        GROUP BY 1, 2, 3
+        """,
+    ),
     "g_offboard_blast": QueryDef(
         gq.offboard_blast,
         f"""
@@ -1682,6 +1697,7 @@ _PRIORITY = [
     "g_offboard_blast",        # r8 new: role-removal path impact
     "ns_events_theil_sen",     # r8 new: robust median-slope trend
     "ns_events_seq_ngrams",    # r8 new: behavior trigram census
+    "g_metapath_census",       # r8 new: label-triple flow map
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

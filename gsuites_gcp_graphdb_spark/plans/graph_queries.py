@@ -1258,6 +1258,52 @@ def reach_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metapath_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-path census: how many 2-hop paths flow through each
+    (src_label, mid_label, dst_label) triple — the schema-level map
+    of HOW access flows (user->role->project vs user->group->group),
+    the aggregate sibling of g_edge_census. Scale design: the count
+    factors through per-vertex degree PRODUCTS — for each mid vertex,
+    (# in-edges by src label) x (# out-edges by dst label), at most
+    label² rows per vertex — so the engine never materializes the
+    2-hop join (which is user x project-sized through a hub role:
+    the same O(|S| x |V|) trap dag_path_counts documents). The
+    oracle derives the same census INDEPENDENTLY by enumerating the
+    2-hop join at sf0.01 — a stronger check than replaying the
+    factorization. Exact DECIMAL(38) products."""
+    g = _graph(spark, sf_dir)
+    labs = g.vertices.select("id", "label")
+    e = g.edges.select("src", "dst").dropDuplicates()
+    d38 = "decimal(38,0)"
+    n_in = (
+        e.join(labs, e.src == labs.id)
+        .groupBy(F.col("dst").alias("__mid"), F.col("label").alias("l_src"))
+        .agg(F.count("*").cast(d38).alias("__nin"))
+    )
+    n_out = (
+        e.join(labs, e.dst == labs.id)
+        .groupBy(F.col("src").alias("__mid2"), F.col("label").alias("l_dst"))
+        .agg(F.count("*").cast(d38).alias("__nout"))
+    )
+    mid_lab = labs.select(
+        F.col("id").alias("__midl"), F.col("label").alias("mid_label")
+    )
+    return (
+        n_in.join(n_out, n_in.__mid == n_out.__mid2)
+        .join(mid_lab, n_in.__mid == F.col("__midl"))
+        .groupBy(
+            F.col("l_src").alias("src_label"),
+            "mid_label",
+            F.col("l_dst").alias("dst_label"),
+        )
+        .agg(
+            F.sum(F.col("__nin") * F.col("__nout"))
+            .cast("bigint")
+            .alias("n_paths")
+        )
+    )
+
+
 def offboard_blast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What breaks if we delete this role — the change-impact audit
     the reference's offboarding flow needs before a drop()
