@@ -255,3 +255,61 @@ def frame_sample(media: DataFrame, stride: int = 64, frame: int = 16) -> DataFra
             idx, lambda i: F.substring(F.col("content"), i * stride + 1, frame)
         ).alias("frames"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", StringType(), True),
+    ]
+)
+
+
+def average_hash(img: DecodedImage, grid: int = 8) -> str:
+    """Perceptual average-hash (aHash — the classic pHash-family
+    baseline): grayscale the decoded pixels, block-mean them onto a
+    grid x grid lattice, threshold each cell against the global cell
+    mean, and emit the bits as a hex digest (16 hex chars at
+    grid=8). Pure integer arithmetic until one float mean — fully
+    deterministic, and near-identical images (crops/noise under the
+    block size) collide, which is the point."""
+    w, h, px = img.width, img.height, img.pixels
+    if w == 0 or h == 0 or not px:
+        return "0" * (grid * grid // 4)
+    cells = [[0, 0] for _ in range(grid * grid)]  # [sum, n]
+    n_px = len(px) // 3
+    for i in range(n_px):
+        gray = (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+        x, y = i % w, i // w
+        cy = min(y * grid // max(h, 1), grid - 1)
+        cx = min(x * grid // max(w, 1), grid - 1)
+        c = cells[cy * grid + cx]
+        c[0] += gray
+        c[1] += 1
+    means = [(s / n) if n else 0.0 for s, n in cells]
+    overall = sum(means) / len(means)
+    bits = 0
+    for m in means:
+        bits = (bits << 1) | (1 if m > overall else 0)
+    return format(bits, f"0{grid * grid // 4}x")
+
+
+def perceptual_hashes(media: DataFrame, grid: int = 8) -> DataFrame:
+    """mapInPandas aHash over decoded payloads — Arrow-batched,
+    per-partition, no shuffle; the dedup key for near-identical
+    media at 100 TB (hash once, group by 16-byte digest — never a
+    pairwise image comparison)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                img = decode_image(bytes(content))
+                out.append(average_hash(img, grid))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": out}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _hash, PHASH_SCHEMA
+    )

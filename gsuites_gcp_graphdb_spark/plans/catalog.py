@@ -1698,6 +1698,7 @@ _PRIORITY = [
     "ns_events_theil_sen",     # r8 new: robust median-slope trend
     "ns_events_seq_ngrams",    # r8 new: behavior trigram census
     "g_metapath_census",       # r8 new: label-triple flow map
+    "ns_media_phash_dedup",    # r8 new: perceptual-hash media dedup
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

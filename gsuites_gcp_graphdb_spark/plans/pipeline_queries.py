@@ -2838,6 +2838,48 @@ def pack_sequences_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup summary
+    (operators/multimodal.perceptual_hashes): aHash every decoded
+    PPM payload (Arrow-batched mapInPandas, no shuffle), group by
+    the 16-hex digest — the way image dedup works at 100 TB (hash
+    once, never pairwise pixel comparison). The hash itself is not
+    SQL-expressible, so the oracle is BOUNDS-STYLE (the
+    ns_hamming_recall pattern): the engine asserts two structural
+    invariants that hold by construction at ANY scale — identical
+    text encodes to identical payload hence identical pHash
+    (sound = count distinct text == count distinct (text, phash)),
+    and pHash groups can only MERGE exact groups, never split them
+    (n_phash_groups <= n_text_distinct) — and DuckDB independently
+    computes the exact columns (n_media, n_text_distinct) and
+    expects TRUE for both booleans."""
+    from ..operators.multimodal import (
+        documents_as_ppm_media,
+        perceptual_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_ppm_media(docs)
+    ph = perceptual_hashes(media)
+    j = docs.select(
+        F.col("doc_id").alias("media_id"), "text"
+    ).join(ph, ["media_id"])
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_media"),
+        F.countDistinct("text").cast("bigint").alias("n_text_distinct"),
+        F.countDistinct("text", "phash").alias("__td"),
+        F.countDistinct("phash").alias("__pd"),
+    )
+    return agg.select(
+        "n_media",
+        "n_text_distinct",
+        (F.col("__td") == F.col("n_text_distinct")).alias("sound"),
+        (F.col("__pd") <= F.col("n_text_distinct")).alias(
+            "groups_bounded"
+        ),
+    )
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata stats over the opaque binary column — the
     filter/prune path that must never read blob bytes (here it reads
@@ -4650,6 +4692,16 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_media_phash_dedup": QueryDef(
+        media_phash_dedup,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_media,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_text_distinct,
+               TRUE AS sound,
+               TRUE AS groups_bounded
+        FROM documents
         """,
     ),
     "ns_events_seq_ngrams": QueryDef(

@@ -1044,3 +1044,34 @@ def test_ngram_prefix_join_lossless(spark):
     )
     assert len(base) > 0
     assert pref == base
+
+
+def test_average_hash_perceptual_property(spark):
+    """aHash must be identical for identical pixels, STABLE under a
+    small perturbation (one byte nudged within a block), and differ
+    for structurally different images."""
+    from gsuites_gcp_graphdb_spark.operators.multimodal import (
+        DecodedImage,
+        average_hash,
+        encode_ppm,
+        decode_ppm,
+    )
+
+    base = bytes(range(256)) * 6
+    img1 = decode_ppm(encode_ppm(base, width=16))
+    img2 = decode_ppm(encode_ppm(base, width=16))
+    assert average_hash(img1) == average_hash(img2)
+
+    # nudge one byte by 1: block means barely move, hash stable
+    near = bytearray(base)
+    near[40] = (near[40] + 1) % 256
+    img3 = decode_ppm(encode_ppm(bytes(near), width=16))
+    assert average_hash(img3) == average_hash(img1)
+
+    # structurally different content: different hash
+    other = bytes(reversed(base))
+    img4 = decode_ppm(encode_ppm(other, width=16))
+    assert average_hash(img4) != average_hash(img1)
+
+    # degenerate empty image is total
+    assert average_hash(DecodedImage(0, 0, b"")) == "0" * 16
