@@ -212,6 +212,7 @@ HEADLINE = [
     "ns_events_theil_sen",
     "ns_events_seq_ngrams",
     "g_metapath_census",
+    "ns_events_engagement",
     "ns_corpus_budget_select",
     "ns_vec_pca_centered",
     "g_grant_path_census",

@@ -1699,6 +1699,7 @@ _PRIORITY = [
     "ns_events_seq_ngrams",    # r8 new: behavior trigram census
     "g_metapath_census",       # r8 new: label-triple flow map
     "ns_media_phash_dedup",    # r8 new: perceptual-hash media dedup
+    "ns_events_engagement",    # r8 new: DAU/WAU/MAU stickiness
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

@@ -1626,6 +1626,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU engagement + stickiness (DAU/MAU) per day —
+    the product-analytics vital signs. Scale design: sliding-window
+    DISTINCT counts don't map-side combine, so the corpus first
+    collapses to the distinct (day, user) relation (the engagement
+    atom — linear in activity, tiny vs raw events), and the trailing
+    7/30-day rollups are CALENDAR-BOUNDED self-joins of day pairs
+    (≤30 partner days per day) followed by countDistinct — never a
+    window over raw events and never a per-user state scan.
+    Stickiness is the single shared division, round6."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            (
+                F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("d"),
+            "user_id",
+        )
+        .dropDuplicates()
+    )
+    days = du.select("d").dropDuplicates()
+    dau = du.groupBy("d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    # trailing windows: pair each day with partner activity days in
+    # (d-6, d] / (d-29, d] — the join is bounded by the calendar.
+    d2 = du.select(F.col("d").alias("ad"), "user_id")
+    wau = (
+        days.join(
+            d2,
+            (F.col("ad") <= F.col("d")) & (F.col("ad") > F.col("d") - 7),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    mau = (
+        days.join(
+            d2,
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.col("d") - 30),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(wau, ["d"])
+        .join(mau, ["d"])
+        .select(
+            F.col("d").alias("day_num"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
 def events_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral sequence mining: the top-20 event-type TRIGRAMS
     across per-user ordered streams — the path-analysis census
@@ -4692,6 +4755,37 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_engagement": QueryDef(
+        events_engagement,
+        """
+        WITH du AS (
+          SELECT DISTINCT
+                 CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+                   AS d,
+                 user_id
+          FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du),
+        dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS dau FROM du GROUP BY 1),
+        wau AS (
+          SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT)
+                   AS wau
+          FROM days JOIN du
+            ON du.d <= days.d AND du.d > days.d - 7
+          GROUP BY 1),
+        mau AS (
+          SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT)
+                   AS mau
+          FROM days JOIN du
+            ON du.d <= days.d AND du.d > days.d - 30
+          GROUP BY 1)
+        SELECT dau.d AS day_num, dau.dau, wau.wau, mau.mau,
+               round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
+                     6) AS stickiness
+        FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
         """,
     ),
     "ns_media_phash_dedup": QueryDef(
