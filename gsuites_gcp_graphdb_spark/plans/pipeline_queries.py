@@ -3213,6 +3213,112 @@ def events_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style streaming pattern detection — the Structured
+    Streaming twin of ns_events_funnel: a stateful operator
+    (applyInPandasWithState) watches each user's ordered event stream
+    for first-signup -> first-click-within-1h -> first-purchase-
+    within-24h and EMITS one completion row per user the moment the
+    pattern closes (FlinkCEP's bread and butter, here as custom
+    state). Arrival is event-time-ordered (the sorted quartile
+    staging), and the state carries the current tie group's click/
+    purchase minima so a (ts-equal) tie group straddling a
+    micro-batch boundary cannot drop a boundary match — emission is
+    exactly the batch funnel's stage-3 set, which is the oracle.
+    All state arithmetic is integer microseconds."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.run import (
+        read_staged_stream,
+        run_to_memory,
+        stage_events_sorted_split,
+    )
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+    staged = stage_events_sorted_split(spark, sf_dir, n_files=4)
+    # ordered quartiles: batch k+1's min ts >= batch k's max, so even
+    # a tight watermark drops nothing — it exists to bound state.
+    stream = read_staged_stream(spark, staged, "1 minute")
+
+    def update(key, pdfs, state: GroupState):
+        # (s_us, c_us, last_us, tie_click, tie_purch, done)
+        s, c, last, tc, tp, done = (
+            state.get if state.exists else (None, None, None, None, None, False)
+        )
+        for pdf in pdfs:
+            if done or not len(pdf):
+                continue
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            et = pdf["event_type"]
+            batch_last = int(us.max())
+            if s is None:
+                sig = us[et == "signup"]
+                if len(sig):
+                    s = int(sig.min())
+            if s is not None and c is None:
+                cand = us[(et == "click") & (us >= s) & (us < s + HOUR)]
+                c_batch = int(cand.min()) if len(cand) else None
+                # boundary tie: a click at ts == s seen in an earlier
+                # batch of the same tie group
+                c_tie = tc if (tc is not None and tc == s) else None
+                cands = [x for x in (c_batch, c_tie) if x is not None]
+                if cands:
+                    c = min(cands)
+            p = None
+            if c is not None:
+                cand = us[
+                    (et == "purchase") & (us >= c) & (us < c + DAY)
+                ]
+                p_batch = int(cand.min()) if len(cand) else None
+                p_tie = tp if (tp is not None and tp == c) else None
+                cands = [x for x in (p_batch, p_tie) if x is not None]
+                if cands:
+                    p = min(cands)
+            # retain the trailing tie group's click/purchase minima
+            tie_c = us[(et == "click") & (us == batch_last)]
+            tie_p = us[(et == "purchase") & (us == batch_last)]
+            new_tc = int(tie_c.min()) if len(tie_c) else None
+            new_tp = int(tie_p.min()) if len(tie_p) else None
+            if last is not None and last == batch_last:
+                if tc is not None and (new_tc is None or tc < new_tc):
+                    new_tc = tc
+                if tp is not None and (new_tp is None or tp < new_tp):
+                    new_tp = tp
+            tc, tp, last = new_tc, new_tp, batch_last
+            if p is not None:
+                done = True
+                state.update((s, c, last, tc, tp, True))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "s_us": [s],
+                        "c_us": [c],
+                        "p_us": [p],
+                    }
+                )
+                return
+        state.update((s, c, last, tc, tp, done))
+        return
+        yield  # make this a generator even on the no-emit path
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, s_us long, c_us long, p_us long",
+        "s long, c long, last long, tc long, tp long, done boolean",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_memory(out, "funnel_stream", "update")
+    return tbl.dropDuplicates(["user_id"]).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.timestamp_micros("s_us").alias("s_ts"),
+        F.timestamp_micros("c_us").alias("c_ts"),
+        F.timestamp_micros("p_us").alias("p_ts"),
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY.md §2C range/as-of row): every 'error' event
     enriched with the most recent at-or-before 'signup' of the same
@@ -4755,6 +4861,29 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_funnel_stream": QueryDef(
+        events_funnel_stream,
+        """
+        WITH s AS (
+          SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+            AND e.ts < s.s_ts + INTERVAL 1 HOUR
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            AND e.ts < c.c_ts + INTERVAL 24 HOURS
+          GROUP BY 1)
+        SELECT CAST(s.user_id AS BIGINT) AS user_id,
+               s.s_ts, c.c_ts, p.p_ts
+        FROM s JOIN c USING (user_id) JOIN p USING (user_id)
         """,
     ),
     "ns_events_engagement": QueryDef(
