@@ -221,6 +221,7 @@ HEADLINE = [
     "g_degree_heterogeneity",
     "g_clustering_coefficient",
     "ns_events_type_gini",
+    "ns_events_span_coverage",
     # real streaming: CEP pattern detection (stateful funnel) — wall
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes

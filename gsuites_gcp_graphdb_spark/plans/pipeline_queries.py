@@ -3374,6 +3374,57 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.sliding_counts(load_table(spark, sf_dir, "events"))
 
 
+def events_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION / coverage — the classic sweep-line problem SQL
+    engines are bad at by default: per user, the total wall-clock
+    actually covered by their (overlapping) activity spans and how
+    many merged islands the spans collapse into. Same span
+    derivation as ns_events_span_overlap ([first, last + 1 min) per
+    event type). The sweep is windows-per-user over a handful of
+    spans: a span starts a new island iff its start exceeds the
+    running max end of all earlier spans (half-open: touching spans
+    merge); covered time = per-island (max end − min start) summed —
+    exact integer microseconds end to end, one shared division
+    nowhere. At 100 TB this is the gaps-and-islands shape: state per
+    user is one running max, never a pairwise interval join."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            + F.lit(60_000_000)
+        ).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "s_us", "e_us", "event_type"
+    )
+    prev_max = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "new_isl",
+        F.when(
+            prev_max.isNull() | (F.col("s_us") > prev_max), 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_isl = marked.groupBy("user_id", "isl").agg(
+        (F.max("e_us") - F.min("s_us")).alias("cov")
+    )
+    return per_isl.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id")
+    ).agg(
+        F.sum("cov").cast("bigint").alias("covered_us"),
+        F.count("*").cast("bigint").alias("n_islands"),
+    )
+
+
 def events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-interval overlap join (operators/joins.
     interval_overlap_join — the third classic temporal join after
@@ -4861,6 +4912,47 @@ ENTRIES: dict[str, QueryDef] = {
                (abs(b.lo + (q.q99 + 1) * w.w - b.x99) <= tol.t)
                  AS p99_within_bucket
         FROM b, w, q, tol WHERE b.n > 0
+        """,
+    ),
+    "ns_events_span_coverage": QueryDef(
+        events_span_coverage,
+        """
+        WITH spans AS (
+          SELECT user_id, event_type,
+                 epoch_us(min(ts)) AS s_us,
+                 epoch_us(max(ts)) + 60000000 AS e_us
+          FROM events GROUP BY 1, 2
+        ),
+        marked AS (
+          SELECT *,
+                 CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY s_us, e_us, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) IS NULL
+                      OR s_us > max(e_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY s_us, e_us, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_isl
+          FROM spans
+        ),
+        isl AS (
+          SELECT *, sum(new_isl) OVER (
+                   PARTITION BY user_id
+                   ORDER BY s_us, e_us, event_type
+                   ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked
+        ),
+        per_isl AS (
+          SELECT user_id, isl, max(e_us) - min(s_us) AS cov
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(cov) AS BIGINT) AS covered_us,
+               CAST(count(*) AS BIGINT) AS n_islands
+        FROM per_isl GROUP BY 1
         """,
     ),
     "ns_events_funnel_stream": QueryDef(
