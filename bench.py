@@ -222,6 +222,7 @@ HEADLINE = [
     "g_clustering_coefficient",
     "ns_events_type_gini",
     "ns_events_span_coverage",
+    "rel_ivm_join",
     # real streaming: CEP pattern detection (stateful funnel) — wall
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes

@@ -1702,6 +1702,7 @@ _PRIORITY = [
     "ns_events_engagement",    # r8 new: DAU/WAU/MAU stickiness
     "ns_events_funnel_stream", # r8 new: stateful CEP pattern stream
     "ns_events_span_coverage", # r8 new: interval-union sweep
+    "rel_ivm_join",            # r8 new: delta-join view maintenance
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

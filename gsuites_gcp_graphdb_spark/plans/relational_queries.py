@@ -1177,7 +1177,106 @@ def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta-join
+    identity ns_incremental_agg proves for aggregates, proven here
+    for the orders⋈customer enrichment view: instead of re-joining
+    the new table version, the ENGINE maintains the old view with the
+    CDC delta (drop deleted/updated keys via one anti-join, join only
+    the upserted rows — O(|delta|) join work, the whole point when
+    the base view is 100 TB and the delta is a day's changes). The
+    delta is the same md5-deterministic mutation set as rel_cdc_diff;
+    the ORACLE computes the view directly on the mutated table, so a
+    hash match IS the maintenance-equals-recompute theorem for this
+    view. Output: the maintained view keyed by order."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "o_custkey", "c_nationkey", "o_totalprice")
+
+    # CDC delta (same generator as rel_cdc_diff): deletions, updated
+    # rows (new values), and inserted clones under shifted keys.
+    deleted_keys = orders.filter(h(":cdc_del") < 1966).select(
+        "o_orderkey"
+    )
+    survivors = orders.filter(h(":cdc_del") >= 1966)
+    updated = survivors.filter(h(":cdc_upd") < 6554).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+    )
+    inserted = survivors.filter(h(":cdc_ins") < 1311).select(
+        (F.col("o_orderkey") + F.lit(100000000000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    upserts = updated.unionByName(inserted)
+    stale = deleted_keys.unionByName(updated.select("o_orderkey"))
+    maintained = (
+        base.join(stale, ["o_orderkey"], "left_anti")
+        .unionByName(
+            upserts.join(
+                customer, upserts.o_custkey == customer.c_custkey
+            ).select(
+                "o_orderkey", "o_custkey", "c_nationkey", "o_totalprice"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "o_totalprice",
+        )
+    )
+    return maintained
+
+
 ENTRIES: dict[str, QueryDef] = {
+    "rel_ivm_join": QueryDef(
+        ivm_join_maintenance,
+        """
+        WITH h AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_del'), 1, 4))::BIGINT AS hdel,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_upd'), 1, 4))::BIGINT AS hupd,
+                 ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':cdc_ins'), 1, 4))::BIGINT AS hins
+          FROM orders),
+        v2 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN hupd < 6554 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM h WHERE hdel >= 1966
+          UNION ALL
+          SELECT o_orderkey + 100000000000, o_custkey, o_totalprice
+          FROM h WHERE hdel >= 1966 AND hins < 1311
+        )
+        SELECT v2.o_orderkey,
+               CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+               v2.o_totalprice
+        FROM v2 JOIN customer c ON c.c_custkey = v2.o_custkey
+        """,
+    ),
     "rel_trailing_window": QueryDef(
         trailing_window_revenue,
         """
