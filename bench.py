@@ -223,6 +223,8 @@ HEADLINE = [
     "ns_events_type_gini",
     "ns_events_span_coverage",
     "rel_ivm_join",
+    "ns_text_langid_confusion",
+    "rel_rank_distribution",
     # real streaming: CEP pattern detection (stateful funnel) — wall
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes

@@ -1703,6 +1703,8 @@ _PRIORITY = [
     "ns_events_funnel_stream", # r8 new: stateful CEP pattern stream
     "ns_events_span_coverage", # r8 new: interval-union sweep
     "rel_ivm_join",            # r8 new: delta-join view maintenance
+    "ns_text_langid_confusion",# r8 new: classifier eval census
+    "rel_rank_distribution",   # r8 new: percent_rank/cume_dist
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

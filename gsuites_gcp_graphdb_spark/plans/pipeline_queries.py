@@ -801,6 +801,36 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class query: the confusion
+    matrix of the stopword-ratio language ID against the corpus's
+    ground-truth ``lang`` label — (lang_true, lang_pred, n,
+    frac_of_true). The census every data-quality pipeline runs
+    before trusting a heuristic gate: one join of the prediction
+    relation to the label column, one hash-agg, one per-true-class
+    window for the row-normalized fraction (classes ~3, never
+    global). frac = one shared division, round6."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs).select("doc_id", "lang_pred")
+    truth = docs.select("doc_id", F.col("lang").alias("lang_true"))
+    cm = (
+        truth.join(pred, ["doc_id"])
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang_true"))
+    return cm.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6).alias(
+            "frac_of_true"
+        ),
+    )
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.token_stats(docs)
@@ -4391,6 +4421,34 @@ ENTRIES: dict[str, QueryDef] = {
                ELSE 'de' END AS lang_pred,
           greatest(r_de, r_en, r_es) AS ratio
         FROM r
+        """,
+    ),
+    "ns_text_langid_confusion": QueryDef(
+        lang_id_confusion,
+        f"""
+        WITH r AS (
+          SELECT doc_id, lang AS lang_true,
+                 {_sql_stop_ratio(tx.STOPWORDS["de"])} AS r_de,
+                 {_sql_stop_ratio(tx.STOPWORDS["en"])} AS r_en,
+                 {_sql_stop_ratio(tx.STOPWORDS["es"])} AS r_es
+          FROM documents
+        ),
+        p AS (
+          SELECT lang_true,
+            CASE WHEN greatest(r_de, r_en, r_es) < 0.02 THEN 'und'
+                 WHEN r_es = greatest(r_de, r_en, r_es) THEN 'es'
+                 WHEN r_en = greatest(r_de, r_en, r_es) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM r
+        ),
+        cm AS (
+          SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2
+        )
+        SELECT lang_true, lang_pred, n,
+               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                 PARTITION BY lang_true) AS DOUBLE), 6) AS frac_of_true
+        FROM cm
         """,
     ),
     "ns_text_token_stats": QueryDef(

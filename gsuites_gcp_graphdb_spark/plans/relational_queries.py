@@ -1103,6 +1103,23 @@ def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window DISTRIBUTION functions — percent_rank and cume_dist,
+    the two ANSI window kinds the catalog's rank/ntile/lead windows
+    don't cover: where each part's price sits within its brand
+    (brand-partitioned, never global; both functions are exact
+    rationals with one division, round6; price ties get equal values
+    by definition so no tiebreak is needed)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
 def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot diff (operators/cdc.table_diff): classify every
     order key across two table versions as inserted / deleted /
@@ -1287,6 +1304,19 @@ ENTRIES: dict[str, QueryDef] = {
                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS trailing_30d
         FROM orders
+        """,
+    ),
+    "rel_rank_distribution": QueryDef(
+        price_rank_distribution,
+        """
+        SELECT p_partkey, p_brand,
+               round(percent_rank() OVER (
+                 PARTITION BY p_brand ORDER BY p_retailprice),
+                 6) AS price_pct_rank,
+               round(cume_dist() OVER (
+                 PARTITION BY p_brand ORDER BY p_retailprice),
+                 6) AS price_cume_dist
+        FROM part
         """,
     ),
     "rel_cdc_diff": QueryDef(
