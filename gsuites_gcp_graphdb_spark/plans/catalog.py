@@ -1302,6 +1302,31 @@ CATALOG: dict[str, QueryDef] = {
         GROUP BY 1
         """,
     ),
+    "g_shortest_path_bidi": QueryDef(
+        gq.shortest_path_bidi,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        {_VERTS_NK.strip()},
+        e AS (
+          SELECT DISTINCT sl, sk, dl, dk FROM edges_nk
+        ),
+        s0 AS (SELECT min(k) AS sk FROM verts_nk WHERE l = 'user'),
+        t0 AS (SELECT min(k) AS tk FROM verts_nk WHERE l = 'project'),
+        walk(vl, vk, d) AS (
+          SELECT 'user', sk, 0 FROM s0 WHERE sk IS NOT NULL
+          UNION
+          SELECT e.dl, e.dk, w.d + 1
+          FROM walk w JOIN e ON e.sl = w.vl AND e.sk = w.vk
+          WHERE w.d < 16
+        )
+        SELECT (SELECT sk FROM s0) AS src_key,
+               (SELECT tk FROM t0) AS dst_key,
+               CAST(min(d) AS BIGINT) AS dist
+        FROM walk, t0 WHERE vl = 'project' AND vk = t0.tk
+        HAVING count(*) > 0
+        """,
+    ),
     "g_metapath_census": QueryDef(
         gq.metapath_census,
         f"""
@@ -1705,6 +1730,7 @@ _PRIORITY = [
     "rel_ivm_join",            # r8 new: delta-join view maintenance
     "ns_text_langid_confusion",# r8 new: classifier eval census
     "rel_rank_distribution",   # r8 new: percent_rank/cume_dist
+    "g_shortest_path_bidi",    # r8 new: meet-in-the-middle BFS
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

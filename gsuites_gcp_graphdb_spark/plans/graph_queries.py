@@ -1258,6 +1258,47 @@ def reach_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shortest_path_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-point shortest grant chain by BIDIRECTIONAL BFS
+    (graph/algorithms.bidirectional_distance): the lexicographically-
+    first user to the lexicographically-first project, frontiers
+    meeting in the middle — O(b^(d/2)) per side instead of O(b^d),
+    the standard point-query trick a 100 TB graph needs (the SET
+    form, reachable_from, stays one-directional). Returns (src_key,
+    dst_key, dist) or no rows if unreachable. Oracle: recursive-CTE
+    BFS from the same endpoint rule — the bidirectional meet must
+    land on exactly the one-directional minimum."""
+    from ..graph.algorithms import bidirectional_distance
+
+    g = _graph(spark, sf_dir)
+    u = (
+        g.vertices.filter(F.col("label") == "user")
+        .agg(F.min("email"))
+        .first()[0]
+    )
+    p = (
+        g.vertices.filter(F.col("label") == "project")
+        .agg(F.min("projectid"))
+        .first()[0]
+    )
+    if u is None or p is None:
+        return spark.createDataFrame(
+            [], "src_key string, dst_key string, dist bigint"
+        )
+    src = g.vertices.filter(
+        (F.col("label") == "user") & (F.col("email") == u)
+    ).select("id")
+    dst = g.vertices.filter(
+        (F.col("label") == "project") & (F.col("projectid") == p)
+    ).select("id")
+    d = bidirectional_distance(g, src, dst, max_depth=16)
+    return d.select(
+        F.lit(u).alias("src_key"),
+        F.lit(p).alias("dst_key"),
+        F.col("dist"),
+    )
+
+
 def metapath_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-path census: how many 2-hop paths flow through each
     (src_label, mid_label, dst_label) triple — the schema-level map

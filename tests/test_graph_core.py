@@ -613,3 +613,29 @@ def test_metapath_census_matches_enumeration(spark, tmp_path):
                 k = (lab[a], lab[m], lab[b])
                 expect[k] = expect.get(k, 0) + 1
     assert rows == expect
+
+
+def test_bidirectional_distance_golden(golden, spark):
+    """Golden chain distance is 4; a diamond shortcut drops it to 3
+    (the sound-termination case: the first meeting is NOT minimal
+    when a shorter route exists through the other frontier); an
+    unreachable pair returns no rows."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        bidirectional_distance,
+    )
+
+    g = golden
+    src = g.V().has("email", "user1@domain.com").id_()
+    tgt = g.V().hasLabel("project").id_()
+    assert [r.dist for r in bidirectional_distance(g, src, tgt).collect()] == [4]
+
+    extra = [
+        ("user", "user1@domain.com", "group", "group_of_groups1@domain.com"),
+    ]
+    g2 = Graph(g.vertices, g.edges.unionByName(edges_of(spark, extra)))
+    assert [
+        r.dist for r in bidirectional_distance(g2, src, tgt).collect()
+    ] == [3]
+
+    # reverse direction: the project reaches nobody
+    assert bidirectional_distance(g, tgt, src).count() == 0
