@@ -225,6 +225,7 @@ HEADLINE = [
     "rel_ivm_join",
     "ns_text_langid_confusion",
     "rel_rank_distribution",
+    "ns_text_ngram_novelty",
     # real streaming: CEP pattern detection (stateful funnel) — wall
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes

@@ -801,6 +801,54 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk audit for
+    training corpora: what fraction of each document's distinct
+    8-gram shingles also appear in at least one OTHER document
+    (shared mass ~1 means the doc is assembled from corpus
+    boilerplate; the doc-level signal behind ExactSubstr-style
+    dedup). One corpus-level shingle document-frequency hash-agg,
+    joined back to the per-doc shingle relation — linear in shingle
+    volume, no pair space anywhere. novelty = one shared division,
+    round6. Returns the 20 LEAST novel docs (most boilerplate), id
+    tiebreak."""
+    from ..functions.textfns import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles(F.lower(F.col("text")), 8)).alias("sh"),
+    ).dropDuplicates()
+    dfreq = posts.groupBy("sh").agg(F.count("*").alias("__df"))
+    per_doc = (
+        posts.join(dfreq, ["sh"])
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") > 1).cast("long"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    scored = per_doc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "n_shingles",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("shared_ratio"),
+    )
+    from ..functions.ranking import ranked_limit
+
+    return ranked_limit(
+        scored,
+        [F.col("shared_ratio").desc(), F.col("doc_id")],
+        20,
+    ).select("rank", "doc_id", "n_shingles", "n_shared", "shared_ratio")
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation as a first-class query: the confusion
     matrix of the stopword-ratio language ID against the corpus's
@@ -4421,6 +4469,38 @@ ENTRIES: dict[str, QueryDef] = {
                ELSE 'de' END AS lang_pred,
           greatest(r_de, r_en, r_es) AS ratio
         FROM r
+        """,
+    ),
+    "ns_text_ngram_novelty": QueryDef(
+        text_ngram_novelty,
+        """
+        WITH posts AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(
+                     len(string_split(lower(text), ' ')) - 8, 0) + 1),
+                   i -> array_to_string(
+                     string_split(lower(text), ' ')[i+1:i+8], ' '))))
+                   AS sh
+          FROM documents
+        ),
+        dfq AS (SELECT sh, count(*) AS df FROM posts GROUP BY 1),
+        pd AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_shared
+          FROM posts JOIN dfq USING (sh) GROUP BY 1
+        ),
+        sc AS (
+          SELECT CAST(id AS BIGINT) AS doc_id, n_shingles, n_shared,
+                 round(CAST(n_shared AS DOUBLE)
+                       / CAST(n_shingles AS DOUBLE), 6) AS shared_ratio
+          FROM pd
+        )
+        SELECT CAST(row_number() OVER (
+                 ORDER BY shared_ratio DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, n_shingles, n_shared, shared_ratio
+        FROM sc ORDER BY shared_ratio DESC, doc_id LIMIT 20
         """,
     ),
     "ns_text_langid_confusion": QueryDef(
