@@ -226,6 +226,7 @@ HEADLINE = [
     "ns_text_langid_confusion",
     "rel_rank_distribution",
     "ns_text_ngram_novelty",
+    "ns_vec_drift",
     # real streaming: CEP pattern detection (stateful funnel) — wall
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes

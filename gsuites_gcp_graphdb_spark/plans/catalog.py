@@ -1732,6 +1732,7 @@ _PRIORITY = [
     "rel_rank_distribution",   # r8 new: percent_rank/cume_dist
     "g_shortest_path_bidi",    # r8 new: meet-in-the-middle BFS
     "ns_text_ngram_novelty",   # r8 new: memorization-risk audit
+    "ns_vec_drift",            # r8 new: embedding drift monitor
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

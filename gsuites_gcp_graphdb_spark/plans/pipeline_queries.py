@@ -801,6 +801,100 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between two cohorts — the ML-ops
+    monitor that fires before a model silently degrades: split the
+    store into reference/current by a deterministic md5 coin, then
+    compare (a) the per-dimension mean vectors (L1 shift) and (b)
+    the mean squared norms. All exact-integer (the linalg pattern,
+    DESIGN.md #24): micro-unit quantization, DECIMAL(38) cohort
+    sums, and the mean differences cleared of division by
+    cross-multiplying — |S_ref·n_cur − S_cur·n_ref| is an exact
+    integer; ONE shared division by n_ref·n_cur at the end, round6.
+    On the fixture's hash split both shifts are near 0 (same
+    distribution) — the value is the exact, engine-agreed zero
+    point a real drift alarm thresholds against."""
+    from ..operators.linalg import _xint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coh = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(":drift"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).alias("coh")
+    x = _xint(emb, "vec_id", "embedding").select("id", "dim", "x", coh)
+    d38 = "decimal(38,0)"
+    n = (
+        x.select("id", "coh")
+        .dropDuplicates()
+        .groupBy("coh")
+        .agg(F.count("*").cast(d38).alias("n"))
+    )
+    n_ref = n.filter(F.col("coh") == 0).select(
+        F.col("n").alias("n_ref")
+    )
+    n_cur = n.filter(F.col("coh") == 1).select(
+        F.col("n").alias("n_cur")
+    )
+    sums = x.groupBy("dim", "coh").agg(
+        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("q"),
+    )
+    ref = sums.filter(F.col("coh") == 0).select(
+        "dim", F.col("s").alias("s0"), F.col("q").alias("q0")
+    )
+    cur = sums.filter(F.col("coh") == 1).select(
+        F.col("dim").alias("__d"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    per_dim = (
+        ref.join(cur, ref.dim == F.col("__d"))
+        .crossJoin(n_ref)
+        .crossJoin(n_cur)
+        .select(
+            F.abs(
+                F.col("s0") * F.col("n_cur") - F.col("s1") * F.col("n_ref")
+            ).alias("mnum"),
+            (
+                F.col("q0") * F.col("n_cur") - F.col("q1") * F.col("n_ref")
+            ).alias("qnum"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    agg = per_dim.groupBy("n_ref", "n_cur").agg(
+        F.sum("mnum").alias("msum"), F.sum("qnum").alias("qsum")
+    )
+    den = (F.col("n_ref") * F.col("n_cur")).cast("double") * F.lit(
+        1_000_000.0
+    )
+    return agg.filter(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    ).select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.col("msum").cast("double") / den, 6).alias(
+            "l1_mean_shift"
+        ),
+        F.round(
+            F.abs(F.col("qsum")).cast("double")
+            / (
+                (F.col("n_ref") * F.col("n_cur")).cast("double")
+                * F.lit(1e12)
+            ),
+            6,
+        ).alias("norm2_shift"),
+    )
+
+
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty — the memorization-risk audit for
     training corpora: what fraction of each document's distinct
@@ -4469,6 +4563,47 @@ ENTRIES: dict[str, QueryDef] = {
                ELSE 'de' END AS lang_pred,
           greatest(r_de, r_en, r_es) AS ratio
         FROM r
+        """,
+    ),
+    "ns_vec_drift": QueryDef(
+        vec_drift,
+        """
+        WITH xint AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 unnest(range(0, len(embedding))) AS dim,
+                 unnest(list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT))) AS x,
+                 (('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                    || ':drift'), 1, 4))::BIGINT % 2) AS coh
+          FROM embeddings),
+        n AS (SELECT coh, CAST(count(DISTINCT id) AS HUGEINT) AS n
+              FROM xint GROUP BY 1),
+        sums AS (
+          SELECT dim, coh, sum(CAST(x AS HUGEINT)) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS q
+          FROM xint GROUP BY 1, 2),
+        pd AS (
+          SELECT abs(r.s * nc.n - c.s * nr.n) AS mnum,
+                 (r.q * nc.n - c.q * nr.n) AS qnum,
+                 nr.n AS n_ref, nc.n AS n_cur
+          FROM sums r
+          JOIN sums c ON c.dim = r.dim AND r.coh = 0 AND c.coh = 1
+          CROSS JOIN (SELECT n FROM n WHERE coh = 0) nr(n)
+          CROSS JOIN (SELECT n FROM n WHERE coh = 1) nc(n)
+        ),
+        agg AS (SELECT n_ref, n_cur, sum(mnum) AS msum,
+                       sum(qnum) AS qsum
+                FROM pd GROUP BY 1, 2)
+        SELECT CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(CAST(msum AS DOUBLE)
+                     / (CAST(n_ref * n_cur AS DOUBLE) * 1000000.0),
+                     6) AS l1_mean_shift,
+               round(CAST(abs(qsum) AS DOUBLE)
+                     / (CAST(n_ref * n_cur AS DOUBLE) * 1e12),
+                     6) AS norm2_shift
+        FROM agg WHERE n_ref > 0 AND n_cur > 0
         """,
     ),
     "ns_text_ngram_novelty": QueryDef(
