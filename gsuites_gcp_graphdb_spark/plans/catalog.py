@@ -1733,6 +1733,7 @@ _PRIORITY = [
     "g_shortest_path_bidi",    # r8 new: meet-in-the-middle BFS
     "ns_text_ngram_novelty",   # r8 new: memorization-risk audit
     "ns_vec_drift",            # r8 new: embedding drift monitor
+    "ns_ivf_nprobe_sweep",     # r8 new: ANN tuning-curve invariants
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

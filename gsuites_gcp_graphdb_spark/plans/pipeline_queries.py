@@ -374,6 +374,63 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve as a first-class query: recall@5 vs
+    brute force at nprobe = 1, 2, 4, 8 over an 8-centroid IVF — the
+    sweep an operator runs before picking a production nprobe.
+    Engine-side k-means makes raw recalls non-replayable, so the
+    oracle pins the STRUCTURAL invariants of the curve (bounds-style,
+    like ns_ivf_recall): (a) every query still finds itself at rank
+    1 at every nprobe; (b) hits are MONOTONE non-decreasing in
+    nprobe — a true top-5 neighbor in the candidate set always makes
+    the approx top-5 (anything closer is itself true top-5), and
+    probing more cells only grows the candidate set; (c) nprobe =
+    num_centroids probes everything, so recall is EXACTLY 1 there.
+    Per-nprobe hit counts are bounded 1-row fetches (the
+    parameter-bind pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    n_queries = queries.count()
+    if n_queries == 0:
+        return spark.createDataFrame(
+            [],
+            "nprobe int, n_queries bigint, all_self_rank1 boolean,"
+            " recall_monotone boolean, exhaustive_exact boolean",
+        )
+    brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    n_true = brute.count()
+    rows = []
+    prev_hits = -1
+    for nprobe in (1, 2, 4, 8):
+        approx = sim.ivf_topk(
+            queries, emb, k=5, num_centroids=8, nprobe=nprobe,
+            iterations=2,
+        )
+        n_self = approx.filter(
+            (F.col("rank") == 1) & (F.col("q_id") == F.col("vec_id"))
+        ).count()
+        n_hit = brute.join(
+            approx.select("q_id", "vec_id"), ["q_id", "vec_id"]
+        ).count()
+        rows.append(
+            (
+                nprobe,
+                n_queries,
+                n_self == n_queries,
+                n_hit >= prev_hits,
+                (n_hit == n_true) if nprobe == 8 else True,
+            )
+        )
+        prev_hits = n_hit
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, n_queries bigint, all_self_rank1 boolean,"
+        " recall_monotone boolean, exhaustive_exact boolean",
+    )
+
+
 def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounds-style oracle for the binary-sketch rerank path
     (similarity.hamming_topk, the round-7 packed sign-sketch kernel):
@@ -4563,6 +4620,21 @@ ENTRIES: dict[str, QueryDef] = {
                ELSE 'de' END AS lang_pred,
           greatest(r_de, r_en, r_es) AS ratio
         FROM r
+        """,
+    ),
+    "ns_ivf_nprobe_sweep": QueryDef(
+        ivf_nprobe_sweep,
+        """
+        WITH q AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_queries
+          FROM embeddings WHERE vec_id % 100 = 0
+        )
+        SELECT s.nprobe, q.n_queries,
+               TRUE AS all_self_rank1,
+               TRUE AS recall_monotone,
+               TRUE AS exhaustive_exact
+        FROM q, (VALUES (1), (2), (4), (8)) s(nprobe)
+        WHERE q.n_queries > 0
         """,
     ),
     "ns_vec_drift": QueryDef(
