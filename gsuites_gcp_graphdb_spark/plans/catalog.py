@@ -1302,6 +1302,40 @@ CATALOG: dict[str, QueryDef] = {
         GROUP BY 1
         """,
     ),
+    "g_role_similarity": QueryDef(
+        gq.role_similarity,
+        f"""
+        WITH
+        {_EDGES_NK.strip()},
+        mem AS (
+          SELECT DISTINCT sk AS m, dk AS role FROM edges_nk
+          WHERE dl = 'role' AND sl = 'user'
+        ),
+        sizes AS (SELECT role, CAST(count(*) AS BIGINT) AS n
+                  FROM mem GROUP BY 1),
+        inter AS (
+          SELECT a.role AS role_a, b.role AS role_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM mem a JOIN mem b
+            ON a.m = b.m AND a.role < b.role
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT i.role_a, i.role_b, i.inter,
+                 round(CAST(i.inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+                   AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.role = i.role_a
+          JOIN sizes sb ON sb.role = i.role_b
+        )
+        SELECT CAST(row_number() OVER (
+                 ORDER BY jaccard DESC, role_a, role_b) AS BIGINT)
+                 AS rank,
+               role_a, role_b, inter, jaccard
+        FROM jac ORDER BY jaccard DESC, role_a, role_b LIMIT 10
+        """,
+    ),
     "g_shortest_path_bidi": QueryDef(
         gq.shortest_path_bidi,
         f"""
@@ -1734,6 +1768,7 @@ _PRIORITY = [
     "ns_text_ngram_novelty",   # r8 new: memorization-risk audit
     "ns_vec_drift",            # r8 new: embedding drift monitor
     "ns_ivf_nprobe_sweep",     # r8 new: ANN tuning-curve invariants
+    "g_role_similarity",       # r8 new: role-consolidation audit
     "g_skew_membership_auto",  # r8 new: encoded skew decision rule
     "g_dag_depth",             # r8 new: longest-path DAG layering
     "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing

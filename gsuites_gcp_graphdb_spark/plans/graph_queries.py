@@ -1258,6 +1258,67 @@ def reach_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def role_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-consolidation audit: exact Jaccard similarity of every
+    role pair's direct member sets — near-identical member sets mean
+    redundant roles (the IAM cleanup the reference's manual console
+    queries hunt for one role at a time). Exact ALL-PAIRS is
+    justified here and only here: roles are a bounded catalog (a dim,
+    ~25 at any corpus size — the fact tables grow, the role TYPE
+    space doesn't), so pairs are dim², while member-set intersections
+    come from ONE self-join of the user->role edge relation on the
+    member (linear in memberships). Top-10 most similar pairs,
+    round-before-top-k, (role_a, role_b) tiebreak."""
+    g = _graph(spark, sf_dir)
+    roles = g.vertices.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    users = g.vertices.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid")
+    )
+    mem = (
+        g.edges.select("src", "dst")
+        .dropDuplicates()
+        .join(roles, F.col("dst") == F.col("rid"))
+        .join(users, F.col("src") == F.col("uid"), "left_semi")
+        .select(F.col("src").alias("m"), "role")
+    )
+    sizes = mem.groupBy("role").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = mem.select("m", F.col("role").alias("role_a"))
+    b = mem.select("m", F.col("role").alias("role_b"))
+    inter = (
+        a.join(b, ["m"])
+        .filter(F.col("role_a") < F.col("role_b"))
+        .groupBy("role_a", "role_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("role").alias("role_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("role").alias("role_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(sa, ["role_a"])
+        .join(sb, ["role_b"])
+        .select(
+            "role_a",
+            "role_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from ..functions.ranking import ranked_limit
+
+    return ranked_limit(
+        jac, [F.col("jaccard").desc(), F.col("role_a"), F.col("role_b")], 10
+    ).select("rank", "role_a", "role_b", "inter", "jaccard")
+
+
 def shortest_path_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-to-point shortest grant chain by BIDIRECTIONAL BFS
     (graph/algorithms.bidirectional_distance): the lexicographically-
