@@ -191,6 +191,12 @@ def main():
         # interval containment as a join/filter condition — any
         # BroadcastNestedLoop here is a bug
         "ns_events_pit_lookup",
+        # round-8 sixth wave: the drift monitor must be two chained
+        # hash-aggs + broadcast 1-row cohort counts (no window, no
+        # per-vector state); role similarity is one membership
+        # self-join + broadcastable dim-size joins
+        "ns_vec_drift",
+        "g_role_similarity",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
