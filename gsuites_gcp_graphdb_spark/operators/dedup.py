@@ -165,6 +165,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").cast("bigint").alias("inter"))
     )
+    # Threshold on the EXACT integer inequality (r8 advisory):
+    # inter/union >= num/den  <=>  inter*den >= num*(|A|+|B|-inter).
+    # Filtering on round(jaccard, 6) admits pairs whose true Jaccard
+    # is just below t but rounds to it (possible once the union
+    # exceeds ~2e6 shingles) — which the prefix variant's lossless
+    # cut would legitimately prune, breaking the "same output"
+    # contract between the two operators. The rounded jaccard is a
+    # display column only.
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     jac = inter.withColumn(
         "jaccard",
         F.round(
@@ -173,9 +185,11 @@ def ngram_jaccard_pairs(
             6,
         ),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return jac.filter(
+        F.col("inter") * F.lit(den)
+        >= F.lit(num)
+        * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("id_a", "id_b", "jaccard")
 
 
 def ngram_jaccard_pairs_prefix(
@@ -267,6 +281,10 @@ def ngram_jaccard_pairs_prefix(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").cast("bigint").alias("inter"))
     )
+    # Same EXACT integer threshold as ngram_jaccard_pairs (r8
+    # advisory) — the losslessness claim only holds if the final
+    # filter uses the same rational inequality the prefix length was
+    # derived from; rounded jaccard is display-only.
     jac = inter.withColumn(
         "jaccard",
         F.round(
@@ -275,10 +293,11 @@ def ngram_jaccard_pairs_prefix(
             6,
         ),
     )
-    t = float(num) / float(den)
-    return jac.filter(F.col("jaccard") >= t).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return jac.filter(
+        F.col("inter") * F.lit(den)
+        >= F.lit(num)
+        * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("id_a", "id_b", "jaccard")
 
 
 def ngram_containment_pairs(

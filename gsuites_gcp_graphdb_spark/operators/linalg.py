@@ -69,12 +69,18 @@ def gram_matrix(
     b = x.select(
         F.col("id"), F.col("dim").alias("j"), F.col("x").alias("xj")
     )
+    # Cast ONE operand before the multiply (r8 advisory): xi * xj in
+    # LONG wraps at |x| >~ 3e3 real units (micro ~3e9, product >
+    # 2^63) while the DuckDB oracle multiplies in HUGEINT. Promoting
+    # xi to DECIMAL(38,0) makes the product decimal on both the
+    # element and the accumulator, matching the oracle bit-for-bit
+    # for any coordinate the 38-digit headroom admits.
     return (
         a.join(b, ["id"])
         .groupBy("i", "j")
         .agg(
             F.sum(
-                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+                F.col("xi").cast("decimal(38,0)") * F.col("xj")
             ).alias("s")
         )
     )

@@ -32,7 +32,12 @@ from .base import QueryDef
 SHINGLE_N = 3
 MINHASH_K = 12
 LSH_BANDS = 6
-JACCARD_TAU = 0.5
+# Jaccard threshold as an exact rational: BOTH engines filter on the
+# integer inequality inter*den >= num*(union) (r8 advisory — rounded
+# jaccard is display-only); the float form survives for downstream
+# WHERE clauses, which are redundant once the exact filter ran.
+JACCARD_NUM, JACCARD_DEN = 1, 2
+JACCARD_TAU = JACCARD_NUM / JACCARD_DEN
 MAX_DF = 5  # df-cut: shingles in more than MAX_DF docs are stop-shingles
 FP_N = 5
 TOPK = 10
@@ -612,6 +617,8 @@ _SQL_JACCARD_PAIRS = f"""
         FROM posts a
         JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+        HAVING count(*) * {JACCARD_DEN}
+          >= {JACCARD_NUM} * (a.set_size + b.set_size - count(*))
       )"""
 
 # df-cut variant (mirrors ngram_jaccard_pairs(max_df=MAX_DF)): drop
@@ -640,6 +647,8 @@ _SQL_JACCARD_PAIRS_CUT = f"""
         FROM kept a
         JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+        HAVING count(*) * {JACCARD_DEN}
+          >= {JACCARD_NUM} * (a.set_size + b.set_size - count(*))
       )"""
 
 
@@ -900,9 +909,14 @@ def vec_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cur = n.filter(F.col("coh") == 1).select(
         F.col("n").alias("n_cur")
     )
+    # Cast BEFORE aggregating (r8 advisory): summing x / x*x in LONG
+    # wraps silently at ~9e6 unit-ish vectors (x~1e6 micro, x^2~1e12,
+    # int64 ceiling ~9.2e18) while the DuckDB oracle sums in HUGEINT.
+    # DECIMAL(38) accumulation keeps both engines exact at any n the
+    # 38-digit headroom covers (~1e26 vectors).
     sums = x.groupBy("dim", "coh").agg(
-        F.sum("x").cast(d38).alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("q"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("q"),
     )
     ref = sums.filter(F.col("coh") == 0).select(
         "dim", F.col("s").alias("s0"), F.col("q").alias("q0")
@@ -1371,8 +1385,16 @@ def events_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the month by summing counts — the rollup no raw re-read ever
     touches; the quantile estimate reads the merged histogram's
     cumulative counts (a 128-row broadcast self-join, no global
-    window). Claims: each estimate lands within ~one bucket width of
-    the exact quantile. Every number both engines emit derives from
+    window). The within_bucket booleans are a DATA-DEPENDENT check,
+    not a guarantee (r8 advisory): the estimate is the upper edge of
+    the bucket holding the ceil(p*n)-th ORDER STATISTIC, while
+    exact_pXX is the INTERPOLATED percentile at rank 1+(n-1)p — on
+    sparse/clustered data those two ranks can straddle a wide value
+    gap (e.g. even n, p50 interpolating between far-apart values),
+    so a boolean can legitimately read false with both engines
+    agreeing; vs the non-interpolated order statistic the estimate
+    IS always within one bucket. Every number both engines emit
+    derives from
     identical integer counts and correctly-rounded double arithmetic,
     so the comparison is an exact hash match, not a tolerance."""
     ev = load_table(spark, sf_dir, "events").filter(
