@@ -234,6 +234,80 @@ HEADLINE = [
 ]
 
 
+# FROZEN round-over-round comparator (r8 VERDICT item 2): the exact
+# 66-entry r7 suite (commit 6001656's BENCH_DETAIL key set). The
+# headline total keeps growing as the suite grows, so drift and
+# growth are indistinguishable in it; `common66` is the sum over THIS
+# list only, emitted alongside the headline every round. Do not edit
+# this list — that is the point of it.
+COMMON66 = (
+    "etl_role_permission_inversion", "g_bucketed_layout_write",
+    "g_closeness_sample", "g_connected_components",
+    "g_connected_components_star", "g_count_by_label", "g_edge_count",
+    "g_flagship_bucketed", "g_hits_top", "g_label_propagation",
+    "g_members_of_role", "g_ppr_access", "g_principals_with_access",
+    "g_reachable_from_user", "g_risk_report",
+    "g_skew_membership_plain", "g_skew_membership_salted",
+    "g_stream_ingest_e2e", "g_top_roles", "g_triangle_count",
+    "g_weighted_distances", "graph_build", "ns_class_balance",
+    "ns_decontaminate", "ns_dedup_clusters", "ns_dedup_exact",
+    "ns_dedup_incremental", "ns_dedup_jaccard_fast",
+    "ns_dedup_jaccard_fast_dfcut", "ns_dedup_minhash_fast",
+    "ns_dedup_minhash_lsh", "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash_fast", "ns_dedup_substring",
+    "ns_dedup_substring_fast", "ns_events_anomaly",
+    "ns_events_asof_join", "ns_events_cusum",
+    "ns_events_multires_rollup", "ns_events_scd2",
+    "ns_events_sessions", "ns_events_sessions_stream",
+    "ns_events_transitions", "ns_events_tumbling",
+    "ns_events_value_deciles", "ns_fuzzy_match", "ns_incremental_agg",
+    "ns_ivf_ann", "ns_pack_sequences", "ns_pipeline_e2e",
+    "ns_semantic_dedup_fast", "ns_table_audit", "ns_text_chunks",
+    "ns_text_dsir", "ns_text_pii", "ns_text_repetition",
+    "ns_text_tfidf", "ns_text_token_stats",
+    "ns_text_unigram_logprob", "ns_text_winnowing", "ns_topk_cosine",
+    "rel_bloom_prejoin", "rel_pricing_summary",
+    "rel_revenue_by_nation", "rel_skyline_parts",
+    "rel_top_order_per_customer",
+)
+
+
+def fast_registry(spark, sf_dir: str) -> dict:
+    """Bench-only scale-path entries (xxhash64 / trained-quantizer
+    variants of catalog operators) as name -> zero-arg action, shared
+    between the timed suite below and tools/drift_probe.py (r8
+    VERDICT item 3: the _fast family needs isolated medians too, and
+    these live here, not in the catalog)."""
+    from gsuites_gcp_graphdb_spark.operators import similarity as sim
+    from gsuites_gcp_graphdb_spark.plans import (
+        pipeline_queries as pq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "ns_dedup_minhash_fast": lambda: dd.minhash_lsh_candidates(
+            docs, use_md5=False
+        ).count(),
+        "ns_dedup_jaccard_fast": lambda: dd.ngram_jaccard_pairs(
+            docs, hash_shingles=True
+        ).count(),
+        "ns_dedup_jaccard_fast_dfcut": lambda: dd.ngram_jaccard_pairs(
+            docs, hash_shingles=True, max_df=5
+        ).count(),
+        "ns_dedup_simhash_fast": lambda: dd.simhash_candidates(
+            docs, max_hamming=3
+        ).count(),
+        "ns_semantic_dedup_fast": lambda: dd.semantic_dedup_members(
+            sim.embedding_near_duplicates(emb, threshold=0.4)
+        ).count(),
+        "ns_dedup_substring_fast": lambda: dd.substring_dup_stats(
+            docs, k=8, fast=True
+        ).count(),
+        "ns_ivf_ann": lambda: pq.ivf_ann(spark, sf_dir).collect(),
+    }
+
+
 def main() -> None:
     preflight()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -300,66 +374,15 @@ def main() -> None:
         fn = CATALOG[name].fn
         median_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
-    # Scale-path variants (xxhash64 instead of portable md5/strings).
-    docs = load_table(spark, sf_dir, "documents")
-    median_timed(
-        "ns_dedup_minhash_fast",
-        lambda: dd.minhash_lsh_candidates(docs, use_md5=False).count(),
-    )
-    median_timed(
-        "ns_dedup_jaccard_fast",
-        lambda: dd.ngram_jaccard_pairs(docs, hash_shingles=True).count(),
-    )
-    # The df-cut scale guard on the same fast path: stop-shingle
-    # removal shrinks the candidate set before the self-join.
-    median_timed(
-        "ns_dedup_jaccard_fast_dfcut",
-        lambda: dd.ngram_jaccard_pairs(
-            docs, hash_shingles=True, max_df=5
-        ).count(),
-    )
-    median_timed(
-        "ns_dedup_simhash_fast",
-        lambda: dd.simhash_candidates(docs, max_hamming=3).count(),
-    )
-    # SemDeDup production path: threshold-derived banded LSH
-    # candidates -> packed-bitwise Hamming-agreement verify (Arrow
-    # sign-sketch kernel) -> exact cosine on survivors -> transitive
-    # closure -> per-member keep decisions. The exact all-pairs
-    # anchor stays catalog/correctness-only.
-    # History: r5's single 8-bit band had recall ~3% at cos 0.4
-    # (fast because it missed 97% of the answer); r6's 16x4 banding
-    # fixed recall (0.96) but admitted ~64% of UNCORRELATED pairs as
-    # full candidates — note the admit rate is a property of the
-    # (r, b) geometry alone, NOT of the threshold — costing 7.3x. r7
-    # keeps banding for recall and adds a 256-bit agreement cut
-    # evaluated inside the band join (bit_count on packed BIGINTs),
-    # so only ~1-9% of pairs reach the exact-cosine vector join;
-    # recall stays 0.96 and the entry runs ~6x faster than r6.
-    from gsuites_gcp_graphdb_spark.operators import similarity as sim
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    median_timed(
-        "ns_semantic_dedup_fast",
-        lambda: dd.semantic_dedup_members(
-            sim.embedding_near_duplicates(emb, threshold=0.4)
-        ).count(),
-    )
-    # Substring-window dedup on the xxhash64 fast path (8-byte keys,
-    # no hex encode — the 100 TB spelling; md5 is the oracle-checked
-    # catalog form).
-    median_timed(
-        "ns_dedup_substring_fast",
-        lambda: dd.substring_dup_stats(docs, k=8, fast=True).count(),
-    )
-    # Raw IVF ANN output (bench-only: the hit set depends on the
-    # trained quantizer so it has no SQL twin; correctness rides on
-    # ns_ivf_recall and test_ivf_topk).
-    from gsuites_gcp_graphdb_spark.plans import pipeline_queries as pq
-
-    median_timed(
-        "ns_ivf_ann", lambda: pq.ivf_ann(spark, sf_dir).collect()
-    )
+    # Scale-path variants (xxhash64 instead of portable md5/strings;
+    # SemDeDup banded-LSH production path; IVF raw ANN). Shared with
+    # tools/drift_probe.py via fast_registry. Design history for the
+    # semantic path (band geometry, the 256-bit agreement cut) lives
+    # in operators/similarity.py and SCALING.md; ns_ivf_ann is
+    # bench-only because the hit set depends on the trained quantizer
+    # (correctness rides on ns_ivf_recall and test_ivf_topk).
+    for name, action in fast_registry(spark, sf_dir).items():
+        median_timed(name, action)
     # Bucketed-layout flagship (round-7, kept for round-over-round
     # continuity): since round 8 the store IS the default _graph()
     # read path (written above, before the headline loop), so this
@@ -373,12 +396,18 @@ def main() -> None:
     dd.release_scratch()
 
     total = round(sum(timings.values()), 3)
+    missing66 = [n for n in COMMON66 if n not in timings]
+    common66 = round(
+        sum(timings[n] for n in COMMON66 if n in timings), 3
+    )
     # Full per-query detail (medians + [min,max] spread) goes to a repo
     # file — the driver only captures a 2000-char stdout tail, and the
     # round-5 full-detail line overflowed it (BENCH_r05 parsed: null).
     detail = {
         "metric": "headline-suite wall time",
         "value": total,
+        "common66": common66,
+        "common66_missing": missing66,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
@@ -396,6 +425,7 @@ def main() -> None:
     line_obj = {
         "metric": "headline-suite wall time",
         "value": total,
+        "common66": common66,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

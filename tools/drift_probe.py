@@ -37,13 +37,26 @@ def main() -> None:
 
     spark.range(1_000_000).agg(F.sum("id")).collect()
     load_table(spark, SF_DIR, "region").count()
+    # Bench-only scale-path entries (the *_fast family + ns_ivf_ann)
+    # live in bench.py's registry, not the catalog (r8 VERDICT item
+    # 3) — resolve names against BOTH.
+    import bench
+
+    fast = bench.fast_registry(spark, SF_DIR)
+    from gsuites_gcp_graphdb_spark.operators import dedup as dd
+
     out = {}
     for name in names:
-        fn = CATALOG[name].fn
+        if name in CATALOG:
+            fn = CATALOG[name].fn
+            action = lambda fn=fn: fn(spark, SF_DIR).collect()
+        else:
+            action = fast[name]
         reps = []
         for _ in range(REPS):
+            dd.release_scratch()
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            action()
             reps.append(round(time.perf_counter() - t0, 3))
         out[name] = {
             "median": round(statistics.median(reps), 3),
