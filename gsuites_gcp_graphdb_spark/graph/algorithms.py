@@ -706,6 +706,14 @@ def connected_components_contract(
                 F.coalesce("root", "component").alias("component"),
             )
         )
+        if parts == 1:
+            # Single group: the union-find saw EVERY surviving edge,
+            # so the merged roots are final and the relabeled edge
+            # list is all self-loops — skip the two relabel joins and
+            # the next round's empty count (r9: the terminal round
+            # was ~1/3 of the closure's wall time on an 886-edge
+            # sf0.1 pair graph).
+            break
         ms = m.select(F.col("id").alias("src"), F.col("root").alias("__rs"))
         md = m.select(F.col("id").alias("dst"), F.col("root").alias("__rd"))
         e = _truncate(
