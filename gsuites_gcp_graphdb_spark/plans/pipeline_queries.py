@@ -436,6 +436,120 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query census of the raw IVF ANN demo (r8 VERDICT item 8:
+    the bench-only ns_ivf_ann, catalog-registered the nprobe-sweep
+    way — pin the structural arithmetic of the result, not the
+    quantizer-dependent neighbor set). One row per query with the
+    invariants any correct IVF top-k must satisfy: the query's own
+    cluster is by construction its closest centroid, hence always
+    probed, so (a) every query RETURNS rows and finds ITSELF at rank
+    1 (cos=1 beats everything; ties break on vec_id, and the query
+    predicate picks distinct vectors); (b) ranks are contiguous
+    1..n_hits with n_hits <= k; (c) scores are non-increasing in
+    rank. The oracle replays the query census exactly (vec_id % 100
+    = 0) with literal TRUEs — a quantizer or ranking regression
+    flips a boolean or drops a row and fails the hash match.
+    ns_ivf_recall / ns_ivf_nprobe_sweep pin the recall arithmetic;
+    this row-per-query form pins the per-query result SHAPE."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = sim.ivf_topk(
+        queries, emb, k=5, num_centroids=8, nprobe=2, iterations=2
+    )
+    w = Window.partitionBy("q_id").orderBy("rank")
+    per = out.select(
+        "q_id",
+        "rank",
+        "vec_id",
+        "cos_sim",
+        F.lag("cos_sim").over(w).alias("__prev"),
+    ).groupBy("q_id").agg(
+        F.count("*").alias("__n"),
+        F.max("rank").alias("__maxr"),
+        F.max(
+            F.when(
+                (F.col("rank") == 1) & (F.col("q_id") == F.col("vec_id")),
+                1,
+            ).otherwise(0)
+        ).alias("__self1"),
+        F.min(
+            F.coalesce(F.col("cos_sim") <= F.col("__prev"), F.lit(True))
+        ).alias("__desc"),
+    )
+    return per.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        (F.col("__self1") == 1).alias("self_rank1"),
+        (
+            (F.col("__maxr") == F.col("__n")) & (F.col("__n") <= 5)
+        ).alias("ranks_contiguous_le_k"),
+        F.col("__desc").alias("scores_desc"),
+    )
+
+
+def dedup_simhash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row census of the xxhash64 SimHash near-dup path (r8
+    VERDICT item 8: ns_dedup_simhash back in the catalog with a
+    recall-style oracle). The candidate set depends on the hash
+    family (xxhash64 has no DuckDB twin — the md5 variant
+    ns_dedup_simhash_md5 pins the bit-level math cross-engine), so
+    the portable claims are: (a) the doc census and the EXACT count
+    of byte-identical duplicate pairs (both engines compute these
+    exactly); (b) recall floor: identical text => identical tokens
+    => identical 64-bit sketch => hamming 0, which shares every
+    pigeonhole chunk — so every exact-dup pair MUST appear among the
+    candidates (checked by an anti-join, earned not assumed); (c)
+    every emitted pair is within the hamming budget and canonical
+    (id_a < id_b, no repeats). A banding or packing regression
+    breaks (b) or (c) and flips a boolean."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.simhash_candidates(docs, max_hamming=3).localCheckpoint(
+        eager=False
+    )
+    groups = dd.exact_duplicates(docs).select("doc_ids")
+    dup_pairs = (
+        groups.select(F.explode("doc_ids").alias("id_a"), "doc_ids")
+        .select("id_a", F.explode("doc_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    n_dup = dup_pairs.agg(
+        F.count("*").cast("bigint").alias("n_exact_dup_pairs")
+    )
+    missed = dup_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count("*").alias("__missed"))
+    stats = pairs.agg(
+        F.coalesce(F.min(F.col("hamming") <= 3), F.lit(True)).alias(
+            "__within"
+        ),
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "__canon"
+        ),
+        (
+            F.count("*")
+            == F.count_distinct(F.col("id_a"), F.col("id_b"))
+        ).alias("__uniq"),
+    )
+    return (
+        docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(n_dup))
+        .crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            (F.col("__missed") == 0).alias("exact_dups_covered"),
+            F.col("__within").alias("all_within_hamming"),
+            (F.col("__canon") & F.col("__uniq")).alias("pairs_canonical"),
+        )
+    )
+
+
 def hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounds-style oracle for the binary-sketch rerank path
     (similarity.hamming_topk, the round-7 packed sign-sketch kernel):
@@ -4557,6 +4671,33 @@ ENTRIES: dict[str, QueryDef] = {
                TRUE AS all_self_rank1,
                TRUE AS mean_recall_ge_040
         FROM embeddings WHERE vec_id % 100 = 0
+        """,
+    ),
+    "ns_ivf_ann": QueryDef(
+        ivf_ann_census,
+        """
+        SELECT CAST(vec_id AS BIGINT) AS q_id,
+               TRUE AS self_rank1,
+               TRUE AS ranks_contiguous_le_k,
+               TRUE AS scores_desc
+        FROM embeddings WHERE vec_id % 100 = 0
+        ORDER BY q_id
+        """,
+    ),
+    "ns_dedup_simhash": QueryDef(
+        dedup_simhash_census,
+        """
+        WITH dup AS (
+          SELECT count(*) AS c FROM documents
+          GROUP BY md5(text) HAVING count(*) > 1
+        )
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                 AS n_docs,
+               CAST(coalesce((SELECT sum(c * (c - 1) / 2) FROM dup), 0)
+                    AS BIGINT) AS n_exact_dup_pairs,
+               TRUE AS exact_dups_covered,
+               TRUE AS all_within_hamming,
+               TRUE AS pairs_canonical
         """,
     ),
     "ns_embedding_near_dup": QueryDef(

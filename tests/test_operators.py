@@ -1075,3 +1075,32 @@ def test_average_hash_perceptual_property(spark):
 
     # degenerate empty image is total
     assert average_hash(DecodedImage(0, 0, b"")) == "0" * 16
+
+
+def test_census_queries(spark, sf_dir):
+    """r9: the catalog-registered census forms of the bench demos
+    (ns_ivf_ann / ns_dedup_simhash) — every invariant boolean must
+    hold on the real fixture, and the exact-dup pair count must
+    equal the direct computation."""
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        dedup_simhash_census,
+        ivf_ann_census,
+    )
+
+    ivf = ivf_ann_census(spark, sf_dir).collect()
+    assert ivf, "query census must be non-empty on the fixture"
+    for r in ivf:
+        assert r.self_rank1 and r.ranks_contiguous_le_k and r.scores_desc
+
+    (row,) = dedup_simhash_census(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_direct = sum(
+        r.n_dups * (r.n_dups - 1) // 2
+        for r in dd.exact_duplicates(docs).collect()
+    )
+    assert row.n_exact_dup_pairs == n_direct
+    assert (
+        row.exact_dups_covered
+        and row.all_within_hamming
+        and row.pairs_canonical
+    )
