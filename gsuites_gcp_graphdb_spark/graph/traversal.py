@@ -29,10 +29,37 @@ from .schema import EDGE_SCHEMA, VERTEX_SCHEMA, natural_key_col
 class Traversal:
     """A lazy chain over a vertex- or edge-shaped DataFrame."""
 
-    def __init__(self, graph: "Graph", df: DataFrame, kind: str):
+    def __init__(
+        self,
+        graph: "Graph",
+        df: DataFrame,
+        kind: str,
+        frontier_bytes: int | None = None,
+    ):
         self._g = graph
         self._df = df
         self._kind = kind  # 'V' | 'E'
+        # One-shot size hint for the NEXT expansion join (r8 VERDICT
+        # item 6): consumed by outE/inE, never propagated — a hint
+        # describes the frontier it was attached to, not its
+        # descendants.
+        self._frontier_bytes = frontier_bytes
+
+    def hint_size(self, nbytes: int) -> "Traversal":
+        """Attach a frontier size hint (bytes) for the next expansion
+        step. With a hint, outE/inE route through
+        operators.joins.skew_join_auto — the x64-validated regime
+        rule: broadcast the frontier into the edge scan when it fits
+        the threshold (the hub-skewed edge side then never shuffles,
+        so a hot key like ``allUsers`` or ``roles/owner``,
+        reference README.md:467-472, has no hot reducer to melt),
+        salted SMJ when neither side broadcasts. Catalyst's own
+        sizeInBytes estimate is unreliable for DERIVED frontiers
+        (post-join/filter plans carry multiplied estimates), which is
+        why the routing is hint-gated instead of always-on."""
+        return Traversal(
+            self._g, self._df, self._kind, frontier_bytes=int(nbytes)
+        )
 
     # ---- filter steps -------------------------------------------------
     def hasLabel(self, *labels: str) -> "Traversal":
@@ -80,20 +107,39 @@ class Traversal:
             e = e.filter(F.col("label").isin(list(labels)))
         return e
 
+    def _expand(self, labels: Sequence[str], edge_key: str) -> DataFrame:
+        """Frontier ⋈ edges on ``edge_key`` (src for outE, dst for
+        inE). With a frontier size hint the join routes through
+        skew_join_auto with the EDGE side as the (potentially
+        hub-skewed) fact and the frontier as the dim — see
+        hint_size(); otherwise the stock join, where Catalyst +
+        AQE pick (and the bucketed store already co-locates the
+        edge side)."""
+        e = self._edges(labels)
+        if self._frontier_bytes is not None:
+            from ..operators.joins import skew_join_auto
+
+            f = self._df.select(F.col("id").alias(edge_key))
+            return skew_join_auto(
+                e,
+                f,
+                edge_key,
+                right_size_bytes=self._frontier_bytes,
+            ).select(*e.columns)
+        f = self._df.select("id").alias("f")
+        ea = e.alias("e")
+        return f.join(
+            ea, F.col("f.id") == F.col(f"e.{edge_key}")
+        ).select("e.*")
+
     def outE(self, *labels: str) -> "Traversal":
         """Vertex → out-edges (main.go:320; README.md:335-340)."""
         assert self._kind == "V"
-        f = self._df.select("id").alias("f")
-        e = self._edges(labels).alias("e")
-        out = f.join(e, F.col("f.id") == F.col("e.src")).select("e.*")
-        return Traversal(self._g, out, "E")
+        return Traversal(self._g, self._expand(labels, "src"), "E")
 
     def inE(self, *labels: str) -> "Traversal":
         assert self._kind == "V"
-        f = self._df.select("id").alias("f")
-        e = self._edges(labels).alias("e")
-        out = f.join(e, F.col("f.id") == F.col("e.dst")).select("e.*")
-        return Traversal(self._g, out, "E")
+        return Traversal(self._g, self._expand(labels, "dst"), "E")
 
     def inV(self) -> "Traversal":
         """Edge → head vertex (main.go:320, 339, 426)."""

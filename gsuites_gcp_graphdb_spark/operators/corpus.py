@@ -422,3 +422,111 @@ def greedy_budget_select(
         .withColumn("selected", F.col("__cum") <= F.lit(budget))
         .drop("__band", "__local", "__off", "__cum")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column,
+    id_col: str = "doc_id",
+    band_width: int = 65536,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949; the PPS workhorse of survey statistics and of
+    epoch-weighted corpus mixing): lay k gridpoints at
+    (2j+1)·W/(2k), j = 0..k-1, over the cumulative-weight line of
+    the ``id_col``-ordered corpus (W = total weight) and give each
+    row one copy per gridpoint inside its interval [cum-w, cum).
+    Every row's inclusion count has expectation k·w/W exactly, rows
+    with w > W/k get MULTIPLE copies (the oversampling a
+    temperature-weighted training mixture wants), and the total
+    number of emitted copies is EXACTLY k — no rejection, no
+    rounding drift, fully deterministic (no RNG to replay: the only
+    randomness PPS needs is the systematic offset, pinned at the
+    half-stride midpoint).
+
+    All arithmetic is exact DECIMAL(38) integers: the j-th gridpoint
+    lies at or below t iff j <= (2k·t - W)/(2W), so
+    count_le(t) = clamp(floor-div(2k·t - W, 2W) + 1, 0, k) and
+    n_copies = count_le(cum) - count_le(cum - w) — floor division
+    spelled (x - pmod(x, m)) div m because Spark's `div` truncates
+    toward zero on the (possible) negative numerator of the first
+    gridpoint. Cumulative weights use the banded two-pass scan
+    (band by id div band_width, within-band window + broadcast
+    triangular offsets over the tiny per-band table — the
+    token_budget_select discipline, no global window, no single-task
+    sort).
+
+    Returns (id, weight, n_copies) for sampled rows (n_copies >= 1).
+    Empty/zero-weight input returns 0 rows on both engines.
+    """
+    dec = "decimal(38,0)"
+    d = df.select(
+        F.col(id_col).alias("id"),
+        weight_col.cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    d = d.withColumn("__band", F.expr(f"id div {band_width}"))
+    wb = (
+        Window.partitionBy("__band")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn(
+        "__local", F.sum(F.col("w").cast(dec)).over(wb)
+    )
+    bands = d.groupBy("__band").agg(
+        F.sum(F.col("w").cast(dec)).alias("__bt")
+    )
+    lower = bands.select(
+        F.col("__band").alias("__lb"), F.col("__bt").alias("__lm")
+    )
+    offs = (
+        bands.join(F.broadcast(lower), F.col("__lb") < F.col("__band"))
+        .groupBy("__band")
+        .agg(F.sum("__lm").alias("__off"))
+    )
+    tot = bands.agg(F.sum("__bt").alias("__W"))
+    cum = (
+        local.join(F.broadcast(offs), ["__band"], "left")
+        .withColumn(
+            "__cum",
+            F.col("__local")
+            + F.coalesce(F.col("__off"), F.lit(0).cast(dec)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__W") > 0)
+    )
+
+    def count_le(t: Column) -> Column:
+        # #gridpoints <= t: j-th gridpoint at (2j+1)W/(2k) <= t iff
+        # j <= (2k*t - W)/(2W). Shift the numerator by +2kW so it is
+        # non-negative (t >= 0), making truncating `div` == floor on
+        # both engines: count = div(2k*t + (2k-1)W, 2W) - k + 1,
+        # clamped to [0, k].
+        num = (
+            F.lit(2 * k).cast(dec) * t
+            + F.lit(2 * k - 1).cast(dec) * F.col("__W")
+        )
+        den = F.lit(2).cast(dec) * F.col("__W")
+        # num - pmod(num, den) is an exact multiple of den, so the
+        # decimal division is exact; the quotient is <= 2k (small),
+        # far inside decimal(38,6) exactness.
+        q = (num - F.pmod(num, den)) / den
+        return F.greatest(
+            F.lit(0).cast(dec),
+            F.least(
+                F.lit(k).cast(dec),
+                q.cast(dec) - F.lit(k) + F.lit(1),
+            ),
+        )
+
+    out = cum.withColumn(
+        "__n",
+        count_le(F.col("__cum"))
+        - count_le(F.col("__cum") - F.col("w").cast(dec)),
+    )
+    return out.filter(F.col("__n") > 0).select(
+        F.col("id"),
+        F.col("w").cast("bigint").alias("weight"),
+        F.col("__n").cast("bigint").alias("n_copies"),
+    )

@@ -126,7 +126,18 @@ def skew_join_auto(
     statistic the planner's broadcast decision uses, so the choice
     here agrees with what Catalyst would have picked and simply adds
     the salted fallback on the other side of the threshold. The
-    decision is plan-build-time and metadata-only (no job runs)."""
+    decision is plan-build-time and metadata-only (no job runs).
+
+    THIRD regime (r9, measured on the x64-hub traversal probe):
+    salting replicates the right side ``salt`` times, so it only
+    earns its 1.4-1.7x when that replication is cheap relative to
+    the left shuffle it de-skews. With a 1.2M-row frontier as the
+    right side, salted ran 13.3s vs 1.0s plain — AQE's runtime
+    skew-split already handles one-sided hot keys, and 16x-ing a
+    big dim buries that win. Rule: salt only while salt *
+    right_size stays under ~a quarter of the left estimate; beyond
+    that, emit the plain join and let AQE split the hot
+    partitions."""
     spark = right.sparkSession
     thr = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -147,7 +158,23 @@ def skew_join_auto(
         )
     if threshold > 0 and right_size_bytes <= threshold:
         return left.join(F.broadcast(right), [key], how)
-    return salted_join(left, right, key, salt=salt, how=how)
+    # A Catalyst estimate at/near defaultSizeInBytes (Long.Max) means
+    # "no usable statistic" (e.g. an ExistingRDD/local relation) —
+    # keep the r8 behavior there (salt: the caller reached for this
+    # operator because the left side is hub-skewed).
+    _UNKNOWN = 1 << 62
+    if right_size_bytes >= _UNKNOWN:
+        return salted_join(left, right, key, salt=salt, how=how)
+    left_size_bytes = int(
+        str(
+            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    if right_size_bytes * salt <= max(
+        8 * max(threshold, 0), left_size_bytes // 4
+    ):
+        return salted_join(left, right, key, salt=salt, how=how)
+    return left.join(right, [key], how)
 
 
 def range_join(

@@ -240,6 +240,35 @@ def members_of_min_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.select(F.col("email")).orderBy("email")
 
 
+def members_of_min_role_hinted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same A14 result as g_members_of_role, spelled through the
+    HINTED expansion path (r8 VERDICT item 6): the frontier is the
+    single min-name role vertex; hint_size routes the inE expansion
+    through operators.joins.skew_join_auto, so the tiny frontier
+    BROADCASTS into the edge scan and the (hub-skewed, at deployment
+    scale — reference README.md:467-472) membership edges never
+    shuffle. Measured 2.5x over the plain spelling on the x64-hub
+    dir (SCALING.md round-9 block). Shares g_members_of_role's
+    oracle verbatim: identical output is the correctness claim."""
+    g = _graph(spark, sf_dir)
+    roles = g.V().hasLabel("role")
+    target = roles.toDF().agg(F.min("name").alias("name"))
+    start = roles._with(
+        roles.toDF().join(target, ["name"], "left_semi")
+    )
+    members = (
+        start.hint_size(4096)
+        .inE("in")
+        .outV()
+        .dedup()
+        .toDF()
+        .filter(F.col("label") == "user")
+    )
+    return members.select(F.col("email")).orderBy("email")
+
+
 def two_hop_users_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 bounded: users transitively inside the min-name region via
     nested groups (user -in-> group -in-> group), the nested-group
