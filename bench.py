@@ -231,6 +231,17 @@ HEADLINE = [
     # time is dominated by the 4 micro-batch triggers, the fixed cost
     # a real stream amortizes
     "ns_events_funnel_stream",
+    # round-9 wave: systematic PPS corpus sampling (exact gridpoint
+    # arithmetic over a banded cumulative scan), weekly retention
+    # cohorts, MinHash estimator calibration (signature agreement vs
+    # exact jaccard per candidate pair), pairwise-cosine histogram
+    # (embedding-collapse audit), and the hinted skew-aware traversal
+    # expansion
+    "ns_corpus_pps_sample",
+    "ns_events_retention_cohorts",
+    "ns_dedup_minhash_calibration",
+    "ns_vec_pair_cos_hist",
+    "g_members_of_role_hinted",
 ]
 
 

@@ -3104,6 +3104,164 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUDGET_CHARS = 100_000
 
 
+def dedup_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration (operators/dedup.
+    minhash_calibration): per LSH-candidate pair, the k=12 signature
+    agreement estimate vs the exact posting-list Jaccard and the
+    absolute calibration error — the pre-flight a pipeline runs
+    before trusting signature-only dedup at a given k. Both engines
+    compute the SAME md5 signature family, so est_matches is exact
+    cross-engine arithmetic, not a tolerance."""
+    dd.release_scratch()
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_calibration(
+        docs, n=SHINGLE_N, num_hashes=MINHASH_K, bands=LSH_BANDS,
+        use_md5=True,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "est_matches",
+        "est_jaccard",
+        "jaccard",
+        "cal_err",
+    )
+
+
+def vec_pair_cos_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic stride sample —
+    the embedding-collapse audit: if the bulk of sampled pair
+    cosines piles up near 1, the embedding space has collapsed
+    (SemDeDup's failure precondition); a healthy space concentrates
+    near 0 with thin tails. Pairs are (id, id+7) — a fixed-stride
+    systematic sample, n pairs total, no RNG, no quadratic blowup.
+    Exact-integer micro dot products and squared norms (DECIMAL(38)
+    sums — the linalg pattern), then cos = dot/(sqrt(na)*sqrt(nb))
+    in correctly-rounded double ops both engines replay bit-for-bit
+    (sqrt and / are exact-rounded; no pow/exp/log), bucketed to 16
+    equal cosine bins on [-1, 1]."""
+    from ..operators.linalg import _xint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _xint(emb, "vec_id", "embedding")
+    a = x.select("id", "dim", F.col("x").alias("xa"))
+    b = x.select(
+        (F.col("id") - 7).alias("id"), "dim", F.col("x").alias("xb")
+    )
+    d38 = "decimal(38,0)"
+    dots = (
+        a.join(b, ["id", "dim"])
+        .groupBy("id")
+        .agg(F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("__dot"))
+    )
+    norms = x.groupBy("id").agg(
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("__n2")
+    )
+    nb = norms.select(
+        (F.col("id") - 7).alias("id"), F.col("__n2").alias("__nb")
+    )
+    cos = (
+        dots.join(norms, ["id"])
+        .join(nb, ["id"])
+        .filter((F.col("__n2") > 0) & (F.col("__nb") > 0))
+        .select(
+            (
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__n2").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                )
+            ).alias("__cos")
+        )
+    )
+    bucket = F.least(
+        F.lit(15),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("__cos") + F.lit(1.0)) * F.lit(8.0)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        cos.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 8.0 - 1.0, 6).alias("cos_lo"),
+            "n_pairs",
+        )
+        .orderBy("bucket")
+    )
+
+
+def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of the corpus, 20 draws weighted by
+    document byte length (operators/corpus.pps_systematic_sample —
+    Madow 1949): the deterministic epoch-weighting primitive of a
+    training-mixture builder (heavy documents can earn MULTIPLE
+    copies; total emitted copies is exactly k, no RNG to replay).
+    Exact DECIMAL(38) gridpoint arithmetic on both engines; the
+    cumulative-weight line is the banded two-pass scan (band by
+    id div 65536 + broadcast triangular offsets — no global window).
+    Oracle: DuckDB replays the identical integer gridpoint formula
+    over a window cumsum (single-node, where a global window is
+    fine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.pps_systematic_sample(
+        docs, k=20, weight_col=F.octet_length(F.col("text")),
+        id_col="doc_id",
+    ).orderBy("id")
+
+
+def events_retention_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly retention-cohort triangle — the product-analytics
+    staple: users cohorted by FIRST-activity week; for each (cohort,
+    week offset) the count of cohort members active that week and
+    the retention ratio. Plan shape is two map-combinable hash-aggs
+    (per-user first week; distinct user-weeks) and one broadcast-size
+    join — no window, no sessionization state; at 100 TB the
+    distinct (user, week) relation is the only big shuffle and it is
+    key-partitioned. date_trunc('week') is Monday-anchored on both
+    engines; the offset is an exact integer day-diff div 7; the one
+    division (retention) happens once, rounded to 6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = ev.dropDuplicates(["user_id", "wk"])
+    ret = (
+        act.join(first, ["user_id"])
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    size = first.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    return (
+        ret.join(F.broadcast(size), ["cohort_week"])
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget subset selection census
     (operators/corpus.greedy_budget_select): fill a fixed character
@@ -6020,6 +6178,155 @@ ENTRIES: dict[str, QueryDef] = {
                CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
                     AS BIGINT) AS sum_quality_micro
         FROM sp GROUP BY 1
+        """,
+    ),
+    "ns_dedup_minhash_calibration": QueryDef(
+        dedup_minhash_calibration,
+        _SQL_MINHASH_CAND
+        + f""",
+        shed2 AS (
+          SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+        ),
+        posts AS (
+          SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle
+          FROM shed2
+        ),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_8 = sb.mh_8 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_9 = sb.mh_9 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_10 = sb.mh_10 THEN 1 ELSE 0 END)
+             + (CASE WHEN sa.mh_11 = sb.mh_11 THEN 1 ELSE 0 END)) AS est_matches
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+        ),
+        iv AS (
+          SELECT c.id_a, c.id_b,
+                 a.set_size AS sza, b.set_size AS szb,
+                 count(*) AS inter
+          FROM cand c
+          JOIN posts a ON a.doc_id = c.id_a
+          JOIN posts b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(e.id_a AS BIGINT) AS id_a,
+               CAST(e.id_b AS BIGINT) AS id_b,
+               CAST(e.est_matches AS BIGINT) AS est_matches,
+               round(e.est_matches / 12.0, 6) AS est_jaccard,
+               round(CAST(iv.inter AS DOUBLE)
+                     / (iv.sza + iv.szb - iv.inter), 6) AS jaccard,
+               round(abs(round(e.est_matches / 12.0, 6)
+                 - round(CAST(iv.inter AS DOUBLE)
+                         / (iv.sza + iv.szb - iv.inter), 6)), 6)
+                 AS cal_err
+        FROM est e
+        JOIN iv ON iv.id_a = e.id_a AND iv.id_b = e.id_b
+        ORDER BY id_a, id_b
+        """,
+    ),
+    "ns_vec_pair_cos_hist": QueryDef(
+        vec_pair_cos_hist,
+        f"""
+        WITH {_GRAM_CTES[0]},
+        dots AS (
+          SELECT a.id, sum(CAST(a.x AS HUGEINT) * b.x) AS dot
+          FROM xint a
+          JOIN xint b ON b.id = a.id + 7 AND b.dim = a.dim
+          GROUP BY 1
+        ),
+        norms AS (
+          SELECT id, sum(CAST(x AS HUGEINT) * x) AS n2
+          FROM xint GROUP BY 1
+        ),
+        cosv AS (
+          SELECT CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+          FROM dots d
+          JOIN norms na ON na.id = d.id
+          JOIN norms nb ON nb.id = d.id + 7
+          WHERE na.n2 > 0 AND nb.n2 > 0
+        ),
+        bk AS (
+          SELECT CAST(least(15, greatest(0,
+                   CAST(floor((c + 1.0) * 8.0) AS INT))) AS INT)
+                 AS bucket
+          FROM cosv
+        )
+        SELECT bucket,
+               round(bucket / 8.0 - 1.0, 6) AS cos_lo,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM bk GROUP BY 1 ORDER BY bucket
+        """,
+    ),
+    "ns_corpus_pps_sample": QueryDef(
+        corpus_pps_sample,
+        """
+        WITH w AS (
+          SELECT doc_id AS id,
+                 CAST(strlen(text) AS HUGEINT) AS wt
+          FROM documents WHERE strlen(text) > 0
+        ),
+        c AS (
+          SELECT id, wt,
+                 sum(wt) OVER (ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM w
+        ),
+        t AS (SELECT sum(wt) AS W FROM w),
+        g AS (
+          SELECT id, wt,
+            greatest(0, least(20,
+              (40 * cum + 39 * W) // (2 * W) - 19)) AS cle,
+            greatest(0, least(20,
+              (40 * (cum - wt) + 39 * W) // (2 * W) - 19)) AS ple
+          FROM c, t WHERE W > 0
+        )
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(wt AS BIGINT) AS weight,
+               CAST(cle - ple AS BIGINT) AS n_copies
+        FROM g WHERE cle - ple > 0
+        ORDER BY id
+        """,
+    ),
+    "ns_events_retention_cohorts": QueryDef(
+        events_retention_cohorts,
+        """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events
+        ),
+        f AS (
+          SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1
+        ),
+        a AS (SELECT DISTINCT user_id, wk FROM ev),
+        r AS (
+          SELECT f.cohort_week,
+                 CAST((a.wk - f.cohort_week) // 7 AS INT)
+                   AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM f GROUP BY 1
+        )
+        SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+               round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6)
+                 AS retention
+        FROM r JOIN s USING (cohort_week)
+        ORDER BY cohort_week, week_offset
         """,
     ),
     "ns_corpus_budget_select": QueryDef(

@@ -277,3 +277,45 @@ def test_greedy_budget_select_prefix_exact(spark):
         df, budget=160, cost_col="cost", order_col="score", band_width=2
     )
     assert {r.doc_id for r in out2.collect() if r.selected} == {1, 2, 3, 4}
+
+
+def test_pps_systematic_sample(spark):
+    """Madow PPS invariants: total emitted copies == k exactly; a row
+    with weight > W/k is forced into the sample (possibly multiple
+    copies); zero/neg-weight rows never appear; k >= W/min_w picks
+    everything at least once is NOT claimed (systematic, not
+    Bernoulli) — but copies are proportional within +-1 of k*w/W."""
+    from gsuites_gcp_graphdb_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, "x" * w) for i, w in enumerate([5, 1, 1, 50, 1, 10, 0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 8
+    out = pps_systematic_sample(
+        df, k=k, weight_col=F.octet_length(F.col("text"))
+    ).collect()
+    total = sum(r.n_copies for r in out)
+    assert total == k
+    got = {r.id: r.n_copies for r in out}
+    W = 68.0
+    # proportionality within one gridpoint: |copies - k*w/W| < 1 + 1
+    for i, w in enumerate([5, 1, 1, 50, 1, 10, 0]):
+        exp = k * w / W
+        assert abs(got.get(i, 0) - exp) <= 1.0, (i, got.get(i, 0), exp)
+    assert 6 not in got  # zero-weight row excluded
+    assert got[3] >= 5  # heavy row oversampled (50/68*8 ~ 5.9)
+
+
+def test_pps_sample_empty(spark):
+    from gsuites_gcp_graphdb_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        pps_systematic_sample(
+            df, k=5, weight_col=F.octet_length(F.col("text"))
+        ).count()
+        == 0
+    )

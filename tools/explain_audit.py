@@ -197,6 +197,20 @@ def main():
         # self-join + broadcastable dim-size joins
         "ns_vec_drift",
         "g_role_similarity",
+        # round-9 wave: PPS sampling must show the banded partial
+        # window + broadcast offsets (no global Window, no single-
+        # task sort); the retention triangle is two hash-aggs + one
+        # broadcast join; the calibration pair join must reuse the
+        # persisted posting/signature scans (InMemoryTableScan both
+        # sides); the cosine histogram is one (id, dim) equi-join +
+        # two hash-aggs; the hinted expansion must show the frontier
+        # on the BUILD side of a BroadcastHashJoin with the edge
+        # scan unshuffled
+        "ns_corpus_pps_sample",
+        "ns_events_retention_cohorts",
+        "ns_dedup_minhash_calibration",
+        "ns_vec_pair_cos_hist",
+        "g_members_of_role_hinted",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
