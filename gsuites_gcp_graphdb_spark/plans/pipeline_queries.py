@@ -3215,19 +3215,23 @@ def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-def events_retention_cohorts(
+def events_retention_triangle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Weekly retention-cohort triangle — the product-analytics
-    staple: users cohorted by FIRST-activity week; for each (cohort,
-    week offset) the count of cohort members active that week and
-    the retention ratio. Plan shape is two map-combinable hash-aggs
-    (per-user first week; distinct user-weeks) and one broadcast-size
-    join — no window, no sessionization state; at 100 TB the
-    distinct (user, week) relation is the only big shuffle and it is
+    """Weekly retention TRIANGLE with rates and drop-off — extends
+    the ns_events_retention census (which this deliberately does NOT
+    shadow) with the columns an analyst actually reads: cohort size,
+    retention rate, and the offset-over-offset drop-off (rate at
+    k-1 minus rate at k, NULL when the prior offset has no row).
+    Plan shape: two map-combinable hash-aggs (per-user first week;
+    distinct user-weeks), one broadcast cohort-size join, and one
+    broadcast-size self-join on (cohort, offset-1) for the delta —
+    no window, no sessionization state; at 100 TB the distinct
+    (user, week) relation is the only big shuffle and it is
     key-partitioned. date_trunc('week') is Monday-anchored on both
-    engines; the offset is an exact integer day-diff div 7; the one
-    division (retention) happens once, rounded to 6."""
+    engines; offsets are exact integer day-diff div 7; divisions
+    happen once each, rounded to 6, and the drop-off is differenced
+    from the ROUNDED rates so both engines agree bit-for-bit."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
@@ -3247,16 +3251,31 @@ def events_retention_cohorts(
     size = first.groupBy("cohort_week").agg(
         F.count("*").cast("bigint").alias("n_cohort")
     )
+    rates = ret.join(F.broadcast(size), ["cohort_week"]).select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 6
+        ).alias("retention"),
+    )
+    prev = rates.select(
+        "cohort_week",
+        (F.col("week_offset") + F.lit(1)).alias("week_offset"),
+        F.col("retention").alias("__prev"),
+    )
     return (
-        ret.join(F.broadcast(size), ["cohort_week"])
+        rates.join(F.broadcast(prev), ["cohort_week", "week_offset"], "left")
         .select(
             "cohort_week",
             "week_offset",
             "n_active",
             "n_cohort",
-            F.round(
-                F.col("n_active").cast("double") / F.col("n_cohort"), 6
-            ).alias("retention"),
+            "retention",
+            F.round(F.col("__prev") - F.col("retention"), 6).alias(
+                "drop_off"
+            ),
         )
         .orderBy("cohort_week", "week_offset")
     )
@@ -6300,7 +6319,7 @@ ENTRIES: dict[str, QueryDef] = {
         """,
     ),
     "ns_events_retention_cohorts": QueryDef(
-        events_retention_cohorts,
+        events_retention_triangle,
         """
         WITH ev AS (
           SELECT user_id,
@@ -6321,12 +6340,21 @@ ENTRIES: dict[str, QueryDef] = {
         s AS (
           SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
           FROM f GROUP BY 1
+        ),
+        rates AS (
+          SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+                 round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6)
+                   AS retention
+          FROM r JOIN s USING (cohort_week)
         )
-        SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
-               round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6)
-                 AS retention
-        FROM r JOIN s USING (cohort_week)
-        ORDER BY cohort_week, week_offset
+        SELECT c.cohort_week, c.week_offset, c.n_active, c.n_cohort,
+               c.retention,
+               round(p.retention - c.retention, 6) AS drop_off
+        FROM rates c
+        LEFT JOIN rates p
+          ON p.cohort_week = c.cohort_week
+         AND p.week_offset = c.week_offset - 1
+        ORDER BY c.cohort_week, c.week_offset
         """,
     ),
     "ns_corpus_budget_select": QueryDef(
