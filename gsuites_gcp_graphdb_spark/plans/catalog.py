@@ -1736,84 +1736,32 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-8 window: changed/new first (driver checks the first
-    # 50 catalog names; everything here changed behavior, changed its
-    # oracle, or is new this round) ----
-    "g_scc",                   # r8 new: exact SCC, coloring + confirm
-    "ns_vec_pca_power",        # r8 new: exact-integer power iteration
-    "ns_vec_spectral_summary", # r8 new: effective rank from Gram
-    "g_label_assortativity",   # r8 new: categorical mixing coefficient
-    "ns_vec_principal_extremes",  # r8 new: PCA-projection outliers
-    "ns_split_leakage_safe",   # r8 new: cluster-atomic train/val split
-    "ns_text_source_overlap",  # r8 new: source provenance matrix
-    "ns_vec_pca_centered",     # r8 new: centered-scatter variance axis
-    "g_clustering_coefficient",  # r8 new: global transitivity scalar
-    "ns_events_type_gini",     # r8 new: log-free diversity score
-    "ns_corpus_budget_select", # r8 new: banded greedy budget prefix
-    "g_reciprocity",           # r8 new: mutual-edge audit scalar
-    "g_degree_heterogeneity",  # r8 new: hub moment ratio kappa
-    "g_grant_path_census",     # r8 new: DP path counting blast radius
-    "g_reach_anf",             # r8 new: ANF/HyperBall distinct reach
-    "ns_text_bpe_train",       # r8 new: BPE merge-training loop
-    "rel_cdc_diff",            # r8 new: CDC snapshot diff census
-    "ns_events_attribution",   # r8 new: journey first/last touch
-    "ns_events_pit_lookup",    # r8 new: SCD2 point-in-time join
-    "ns_text_bpe_apply",       # r8 new: applied-BPE token census
-    "rel_trailing_window",     # r8 new: time-RANGE frame window
-    "ns_dedup_ngram_prefix",   # r8 new: AllPairs prefix ssjoin
-    "g_offboard_blast",        # r8 new: role-removal path impact
-    "ns_events_theil_sen",     # r8 new: robust median-slope trend
-    "ns_events_seq_ngrams",    # r8 new: behavior trigram census
-    "g_metapath_census",       # r8 new: label-triple flow map
-    "ns_media_phash_dedup",    # r8 new: perceptual-hash media dedup
-    "ns_events_engagement",    # r8 new: DAU/WAU/MAU stickiness
-    "ns_events_funnel_stream", # r8 new: stateful CEP pattern stream
-    "ns_events_span_coverage", # r8 new: interval-union sweep
-    "rel_ivm_join",            # r8 new: delta-join view maintenance
-    "ns_text_langid_confusion",# r8 new: classifier eval census
-    "rel_rank_distribution",   # r8 new: percent_rank/cume_dist
-    "g_shortest_path_bidi",    # r8 new: meet-in-the-middle BFS
-    "ns_text_ngram_novelty",   # r8 new: memorization-risk audit
-    "ns_vec_drift",            # r8 new: embedding drift monitor
-    "ns_ivf_nprobe_sweep",     # r8 new: ANN tuning-curve invariants
-    "g_role_similarity",       # r8 new: role-consolidation audit
-    "g_skew_membership_auto",  # r8 new: encoded skew decision rule
-    "g_dag_depth",             # r8 new: longest-path DAG layering
-    "ns_mixture_temperature",  # r8 new: sqrt-temperature rebalancing
-    "ns_events_quantile_hist", # r8 new: mergeable histogram quantiles
-    "ns_text_bpe_pairs",       # r8 new: BPE merge-step pair census
-    "ns_semantic_dedup",       # r8: closure via union-find contraction
-    "ns_dedup_clusters",       # r8: closure via union-find contraction
-    "ns_dedup_quality_rep",    # r8: sits on dedup_clusters' closure
-    "g_connected_components",  # r8: pointer-halving + in-frame flag
-    "g_connected_components_star",  # r8: CC-family re-verify
-    "g_ktruss",                # r8: degree-oriented wedge join
-    "g_cycle_census",          # r8: self-loops kept (advisory fix)
-    "g_random_walks",          # r8: degs from resolved adjacency
-    "ns_events_scd2",          # r8: island-id lead() tiebreak
-    "ns_events_span_overlap",  # r8: exact-median bucket auto-sizing
-    "ns_events_range_join",    # r8: exact floor-div bucket ids
-    "ns_text_vocab_stats",     # r8: hapax count-of-matches (empty gate)
-    "ns_events_hll_rollup",    # r8: vacuous-true coalesce (empty gate)
-    "ns_events_value_deciles", # r8: zero-row percentile guard
-    "g_export_roundtrip",      # r8: explicit-schema GraphSON read
-    "g_count_by_label",        # r8: census oracle nonzero-class guard
-    "g_user_by_email",         # r8: point-lookup oracle HAVING guard
-    "g_upsert_merge",          # r8: census oracle nonzero-class guard
-    "g_offboard_user",         # r8: nonzero-class census both engines
-    "g_subgraph_role_project", # r8: census oracle nonzero-class guard
-    "g_sql_interface",         # r8: census oracle nonzero-class guard
-    "g_next_role",             # r8: hasNext guard + oracle HAVING
-    "g_role_by_id",            # r8: oracle HAVING guard
-    "rel_rollup_returns",      # r8: oracle HAVING (empty () row)
-    "rel_cube_returns",        # r8: oracle HAVING (empty () row)
-    "rel_grouping_sets",       # r8: shared-SQL HAVING (empty () row)
-    "g_weighted_distances",    # r8: oracle seed guard
-    "g_diameter",              # r8: empty-sweep guards both engines
-    "g_ppr_access",            # r8: empty-source guard
+    # ---- round-9 window: changed/new first (driver checks the first
+    # 50 catalog names; everything here is new this round, changed
+    # behavior, or changed its oracle in round 9) ----
+    "ns_ivf_ann",              # r9 new: IVF per-query census (r8 item 8)
+    "ns_dedup_simhash",        # r9 new: xxhash simhash census (item 8)
+    "ns_corpus_pps_sample",    # r9 new: Madow systematic PPS sampling
+    "ns_events_retention_cohorts",  # r9 new: retention triangle+dropoff
+    "ns_dedup_minhash_calibration", # r9 new: estimator calibration
+    "ns_vec_pair_cos_hist",    # r9 new: pairwise-cosine histogram
+    "g_members_of_role_hinted",# r9 new: hinted skew-aware expansion
+    "ns_dedup_ngram_jaccard",  # r9: exact integer threshold (advisory)
+    "ns_dedup_ngram_prefix",   # r9: exact integer threshold (advisory)
+    "ns_vec_drift",            # r9: DECIMAL(38) cast-before-agg (advisory)
+    "ns_vec_spectral_summary", # r9: gram operand cast (advisory)
+    "ns_vec_pca_power",        # r9: gram operand cast (advisory)
+    "ns_vec_pca_centered",     # r9: gram operand cast (advisory)
+    "ns_vec_principal_extremes",  # r9: gram operand cast (advisory)
+    "ns_semantic_dedup",       # r9: tau-derived 512-bit verify width
+    "ns_embedding_near_dup",   # r9: tau-derived 512-bit verify width
+    "ns_dedup_clusters",       # r9: UF contraction single-group exit
+    "ns_dedup_quality_rep",    # r9: UF contraction single-group exit
+    "ns_split_leakage_safe",   # r9: UF contraction single-group exit
+    "g_skew_membership_auto",  # r9: third regime (big-dim -> plain+AQE)
+    "ns_events_retention",     # r9: shadow-collision fix re-receipt
     # ---- fill to 50 with the least-recently-driver-checked (last
-    # receipt r3; list(CATALOG)[:50] is the driver window) ----
-    "ns_embedding_near_dup",
+    # receipt r3/r4; list(CATALOG)[:50] is the driver window) ----
     "ns_embedding_norm_stats",
     "ns_lsh_recall",
     "ns_media_stats",
@@ -1828,6 +1776,21 @@ _PRIORITY = [
     "ns_text_top_ngrams",
     "rel_customer_distribution",
     "rel_discounted_revenue",
+    "rel_excess_availability",
+    "rel_important_stock",
+    "rel_large_volume_customers",
+    "rel_late_shipments",
+    "rel_min_cost_supplier",
+    "rel_price_quantiles",
+    "rel_profit_by_nation_year",
+    "rel_promo_revenue",
+    "rel_running_revenue",
+    "rel_sales_opportunity",
+    "rel_small_qty_revenue",
+    "rel_top_supplier",
+    "rel_waiting_suppliers",
+    "g_access_paths",
+    "g_count_by_label",
 ]
 
 
