@@ -73,10 +73,6 @@ def gram_matrix(
     as before. Coordinates beyond |x| ~ 3e3 real units would
     overflow an int64 PRODUCT (same bound as the r8 advisory); the
     oracle's HUGEINT and this path share that documented limit."""
-    import pandas as pd  # noqa: F401 — mapInPandas contract
-
-    spark = df.sparkSession
-
     def _partials(batches):
         import numpy as np
         import pandas as pd
