@@ -242,6 +242,10 @@ HEADLINE = [
     "ns_dedup_minhash_calibration",
     "ns_vec_pair_cos_hist",
     "g_members_of_role_hinted",
+    # round-9 late wave: LP-partition quality (modularity/conductance
+    # over the 3-round LPA assignment) and chi-square source keyness
+    "g_community_quality",
+    "ns_text_keyness",
 ]
 
 

@@ -111,6 +111,89 @@ def quality_score(
     )
 
 
+def keyness(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_count: int = 5,
+    topk: int = 5,
+) -> DataFrame:
+    """Chi-square keyness: the top-k terms most over-represented in
+    each source vs the rest of the corpus (Dunning-style keyword
+    extraction, but with the chi-square statistic so the arithmetic
+    stays in integers until ONE shared division — log-likelihood G2
+    needs ln(), which is libm-dependent). The corpus-curation use:
+    each source's keyness profile IS its domain signature — drift in
+    a crawl source shows up here before it shows up in loss.
+
+    For term t in source s with a = count(t in s), n_s = tokens in s,
+    k_t = count(t overall), N = total tokens:
+    chi2 = N*(a*d - b*c)^2 / (n_s*(N-n_s)*k_t*(N-k_t)), and the
+    numerator core collapses to delta = a*N - n_s*k_t (identity).
+    Products run in DECIMAL(38) with operands cast BEFORE multiplying
+    (the int64-wrap advisory rule); exact until the single division,
+    then round(6); only delta > 0 (over-represented) qualifies.
+    DECIMAL(38) headroom: N*delta^2 <= N^5 needs N <= ~3.9e7 tokens —
+    past that, shard keyness per corpus slice and union (each shard's
+    statistic is self-contained), as a 100 TB run would anyway.
+
+    Plan shape: one (source, term) hash-agg over the exploded tokens;
+    k_t and N attach as broadcasts; the per-source top-k is the only
+    window, partitioned by source (never global). Ties break on
+    (rounded chi2 desc, term asc) identically cross-engine.
+    Returns (source, term, term_count, corpus_count, chi2).
+    """
+    d38 = "decimal(38,0)"
+    toks_long = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    st = toks_long.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    ns = toks_long.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_s")
+    )
+    kt = st.groupBy("term").agg(F.sum("a").cast("bigint").alias("k_t"))
+    nn = toks_long.agg(F.count("*").cast("bigint").alias("n"))
+    sc = (
+        st.join(F.broadcast(kt), ["term"])
+        .join(ns, ["source"])
+        .crossJoin(F.broadcast(nn))
+    )
+    delta = F.col("a").cast(d38) * F.col("n") - F.col("n_s").cast(
+        d38
+    ) * F.col("k_t")
+    num = (F.col("n").cast(d38) * delta * delta).cast("double")
+    den = F.nullif(
+        (
+            F.col("n_s").cast(d38)
+            * (F.col("n") - F.col("n_s"))
+            * F.col("k_t")
+            * (F.col("n") - F.col("k_t"))
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    scored = sc.select(
+        "source",
+        "term",
+        F.col("a").alias("term_count"),
+        F.col("k_t").alias("corpus_count"),
+        F.round(num / den, 6).alias("chi2"),
+        delta.alias("__delta"),
+    ).filter((F.col("__delta") > 0) & (F.col("k_t") >= min_count))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .select("source", "term", "term_count", "corpus_count", "chi2")
+    )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -447,11 +447,10 @@ def _ppr_sql(
         """
 
 
-def _lpa_sql(rounds: int = 3) -> str:
-    """Unrolled synchronous label-propagation oracle: `rounds` copies
-    of (neighbor-label count -> per-node argmax -> relabel) over the
-    same membership edges as _CC_SQL. The argmax window ORDER BY
-    (cnt DESC, lbl) mirrors the engine's min(struct(-cnt, lbl))."""
+def _lpa_ctes(rounds: int = 3) -> list[str]:
+    """The unrolled synchronous label-propagation CTE chain (ending at
+    ``l{rounds}``), shared by the assignment oracle (_lpa_sql) and the
+    partition-quality oracle (_community_quality_sql)."""
     cte = [
         """
         edges_d AS (
@@ -491,11 +490,73 @@ def _lpa_sql(rounds: int = 3) -> str:
           SELECT l.v, coalesce(p.lbl, l.lbl) AS lbl
           FROM l{i - 1} l LEFT JOIN p{i} p USING (v))"""
         )
+    return cte
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label-propagation oracle: `rounds` copies
+    of (neighbor-label count -> per-node argmax -> relabel) over the
+    same membership edges as _CC_SQL. The argmax window ORDER BY
+    (cnt DESC, lbl) mirrors the engine's min(struct(-cnt, lbl))."""
+    return (
+        "WITH "
+        + ",".join(_lpa_ctes(rounds))
+        + f"""
+        SELECT v AS member_key, lbl AS community_key FROM l{rounds}"""
+    )
+
+
+def _community_quality_sql(rounds: int = 3) -> str:
+    """Partition-quality oracle: replay the LPA assignment CTEs, then
+    compute per-community modularity share (4m*e_c - vol_c^2)/(4m^2)
+    and conductance cut_c/min(vol_c, 2m - vol_c) over the deduped
+    undirected edge set — HUGEINT products (the engine uses
+    DECIMAL(38)), one shared division each, round(6), nullif on the
+    degenerate denominators exactly like the engine."""
+    cte = _lpa_ctes(rounds)
+    cte.append("""
+        ue AS (
+          SELECT least(a, b) AS x, greatest(a, b) AS y
+          FROM edges_d WHERE a <> b GROUP BY 1, 2),
+        mm AS (SELECT count(*) AS m FROM ue),
+        deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT x AS v FROM ue UNION ALL SELECT y FROM ue)
+          GROUP BY 1),
+        intra AS (
+          SELECT ax.lbl AS community_key, count(*) AS intra_edges
+          FROM ue
+          JOIN l{r} ax ON ue.x = ax.v
+          JOIN l{r} ay ON ue.y = ay.v
+          WHERE ax.lbl = ay.lbl GROUP BY 1),
+        mem AS (
+          SELECT a.lbl AS community_key,
+                 count(*) AS n_members,
+                 sum(coalesce(d.deg, 0)) AS volume
+          FROM l{r} a LEFT JOIN deg d ON d.v = a.v GROUP BY 1)""".format(
+        r=rounds
+    ))
     return (
         "WITH "
         + ",".join(cte)
-        + f"""
-        SELECT v AS member_key, lbl AS community_key FROM l{rounds}"""
+        + """
+        SELECT mem.community_key,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               CAST(volume AS BIGINT) AS volume,
+               CAST(volume - 2 * coalesce(i.intra_edges, 0) AS BIGINT)
+                 AS cut_edges,
+               round(CAST(volume - 2 * coalesce(i.intra_edges, 0)
+                          AS DOUBLE)
+                     / nullif(CAST(least(volume, 2 * mm.m - volume)
+                                   AS DOUBLE), 0.0), 6) AS conductance,
+               round(CAST(4 * CAST(mm.m AS HUGEINT)
+                            * coalesce(i.intra_edges, 0)
+                          - CAST(volume AS HUGEINT) * volume AS DOUBLE)
+                     / nullif(CAST(4 * CAST(mm.m AS HUGEINT) * mm.m
+                                   AS DOUBLE), 0.0), 6)
+                 AS modularity_share
+        FROM mem LEFT JOIN intra i USING (community_key), mm"""
     )
 
 
@@ -1128,6 +1189,9 @@ CATALOG: dict[str, QueryDef] = {
     "g_label_propagation": QueryDef(
         gq.label_propagation_communities, _lpa_sql(3)
     ),
+    "g_community_quality": QueryDef(
+        gq.community_quality, _community_quality_sql(3)
+    ),
     "g_pagerank_top": QueryDef(gq.pagerank_top, _pagerank_sql()),
     "g_hits_top": QueryDef(gq.hits_top, _hits_sql()),
     "g_graph_summary": QueryDef(
@@ -1739,6 +1803,8 @@ _PRIORITY = [
     # ---- round-9 window: changed/new first (driver checks the first
     # 50 catalog names; everything here is new this round, changed
     # behavior, or changed its oracle in round 9) ----
+    "g_community_quality",     # r9 new: LP-partition modularity/conductance
+    "ns_text_keyness",         # r9 new: chi-square source-term keyness
     "ns_ivf_ann",              # r9 new: IVF per-query census (r8 item 8)
     "ns_dedup_simhash",        # r9 new: xxhash simhash census (item 8)
     "ns_corpus_pps_sample",    # r9 new: Madow systematic PPS sampling

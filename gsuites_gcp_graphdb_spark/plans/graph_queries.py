@@ -1152,6 +1152,119 @@ def label_propagation_communities(
     )
 
 
+def community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality report for the LP communities: per community
+    its Newman modularity share and conductance — the two standard
+    "is this community real" numbers (modularity: intra-edge excess
+    over the degree-preserving null model; conductance: boundary
+    leakage). g_label_propagation pins the ASSIGNMENT; this pins what
+    the assignment is WORTH, so a silent LPA regression that still
+    produces a valid-looking labeling moves an oracle-checked metric.
+
+    Exact integers throughout: over the deduped undirected edge set
+    (m edges), modularity_share(c) = e_c/m - (vol_c/2m)^2 =
+    (4m*e_c - vol_c^2) / (4m^2) and conductance(c) =
+    cut_c / min(vol_c, 2m - vol_c) with cut_c = vol_c - 2*e_c. Both
+    numerators/denominators are DECIMAL(38) products of BIGINT counts
+    (cast BEFORE multiplying — the r8-advisory int64-wrap rule; 4m^2
+    wraps int64 past m ~ 1.5e9 edges), ONE shared division each,
+    round(6). Singleton communities: share 0, conductance NULL
+    (nullif on both engines). Plan: the 3 LPA rounds (hash-aggs, no
+    windows) + one distinct-edge agg + two map-combinable group-bys;
+    the m scalar attaches as a 1-row broadcast cross join.
+    """
+    from ..graph.algorithms import label_propagation
+
+    d38 = "decimal(38,0)"
+    g = _graph(spark, sf_dir)
+    mem_v = g.vertices.filter(
+        F.col("label").isin("user", "serviceAccount", "group")
+    )
+    grp = g.vertices.filter(F.col("label") == "group").select("id")
+    e = g.edges
+    mem_e = e.join(grp, e.dst == grp.id, "left_semi")
+    keys = mem_v.select("id", natural_key_col().alias("k"))
+    src_k = keys.select(F.col("id").alias("src"), F.col("k").alias("sk"))
+    dst_k = keys.select(F.col("id").alias("dst"), F.col("k").alias("dk"))
+    e_k = (
+        mem_e.join(src_k, ["src"])
+        .join(dst_k, ["dst"])
+        .select(F.col("sk").alias("src"), F.col("dk").alias("dst"))
+    )
+    v_k = keys.select(F.col("k").alias("id"))
+    lbl = label_propagation(v_k, e_k, rounds=3)
+
+    ue = (
+        e_k.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("x"),
+            F.greatest("src", "dst").alias("y"),
+        )
+        .dropDuplicates()
+    )
+    m_row = ue.agg(F.count("*").cast("bigint").alias("__m"))
+
+    lx = lbl.select(F.col("v").alias("x"), F.col("lbl").alias("cx"))
+    ly = lbl.select(F.col("v").alias("y"), F.col("lbl").alias("cy"))
+    ue_l = ue.join(lx, ["x"]).join(ly, ["y"])
+    intra = (
+        ue_l.filter(F.col("cx") == F.col("cy"))
+        .groupBy(F.col("cx").alias("community_key"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    deg = (
+        ue.select(F.col("x").alias("v"))
+        .unionByName(ue.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("__deg"))
+    )
+    members = (
+        lbl.join(deg, lbl.v == deg.v, "left_outer")
+        .select(
+            F.col("lbl").alias("community_key"),
+            F.coalesce("__deg", F.lit(0)).cast("bigint").alias("__deg"),
+        )
+        .groupBy("community_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("__deg").cast("bigint").alias("volume"),
+        )
+    )
+    per = (
+        members.join(intra, ["community_key"], "left_outer")
+        .select(
+            "community_key",
+            "n_members",
+            F.coalesce("intra_edges", F.lit(0))
+            .cast("bigint")
+            .alias("intra_edges"),
+            "volume",
+        )
+        .crossJoin(F.broadcast(m_row))
+    )
+    m = F.col("__m").cast(d38)
+    ec = F.col("intra_edges").cast(d38)
+    vol = F.col("volume").cast(d38)
+    cut = F.col("volume") - 2 * F.col("intra_edges")
+    mod_num = (4 * m * ec - vol * vol).cast("double")
+    mod_den = F.nullif((4 * m * m).cast("double"), F.lit(0.0))
+    cond_den = F.nullif(
+        F.least(
+            F.col("volume"), 2 * F.col("__m") - F.col("volume")
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return per.select(
+        "community_key",
+        "n_members",
+        "intra_edges",
+        "volume",
+        cut.cast("bigint").alias("cut_edges"),
+        F.round(cut.cast("double") / cond_den, 6).alias("conductance"),
+        F.round(mod_num / mod_den, 6).alias("modularity_share"),
+    )
+
+
 def motif_strict_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motif NEGATION: two-hop chains a→b→c with NO direct a→c edge —
     the 'access only via an intermediary' audit (e.g. a user whose

@@ -2352,6 +2352,16 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.source_overlap_matrix(docs, k=5, w=4)
 
 
+def text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square keyness (operators/text.keyness): the
+    top-5 terms most over-represented in each source vs the rest of
+    the corpus — each source's domain signature, the curation-time
+    drift alarm. Exact DECIMAL(38) contingency products, one shared
+    division, round(6) before the per-source top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.keyness(docs, min_count=5, topk=5)
+
+
 def text_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (operators/text.dsir_importance):
     per-doc mean log-ratio of unigram likelihood under the target
@@ -6113,6 +6123,41 @@ ENTRIES: dict[str, QueryDef] = {
         FROM pr
         JOIN per pa ON pa.source = pr.source_a
         JOIN per pb ON pb.source = pr.source_b
+        """,
+    ),
+    "ns_text_keyness": QueryDef(
+        text_keyness,
+        """
+        WITH t AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        st AS (
+          SELECT source, term, count(*) AS a FROM t GROUP BY 1, 2),
+        ns AS (SELECT source, count(*) AS n_s FROM t GROUP BY 1),
+        kt AS (SELECT term, count(*) AS k_t FROM t GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM t),
+        sc AS (
+          SELECT st.source, st.term, st.a, ns.n_s, kt.k_t, nn.n,
+                 CAST(st.a AS HUGEINT) * nn.n
+                   - CAST(ns.n_s AS HUGEINT) * kt.k_t AS delta
+          FROM st
+          JOIN ns USING (source)
+          JOIN kt USING (term), nn),
+        x AS (
+          SELECT source, term, a, k_t,
+                 round(CAST(CAST(n AS HUGEINT) * delta * delta
+                            AS DOUBLE)
+                       / nullif(CAST(CAST(n_s AS HUGEINT) * (n - n_s)
+                                     * k_t * (n - k_t) AS DOUBLE),
+                                0.0), 6) AS chi2
+          FROM sc WHERE delta > 0 AND k_t >= 5),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY chi2 DESC, term) AS rn
+          FROM x)
+        SELECT source, term, CAST(a AS BIGINT) AS term_count,
+               CAST(k_t AS BIGINT) AS corpus_count, chi2
+        FROM r WHERE rn <= 5
         """,
     ),
     "ns_text_dsir": QueryDef(

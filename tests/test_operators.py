@@ -539,6 +539,48 @@ def test_tfidf_top_term(spark):
     assert out[3].top_term == "apple"
 
 
+def test_keyness_hand_computed(spark):
+    # s1: x x y   s2: y y z  -> N=6, n_s=3 each; k_x=2, k_y=3, k_z=1
+    docs = spark.createDataFrame(
+        [(1, "x x y", "s1"), (2, "y y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = tx.keyness(docs, min_count=1, topk=2).collect()
+    got = {(r.source, r.term): r for r in out}
+    # (s1, x): delta = 2*6 - 3*2 = 6 > 0
+    #   chi2 = 6*36 / (3*3*2*4) = 3.0
+    assert got[("s1", "x")].chi2 == 3.0
+    assert got[("s1", "x")].term_count == 2
+    assert got[("s1", "x")].corpus_count == 2
+    # (s1, y): delta = 1*6 - 3*3 = -3 -> under-represented, excluded
+    assert ("s1", "y") not in got
+    # (s2, z): chi2 = 6*9 / (3*3*1*5) = 1.2
+    assert got[("s2", "z")].chi2 == 1.2
+    # (s2, y): chi2 = 6*9 / (3*3*3*3) = 0.666667
+    assert got[("s2", "y")].chi2 == 0.666667
+    assert len(out) == 3
+
+
+def test_community_quality_invariants(spark, sf_dir):
+    from gsuites_gcp_graphdb_spark.plans.graph_queries import (
+        community_quality,
+    )
+
+    rows = community_quality(spark, sf_dir).collect()
+    assert rows
+    vol2 = sum(r.volume for r in rows)
+    assert vol2 % 2 == 0  # every vertex counted once -> sum deg = 2m
+    m = vol2 // 2
+    assert sum(r.intra_edges for r in rows) <= m
+    # Q = sum of shares is bounded for any partition
+    assert -0.5 <= sum(r.modularity_share for r in rows) <= 1.0
+    for r in rows:
+        assert r.cut_edges == r.volume - 2 * r.intra_edges
+        assert r.cut_edges >= 0
+        if r.conductance is not None:
+            assert 0.0 <= r.conductance <= 1.0
+
+
 def test_events_funnel_stages(spark):
     from datetime import datetime as dt
 

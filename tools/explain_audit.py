@@ -211,6 +211,13 @@ def main():
         "ns_dedup_minhash_calibration",
         "ns_vec_pair_cos_hist",
         "g_members_of_role_hinted",
+        # round-9 late wave: community quality's aggregates must be
+        # hash-aggs with the m scalar as a 1-row broadcast (the only
+        # window-free plan atop the LPA rounds); keyness must
+        # broadcast k_t and N into the (source, term) agg and show
+        # exactly one source-partitioned Window for the top-k
+        "g_community_quality",
+        "ns_text_keyness",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
