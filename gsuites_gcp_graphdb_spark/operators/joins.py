@@ -110,6 +110,7 @@ def skew_join_auto(
     salt: int = 16,
     how: str = "inner",
     right_size_bytes: int | None = None,
+    left_size_bytes: int | None = None,
 ) -> DataFrame:
     """Skewed-fact-to-dim equi-join that PICKS the regime, encoding the
     round-6/7 x64 measurement (SCALING.md skew regimes): when the dim
@@ -165,11 +166,26 @@ def skew_join_auto(
     _UNKNOWN = 1 << 62
     if right_size_bytes >= _UNKNOWN:
         return salted_join(left, right, key, salt=salt, how=how)
-    left_size_bytes = int(
-        str(
-            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    if left_size_bytes is None:
+        left_size_bytes = int(
+            str(
+                left._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
         )
-    )
+        # For DERIVED plans (post-join/filter frontiers) Catalyst's
+        # sizeInBytes is the multiplied, selectivity-free statistic
+        # hint_size's docstring warns about — an inflated left makes
+        # salt*right pass the quarter test and re-introduces the 13x
+        # replication regression the third regime exists to avoid
+        # (r9 ADVICE). Trust only an explicit caller hint for the
+        # quarter test's numerator headroom; an un-hinted estimate at
+        # the unknown sentinel is treated as "no statistic" and the
+        # safe regime is plain + AQE skew-split.
+        if left_size_bytes >= _UNKNOWN:
+            return left.join(right, [key], how)
     if right_size_bytes * salt <= max(
         8 * max(threshold, 0), left_size_bytes // 4
     ):

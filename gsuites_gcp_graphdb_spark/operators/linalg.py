@@ -80,11 +80,21 @@ def gram_matrix(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.floor(
-                np.array(pdf["__v"].tolist(), dtype=np.float64)
-                * MICRO
-                + 0.5
-            ).astype(np.int64)
+            # pd.DataFrame over the (possibly ragged) vector lists
+            # pads short rows AND maps NULL elements to NaN; zeroing
+            # NaN reproduces the posexplode/oracle null-skip contract
+            # exactly (a 0 element contributes 0 to every s_ij, and
+            # floor(0*1e6+0.5) == 0), and ragged vectors behave as if
+            # their missing trailing dims were absent.
+            A = np.nan_to_num(
+                pd.DataFrame(pdf["__v"].tolist()).to_numpy(
+                    dtype=np.float64
+                ),
+                nan=0.0,
+            )
+            if A.size == 0:
+                continue
+            A = np.floor(A * MICRO + 0.5).astype(np.int64)
             S = A.T @ A
             d = S.shape[0]
             ii, jj = np.meshgrid(

@@ -27,6 +27,35 @@ def test_gram_matrix_hand_computed(spark):
     }
 
 
+def test_gram_matrix_null_elements_and_ragged(spark):
+    """r9 ADVICE regression: a NULL element inside an embedding must
+    contribute 0 to every s_ij (the posexplode spelling and the
+    DuckDB oracle both drop null products out of SUM — NaN garbage
+    from None->nan->floor would be INT64_MIN-scale), and a shorter
+    (ragged) vector must behave as if its missing trailing dims were
+    absent rather than crash the batch matmul."""
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, None]),  # null element -> treated as 0
+            (2, [3.0, 0.0]),
+            (3, [0.0, 1.0]),
+            (4, [2.0]),  # ragged: dim 1 absent
+            (5, None),  # whole-vector NULL: dropped entirely
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.i, r.j): int(r.s) for r in la.gram_matrix(emb).collect()
+    }
+    m = MICRO * MICRO
+    assert got == {
+        (0, 0): (9 + 9 + 0 + 4) * m,
+        (0, 1): 0,
+        (1, 0): 0,
+        (1, 1): 1 * m,
+    }
+
+
 def test_power_iteration_diagonal_dominant(spark):
     """Gram = diag(18, 1): the top eigenvector is axis 0 with
     eigenvalue exactly 18; the off-axis loading decays as (1/18)^k
