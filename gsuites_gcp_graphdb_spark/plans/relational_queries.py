@@ -1205,7 +1205,11 @@ def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta is the same md5-deterministic mutation set as rel_cdc_diff;
     the ORACLE computes the view directly on the mutated table, so a
     hash match IS the maintenance-equals-recompute theorem for this
-    view. Output: the maintained view keyed by order."""
+    view. Output: the maintained view keyed by order. The CATALOG
+    entry wraps this in ivm_join_receipt — a maintained 100 TB view
+    is written, not collected, so its cross-engine receipt must be
+    O(1), and the full-view row equality lives in a sf0.001 unit
+    test (r9 VERDICT item 1)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -1266,9 +1270,54 @@ def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained
 
 
+def ivm_join_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded receipt over the maintained join view (r9 VERDICT item
+    1): ``(n_rows, view_checksum)`` where view_checksum is the SUM of
+    a per-row 48-bit md5 fingerprint over the row's canonical integer
+    form ``orderkey:nationkey:price_cents`` — order-insensitive,
+    computed entirely executor-side (two map-combinable aggregates),
+    so the driver receives ONE row no matter how big the base view
+    is. Exactness: cents = floor(price*100 + 0.5) uses only
+    correctly-rounded IEEE ops (DESIGN.md float policy), the
+    fingerprint is an integer on both engines, and the sum of n
+    48-bit values needs log2(n)+48 bits — DECIMAL(38,0) (~126 bits)
+    holds it exactly past 10^20 rows, so no modulus is needed. The
+    oracle replays the fingerprint from the direct recompute of the
+    view on the mutated table: a checksum match at equal n_rows IS
+    the maintenance-equals-recompute theorem, with O(1) transfer
+    instead of the r9 collected 2.37M rows (x16 bench ratio 6.15 was
+    pure driver deserialization; compute-only was 1.3)."""
+    v = ivm_join_maintenance(spark, sf_dir)
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("c_nationkey").cast("string"),
+                    cents.cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(fp), F.lit(0).cast("decimal(38,0)")
+        ).alias("view_checksum"),
+    )
+
+
 ENTRIES: dict[str, QueryDef] = {
     "rel_ivm_join": QueryDef(
-        ivm_join_maintenance,
+        ivm_join_receipt,
         """
         WITH h AS (
           SELECT o_orderkey, o_custkey, o_totalprice,
@@ -1287,11 +1336,22 @@ ENTRIES: dict[str, QueryDef] = {
           UNION ALL
           SELECT o_orderkey + 100000000000, o_custkey, o_totalprice
           FROM h WHERE hdel >= 1966 AND hins < 1311
+        ),
+        view_rows AS (
+          SELECT v2.o_orderkey,
+                 CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                 v2.o_totalprice
+          FROM v2 JOIN customer c ON c.c_custkey = v2.o_custkey
         )
-        SELECT v2.o_orderkey,
-               CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
-               v2.o_totalprice
-        FROM v2 JOIN customer c ON c.c_custkey = v2.o_custkey
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               COALESCE(sum(CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || ':'
+                   || CAST(c_nationkey AS VARCHAR) || ':'
+                   || CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                           AS BIGINT) AS VARCHAR)
+                 ), 1, 12))::BIGINT AS DECIMAL(38,0))),
+                 CAST(0 AS DECIMAL(38,0))) AS view_checksum
+        FROM view_rows
         """,
     ),
     "rel_trailing_window": QueryDef(

@@ -678,3 +678,73 @@ def test_table_diff_classification(spark):
         4: ("deleted", ""),
         5: ("inserted", ""),
     }
+
+
+def test_ivm_join_maintained_view_equals_recompute(spark, sf_dir):
+    """r9 VERDICT item 1: the catalog entry now ships an O(1)
+    checksum receipt, so the FULL-VIEW equality (maintenance ==
+    direct recompute, row for row) is pinned here at sf0.001 where
+    collecting the whole view is cheap."""
+    import pyspark.sql.functions as F
+    from gsuites_gcp_graphdb_spark.plans.relational_queries import (
+        ivm_join_maintenance,
+    )
+    from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+    maintained = ivm_join_maintenance(spark, sf_dir)
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def h(salt: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    survivors = orders.filter(h(":cdc_del") >= 1966)
+    v2 = survivors.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            h(":cdc_upd") < 6554, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        survivors.filter(h(":cdc_ins") < 1311).select(
+            (F.col("o_orderkey") + F.lit(100000000000)).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    recomputed = v2.join(
+        customer, v2.o_custkey == customer.c_custkey
+    ).select(
+        "o_orderkey",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "o_totalprice",
+    )
+
+    got = sorted(
+        (r.o_orderkey, r.c_nationkey, round(r.o_totalprice, 2))
+        for r in maintained.collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r.c_nationkey, round(r.o_totalprice, 2))
+        for r in recomputed.collect()
+    )
+    assert len(got) > 100 and got == want
