@@ -668,6 +668,42 @@ def ivf_probe(
     )
 
 
+def ivf_refresh(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental refresh of a saved IVF index (r9 VERDICT item 4) —
+    the missing step of the ANN lifecycle a growing corpus needs:
+    train once (ivf_save), then refresh per batch WITHOUT retraining.
+    Only the NEW vectors are assigned, against the FROZEN centroid
+    table (broadcast of the k-row centroids — the batch never
+    shuffles for assignment), and appended to the partitioned
+    inverted lists (``cid=NN/`` append-only file adds; existing list
+    files are never rewritten or even read). Per-refresh cost is
+    O(|batch| * num_centroids) compute + O(|batch|) write, fully
+    independent of index size — the property that makes a daily
+    refresh on a 100 TB corpus viable. Because the quantizer is
+    frozen, (a) existing entries' probe behavior is bit-identical
+    after a refresh, and (b) a new vector lands in exactly the list
+    its probes will look in first (same assignment rule as the
+    probe's centroid ranking). Drift in the vector distribution
+    degrades recall gradually — ns_vec_drift is the monitor that
+    schedules the retrain."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    inv = _ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        cent,
+    )
+    inv.select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col), "cid"
+    ).write.partitionBy("cid").parquet(f"{path}/lists", mode="append")
+
+
 def _sq_l2(a, b):
     """Squared L2 distance between two equal-length arrays — the PQ
     assignment metric, one codegen'd fold."""

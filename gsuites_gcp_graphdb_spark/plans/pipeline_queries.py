@@ -491,6 +491,97 @@ def ivf_ann_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_refresh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index REFRESH lifecycle census (r9 VERDICT item 4): train
+    the coarse quantizer on a BASE 2/3 of the corpus (vec_id % 3 !=
+    2), save the write-time layout (ivf_save), then ivf_refresh the
+    remaining third as the incoming batch — frozen centroids, batch
+    assigned via broadcast, appended into the cid partitions without
+    touching existing list files. One row of earned invariants:
+
+    - ``new_ids_once``: every batch id appears in the refreshed
+      lists exactly once (count AND distinct-count equal n_new —
+      an append that double-writes or drops a partition flips it);
+    - ``lists_complete``: |refreshed lists| = n_base + n_new
+      (nothing lost, nothing duplicated on the base side);
+    - ``all_self_rank1``: probing the REFRESHED index with the
+      frozen query set (vec_id % 100 = 0 — the % 3 split keeps
+      ~a third of these IN the new batch, so refreshed entries are
+      probed, not just stored) finds every query at rank 1: a new
+      vector lands in exactly the list its own probe ranks first
+      (same frozen-centroid argmax on both sides);
+    - ``recall_ge_040``: recall@5 vs brute force over the full
+      corpus clears 0.4 — measured 0.520 / 0.560 / 0.550 at
+      sf0.001 / 0.01 / 0.1 (bounds-at-every-SF rule), in line with
+      ns_ivf_recall's 0.56-0.60 for the fully-trained index;
+    - ``within_margin_of_retrain``: refreshed-index hits are within
+      0.15*n_true of a full RETRAIN on the grown corpus — measured
+      gap +0.080 / +0.000 / +0.030 across the three fixtures, i.e.
+      skipping the retrain costs at most ~2 of 25 true neighbors
+      here, which is the trade the daily-refresh lifecycle buys.
+
+    All counts are bounded 1-row fetches (the nprobe-sweep pattern);
+    the temp index directory is removed after the counts complete,
+    so the returned relation is a literal row, not a scan. The
+    oracle replays the exact n_base/n_new census and pins the
+    booleans as earned TRUEs."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_base bigint, n_new bigint, new_ids_once boolean,"
+        " lists_complete boolean, all_self_rank1 boolean,"
+        " recall_ge_040 boolean, within_margin_of_retrain boolean"
+    )
+    is_new = F.col("vec_id") % 3 == 2
+    base = emb.filter(~is_new)
+    batch = emb.filter(is_new)
+    n_base, n_new = base.count(), batch.count()
+    if n_base == 0:
+        return spark.createDataFrame([], schema)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_refresh_")
+    try:
+        sim.ivf_save(base, path, num_centroids=8, iterations=2)
+        sim.ivf_refresh(spark, path, batch)
+        lists = spark.read.parquet(f"{path}/lists")
+        appended = lists.filter(F.col("vec_id") % 3 == 2)
+        n_app = appended.count()
+        n_app_distinct = appended.select("vec_id").distinct().count()
+        n_lists = lists.count()
+        queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        n_q = queries.count()
+        probe = sim.ivf_probe(spark, path, queries, k=5, nprobe=2)
+        n_self = probe.filter(
+            (F.col("rank") == 1) & (F.col("q_id") == F.col("vec_id"))
+        ).count()
+        brute = sim.knn_join(queries, emb, k=5).select("q_id", "vec_id")
+        n_true = brute.count()
+        n_hit = brute.join(
+            probe.select("q_id", "vec_id"), ["q_id", "vec_id"]
+        ).count()
+        retrained = sim.ivf_topk(
+            queries, emb, k=5, num_centroids=8, nprobe=2, iterations=2
+        )
+        n_hit_retrain = brute.join(
+            retrained.select("q_id", "vec_id"), ["q_id", "vec_id"]
+        ).count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_base,
+        n_new,
+        n_app == n_new and n_app_distinct == n_new,
+        n_lists == n_base + n_new,
+        n_self == n_q,
+        n_hit >= 0.4 * n_true,
+        n_hit >= n_hit_retrain - 0.15 * n_true,
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def dedup_simhash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row census of the xxhash64 SimHash near-dup path (r8
     VERDICT item 8: ns_dedup_simhash back in the catalog with a
@@ -4869,6 +4960,23 @@ ENTRIES: dict[str, QueryDef] = {
                TRUE AS scores_desc
         FROM embeddings WHERE vec_id % 100 = 0
         ORDER BY q_id
+        """,
+    ),
+    "ns_ivf_refresh": QueryDef(
+        ivf_refresh_census,
+        """
+        SELECT CAST(sum(CASE WHEN vec_id % 3 <> 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_base,
+               CAST(sum(CASE WHEN vec_id % 3 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               TRUE AS new_ids_once,
+               TRUE AS lists_complete,
+               TRUE AS all_self_rank1,
+               TRUE AS recall_ge_040,
+               TRUE AS within_margin_of_retrain
+        FROM embeddings
+        HAVING coalesce(sum(CASE WHEN vec_id % 3 <> 2 THEN 1 ELSE 0
+                            END), 0) > 0
         """,
     ),
     "ns_dedup_simhash": QueryDef(

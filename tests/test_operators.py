@@ -267,6 +267,51 @@ def test_ivf_saved_index_probe(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+def test_ivf_refresh_appends_without_retrain(spark, sf_dir, tmp_path):
+    """ivf_refresh must (a) leave the centroid table byte-identical
+    (no retrain), (b) append each new vector exactly once into the
+    cid partition its own probe ranks first (same frozen-centroid
+    argmax), and (c) leave existing list rows untouched, so a probe
+    equals ivf_topk trained on the base corpus but run over the
+    grown one is NOT required — instead the refreshed probe must
+    return the new vector itself at rank 1 when queried."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(base, path, num_centroids=4, iterations=2)
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    before = {
+        r.vec_id: r.cid
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    sim.ivf_refresh(spark, path, batch)
+    cent_after = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    assert cent_after == cent_before  # frozen quantizer
+    after = {
+        r.vec_id: r.cid
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    n_base, n_new = base.count(), batch.count()
+    assert n_new > 0 and len(after) == n_base + n_new
+    # base rows untouched (same assignment), new ids present once
+    assert {k: v for k, v in after.items() if k in before} == before
+    new_ids = {r.vec_id for r in batch.collect()}
+    assert new_ids == set(after) - set(before)
+    # a refreshed entry is probe-visible: querying with a new vector
+    # finds itself at rank 1 (it lives in its own first-probed list)
+    q = batch.select(F.col("vec_id").alias("q_id"), "embedding")
+    probe = sim.ivf_probe(spark, path, q, k=1, nprobe=1)
+    hits = {(r.q_id, r.vec_id) for r in probe.collect()}
+    assert hits == {(i, i) for i in new_ids}
+
+
 def test_minhash_incremental(spark):
     corpus = spark.createDataFrame(
         [
