@@ -74,6 +74,23 @@ _EDGES_NK = f"""
 # the branch without the cross-branch dedup, and path-enumeration
 # oracles (g_access_paths) are sensitive to edge multiplicity.
 
+# Shared by g_reachable_from_user (algorithms surface) and
+# g_reachable_until (fluent repeat_out_until surface) — one truth,
+# two spellings (the g_motif_flagship pattern).
+_REACHABLE_FROM_MIN_USER_SQL = f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        reach(l, k) AS (
+          SELECT 'user', (SELECT min(c_name) FROM customer)
+          UNION
+          SELECT e.dl, e.dk FROM reach r JOIN edges_nk e
+            ON e.sl = r.l AND e.sk = r.k
+        )
+        SELECT l AS label, k AS key FROM reach
+        WHERE NOT (l = 'user' AND k = (SELECT min(c_name) FROM customer))
+        ORDER BY label, key
+        """
+
 # SQL fragment: the full (label, key) vertex list of the derived graph.
 _VERTS_NK = f"""
         verts_nk AS (
@@ -741,19 +758,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "g_reachable_from_user": QueryDef(
         gq.reachable_from_min_user,
-        f"""
-        WITH RECURSIVE
-        {_EDGES_NK.strip()},
-        reach(l, k) AS (
-          SELECT 'user', (SELECT min(c_name) FROM customer)
-          UNION
-          SELECT e.dl, e.dk FROM reach r JOIN edges_nk e
-            ON e.sl = r.l AND e.sk = r.k
-        )
-        SELECT l AS label, k AS key FROM reach
-        WHERE NOT (l = 'user' AND k = (SELECT min(c_name) FROM customer))
-        ORDER BY label, key
-        """,
+        _REACHABLE_FROM_MIN_USER_SQL,
+    ),
+    # Same oracle, fluent surface (repeat_out_until) — the
+    # two-surfaces-one-truth pattern (g_motif_flagship); r9 VERDICT
+    # item 5.
+    "g_reachable_until": QueryDef(
+        gq.reachable_until_min_user,
+        _REACHABLE_FROM_MIN_USER_SQL,
     ),
     "g_stress_sample": QueryDef(gq.stress_sample, _stress_sql()),
     "g_ktruss": QueryDef(gq.ktruss, _ktruss_sql()),

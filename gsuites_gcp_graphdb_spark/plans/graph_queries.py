@@ -389,6 +389,31 @@ def reachable_from_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reachable_until_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 unbounded, spelled through the FLUENT surface
+    (Traversal.repeat_out_until — r9 VERDICT item 5): the same truth
+    as g_reachable_from_user against the SAME recursive-CTE oracle,
+    the g_motif_flagship two-surfaces-one-oracle pattern. The
+    until=None (empty-frontier) form compiles to
+    algorithms.reachable_from itself, so the fixpoint plan cannot
+    diverge between the surfaces by construction; what this entry
+    pins is the builder wiring around it — start-set derivation,
+    vertex property re-attach, natural-key projection (mirrors the
+    reference's console ergonomics, README.md:331-349)."""
+    from ..graph.traversal import Traversal
+
+    g = _graph(spark, sf_dir)
+    users = g.V().hasLabel("user").toDF()
+    target = users.agg(F.min("email").alias("email"))
+    start = users.join(target, ["email"], "left_semi")
+    reached = Traversal(g, start, "V").repeat_out_until("in")
+    return (
+        reached.toDF()
+        .select("label", natural_key_col().alias("key"))
+        .orderBy("label", "key")
+    )
+
+
 def users_with_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 where(out(...)) form: users having at least one direct role
     grant — existence as a left_semi chain (Traversal.where_out)."""

@@ -109,6 +109,37 @@ def test_repeat_emit_and_group_count(golden):
     assert gc == {"group": 2, "role": 1, "project": 1}
 
 
+def test_repeat_out_until(golden):
+    """repeat(out()).until(...) at the fluent surface (r10): the
+    empty-frontier form equals reachable_from's visited set; the
+    predicate form halts traversers at the FIRST matching vertex
+    (do-while) and does not expand past it."""
+    g = golden
+    start = g.V().has("email", "user1@domain.com")
+    # fixpoint form: everything downstream of user1
+    fix = start.repeat_out_until("in")
+    assert {
+        r.key for r in fix.key().collect()
+    } == {
+        "subgroup1@domain.com",
+        "group_of_groups1@domain.com",
+        "roles/appengine.codeViewer",
+        "gcp-project-200601",
+    }
+    # predicate form: halt at the first role — the project beyond it
+    # is never visited, and intermediate groups don't emit
+    halt = start.repeat_out_until("in", until=F.col("label") == "role")
+    assert [r.key for r in halt.key().collect()] == [
+        "roles/appengine.codeViewer"
+    ]
+    # predicate that never matches -> empty result, loop still
+    # terminates at the frontier fixpoint
+    none = start.repeat_out_until(
+        "in", until=F.col("label") == "nonexistent"
+    )
+    assert none.count() == 0
+
+
 def test_reachability_golden(golden, spark):
     g = golden
     src = g.V().has("email", "user1@domain.com").id_()
