@@ -323,6 +323,48 @@ def fast_registry(spark, sf_dir: str) -> dict:
     }
 
 
+def anchor_probes(spark) -> dict[str, float]:
+    """Code-frozen box-speed anchors (r9 VERDICT item 2): three pure
+    synthetic Spark workloads with ZERO dependence on repo code —
+    shuffle+hash-agg, big-by-big SMJ, and a codegen expression scan.
+    Do not edit the shapes or sizes; that is the point of them. They
+    measure the box+JVM alone, so ``common66_norm = common66 /
+    anchor_total`` cancels environment drift that moves engine and
+    anchors proportionally — the r9 common66 spread ([96.3, 112.9]s
+    across same-code runs) forced a code-frozen-commit bisect to
+    attribute; the normalized metric makes round-over-round claims
+    arithmetic instead. 4 reps each, median of the last 3 (rep 1
+    absorbs codegen/JIT warmup for the probe's own plan)."""
+    probes = {
+        "anchor_shuffle": lambda: spark.range(20_000_000)
+        .groupBy((F.col("id") % 200_000).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+        .agg(F.sum("s"), F.sum("c"))
+        .collect(),
+        "anchor_join": lambda: spark.range(4_000_000)
+        .select(F.col("id").alias("k"))
+        .join(
+            spark.range(4_000_000).select((F.col("id") + 1).alias("k")),
+            "k",
+        )
+        .agg(F.count("*"))
+        .collect(),
+        "anchor_codegen": lambda: spark.range(150_000_000)
+        .select(F.xxhash64("id").alias("h"))
+        .agg(F.sum(F.pmod(F.col("h"), F.lit(1000))))
+        .collect(),
+    }
+    out = {}
+    for name, action in probes.items():
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            action()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(reps[1:]), 3)
+    return out
+
+
 def main() -> None:
     preflight()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -334,6 +376,11 @@ def main() -> None:
     # cost, so keep it out of the first timed entry.
     spark.range(1_000_000).agg(F.sum("id")).collect()
     load_table(spark, sf_dir, "region").count()
+
+    # Box-speed anchors run FIRST (same process, before any suite
+    # pressure) — their total is the denominator of common66_norm.
+    anchors = anchor_probes(spark)
+    anchor_total = round(sum(anchors.values()), 3)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -415,6 +462,9 @@ def main() -> None:
     common66 = round(
         sum(timings[n] for n in COMMON66 if n in timings), 3
     )
+    common66_norm = (
+        round(common66 / anchor_total, 3) if anchor_total else None
+    )
     # Full per-query detail (medians + [min,max] spread) goes to a repo
     # file — the driver only captures a 2000-char stdout tail, and the
     # round-5 full-detail line overflowed it (BENCH_r05 parsed: null).
@@ -422,6 +472,9 @@ def main() -> None:
         "metric": "headline-suite wall time",
         "value": total,
         "common66": common66,
+        "common66_norm": common66_norm,
+        "anchors": anchors,
+        "anchor_total": anchor_total,
         "common66_missing": missing66,
         "unit": "sec",
         "queries": timings,
@@ -441,6 +494,8 @@ def main() -> None:
         "metric": "headline-suite wall time",
         "value": total,
         "common66": common66,
+        "common66_norm": common66_norm,
+        "anchor_total": anchor_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
