@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 _MEM_COUNTER = itertools.count()
 _STAGED_DIRS: dict[str, str] = {}
 
+# Observability: run_to_memory stashes each drained query's final
+# progress here under its logical name — stateOperators carries
+# numRowsTotal / stateMemory (HDFS store) or rocksdb custom metrics,
+# which is how the state-store scale receipts in SCALING.md are
+# measured without changing any query code.
+LAST_PROGRESS: dict[str, dict] = {}
+
 
 def _cleanup_staged() -> None:
     # session-cached scratch dirs must not accumulate across repeated
@@ -102,6 +109,12 @@ def run_to_memory(
                 f"streaming query {qname} did not drain in {timeout_sec}s"
             )
     finally:
+        try:
+            lp = q.lastProgress
+            if lp:
+                LAST_PROGRESS[name] = lp
+        except Exception:
+            pass
         if q.isActive:
             q.stop()
     return spark.table(qname)
