@@ -246,6 +246,13 @@ HEADLINE = [
     # over the 3-round LPA assignment) and chi-square source keyness
     "g_community_quality",
     "ns_text_keyness",
+    # round-10: unbounded repeat().until() at the fluent surface
+    # (same oracle as g_reachable_from_user) and the Hilbert-curve
+    # layout key (per-row state machine, the z-order sibling).
+    # ns_ivf_refresh stays out (census harness, the
+    # oracle-verification-query rule).
+    "g_reachable_until",
+    "ns_layout_hilbert",
 ]
 
 

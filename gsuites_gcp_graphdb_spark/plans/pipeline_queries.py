@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
+from ..operators.layout import hilbert_ctes as _hilbert_ctes
 from ..operators.layout import zvalue_sql as _zvalue_sql
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -2573,6 +2574,36 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_id"),
         zvalue(a, b).alias("z"),
+    )
+
+
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve keys for the events table (r10,
+    operators/layout.with_hilbert_value) — the locality-superior
+    sibling of ns_layout_zorder over the SAME (user_id,
+    floor(value)) dimensions: consecutive Hilbert points are always
+    Manhattan-distance 1 (z-order's worst quadrant-boundary jump is
+    the full grid side — test_hilbert_adjacency_beats_zorder), so
+    range-partitioning by h yields tighter per-file min/max boxes
+    for the same file count. Per-row so the oracle replays all 16
+    state-machine levels exactly (unrolled MATERIALIZED CTEs over
+    the same literal tables); zero shuffles, no UDF — one staged
+    projection per bit level. The write/prune round-trip is pinned
+    by test_hilbert_layout_prunes_partitions."""
+    from ..operators.layout import with_hilbert_value
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.pmod(F.col("user_id").cast("long"), F.lit(65536)).alias(
+            "__a"
+        ),
+        F.least(
+            F.floor(F.col("value")).cast("long"), F.lit(65535)
+        ).alias("__b"),
+    )
+    return with_hilbert_value(staged, "__a", "__b", "h", bits=16).select(
+        "event_id", "h"
     )
 
 
@@ -5341,6 +5372,18 @@ ENTRIES: dict[str, QueryDef] = {
                {_zvalue_sql('user_id % 65536',
                    'least(CAST(floor(value) AS BIGINT), 65535)')} AS z
         FROM events
+        """,
+    ),
+    "ns_layout_hilbert": QueryDef(
+        layout_hilbert,
+        f"""
+        WITH ev0 AS (
+          SELECT event_id, user_id % 65536 AS ha0,
+                 least(CAST(floor(value) AS BIGINT), 65535) AS hb0
+          FROM events),
+        {_hilbert_ctes('ha0', 'hb0', 16, 'ev0')}
+        SELECT CAST(event_id AS BIGINT) AS event_id, h
+        FROM h_final
         """,
     ),
     "ns_events_rolling_1h": QueryDef(

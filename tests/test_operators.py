@@ -564,6 +564,92 @@ def test_zvalue_matches_python_morton(spark):
     assert got == {(a, b): pyz(a, b) for a, b in rows}
 
 
+def test_hilbert_matches_reference(spark):
+    """with_hilbert_value must equal the classic xy2d rotation loop
+    EXHAUSTIVELY on a 16x16 grid (bits=4) — the state-machine tables
+    were derived from it, this re-proves the derivation in CI."""
+    from gsuites_gcp_graphdb_spark.operators import layout as lo
+
+    def classic_xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.h
+        for r in lo.with_hilbert_value(df, "a", "b", bits=4).collect()
+    }
+    assert got == {(x, y): classic_xy2d(16, x, y) for x, y in rows}
+
+
+def test_hilbert_adjacency_beats_zorder(spark):
+    """The locality theorem the layout exists for: consecutive
+    Hilbert points are ALWAYS Manhattan-distance 1, while z-order's
+    worst consecutive jump on the same 32x32 grid is the full side
+    length — the quadrant-boundary artifact Hilbert removes."""
+    from gsuites_gcp_graphdb_spark.operators import layout as lo
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    h = {
+        r.h: (r.a, r.b)
+        for r in lo.with_hilbert_value(df, "a", "b", bits=5).collect()
+    }
+    assert len(h) == 1024  # bijection onto 0..1023
+    assert all(
+        abs(h[d][0] - h[d + 1][0]) + abs(h[d][1] - h[d + 1][1]) == 1
+        for d in range(1023)
+    )
+    z = {
+        r.z: (r.a, r.b)
+        for r in df.select(
+            "a", "b", lo.zvalue(F.col("a"), F.col("b"), bits=5).alias("z")
+        ).collect()
+    }
+    zmax = max(
+        abs(z[d][0] - z[d + 1][0]) + abs(z[d][1] - z[d + 1][1])
+        for d in range(1023)
+    )
+    assert zmax == 32
+
+
+def test_hilbert_layout_prunes_partitions(spark, tmp_path):
+    """write_hilbert/read_hbox round-trip: exact box results + hp
+    partition pruning in-plan (the zorder test's twin)."""
+    from gsuites_gcp_graphdb_spark.operators import layout as lo
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    path = str(tmp_path / "hilberted")
+    lo.write_hilbert(df, path, "a", "b", bits=16, prefix_bits=4)
+    got = lo.read_hbox(spark, path, "a", "b", 10, 20, 30, 40)
+    want = df.filter(
+        F.col("a").between(10, 20) & F.col("b").between(30, 40)
+    )
+    assert got.count() == want.count()
+    assert {(r.a, r.b) for r in got.collect()} == {
+        (r.a, r.b) for r in want.collect()
+    }
+    cells = lo.hbox_prefixes(10, 20, 30, 40, bits=16, prefix_bits=4)
+    assert 0 < len(cells) < 16
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "hp" in plan
+
+
 def test_tfidf_top_term(spark):
     import math
 
