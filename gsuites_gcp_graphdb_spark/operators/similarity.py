@@ -901,6 +901,144 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_centroids: int = 16,
+    iterations: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011's IndexIVFPQ —
+    the composition the standalone ivf_topk and pq_adc_topk each do
+    half of): the coarse quantizer partitions the corpus into
+    inverted lists, and each vector is stored as the PQ code of its
+    RESIDUAL r = v - c(v) (residuals concentrate near 0, so the same
+    codebook budget quantizes them far more finely than raw
+    vectors — the reason FAISS encodes residuals). A query probes
+    its ``nprobe`` closest lists and scores candidates WITHOUT
+    touching raw vectors:
+
+        score(q, x) ~ dot(q, c_x) + sum_sub dot(q_sub, book[sub,
+        code_sub(r_x)])
+
+    — the first term is exact per probed centroid (nprobe values per
+    query), the second is the ADC table lookup. At 100 TB the scan
+    side is codes + list ids only (~(32*D)/(m*log2(k*)) smaller than
+    raw), I/O is cut again by nprobe/num_centroids, and both factors
+    compound — the operating point real vector stores run at.
+
+    Probe selection uses the same cosine ranking as _ivf_assign, so
+    a query vector PRESENT in the corpus always probes its own list
+    (the invariant ns_ivfpq_recall's census leans on); scoring is
+    dot-based like pq_adc_topk. Deterministic end to end (trained
+    parts inherit ivf_train/pq_train's determinism; ties break on
+    cid / id). Returns (q_id, rank, <c_id>, adc_score)."""
+    c = corpus.select(F.col(c_id).alias("id"), F.col(vec_col).alias("v"))
+    cent = ivf_train(corpus, num_centroids, iterations, c_id, vec_col)
+    inv = _ivf_assign(c, cent)
+    resid = (
+        inv.join(F.broadcast(cent), ["cid"])
+        .select(
+            "id",
+            "cid",
+            F.zip_with(
+                "v", "cvec", lambda x, y: x.cast("double") - y
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    book = pq_train(
+        resid, m=m, num_centroids=pq_centroids,
+        iterations=iterations, id_col="id", vec_col="r",
+    )
+    codes = pq_encode(resid, book, m=m, id_col="id", vec_col="r").join(
+        resid.select("id", "cid"), ["id"]
+    )
+    qs = queries.select(
+        F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    qcent = qs.crossJoin(F.broadcast(cent)).select(
+        "__qid",
+        "__qv",
+        "cid",
+        cosine_similarity(F.col("__qv"), F.col("cvec")).alias("__sim"),
+        F.aggregate(
+            F.zip_with(
+                "__qv", "cvec", lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("__qc_dot"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("cid")
+    )
+    probes = (
+        qcent.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__qv", "cid", "__qc_dot")
+    )
+    # ADC table: per (query, sub, codeword) partial dot with the
+    # RESIDUAL codebook — broadcast-sized (n_q * m * pq_centroids).
+    qtab = (
+        _pq_subvectors(
+            qs.select(F.col("__qid").alias("id"), F.col("__qv").alias("v")),
+            m,
+        )
+        .select(F.col("id").alias("__qid"), "sub", "sv")
+        .join(F.broadcast(book), ["sub"])
+        .select(
+            "__qid",
+            "sub",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "cvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("__pdot"),
+        )
+    )
+    cands = (
+        codes.join(
+            F.broadcast(probes.select("__qid", "cid", "__qc_dot")),
+            ["cid"],
+        )
+        .select("__qid", "id", "__qc_dot", F.posexplode("codes").alias("sub", "__code"))
+        .join(
+            F.broadcast(qtab.withColumnRenamed("cid", "__code")),
+            ["__qid", "sub", "__code"],
+        )
+        .groupBy("__qid", "id", "__qc_dot")
+        .agg(F.sum("__pdot").alias("__rdot"))
+        .select(
+            "__qid",
+            "id",
+            F.round(F.col("__qc_dot") + F.col("__rdot"), 6).alias(
+                "adc_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_score").desc(), F.col("id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(q_id),
+            "rank",
+            F.col("id").alias(c_id),
+            "adc_score",
+        )
+    )
+
+
 def scalar_quantize(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
