@@ -253,6 +253,7 @@ HEADLINE = [
     # oracle-verification-query rule).
     "g_reachable_until",
     "ns_layout_hilbert",
+    "ns_events_ewma",
 ]
 
 

@@ -2660,6 +2660,55 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially-weighted moving average of the user's
+    trailing event values (r10) — the smoothing primitive behind
+    velocity/anomaly features, with the decay chosen for the
+    CROSS-ENGINE CONTRACT: alpha = 1/2, truncated at 32 taps.
+    Dyadic weights 2^(31-j) are exact integers, value folds in exact
+    cents, so numerator and denominator are exact BIGINTs and the
+    single division at the end is the only float op (DESIGN.md float
+    policy — same reason temperature sampling pins alpha = 0.5).
+    Truncation error vs the infinite EWMA is < 2^-32 of the value
+    range — below the round(6) quantum for any real data.
+
+    Spelled as 32 lag() terms over one (user, time)-ordered window —
+    no self-join, no UDF; both engines fold the identical taps. Taps
+    j >= the row's 0-based position contribute to NEITHER sum (the
+    partial-window normalization every EWMA implementation needs —
+    the rn > j guard), so early rows average only what exists.
+    Per-user partitions, never a global window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    staged = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        cents.alias("__c"),
+        rn.alias("__rn"),
+        F.col("user_id"),
+        F.col("ts"),
+    )
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(32):
+        wgt = 1 << (31 - j)
+        tap = F.lag("__c", j).over(w)
+        have = F.col("__rn") > F.lit(j)
+        num = num + F.when(
+            have, F.coalesce(tap, F.lit(0)) * F.lit(wgt)
+        ).otherwise(F.lit(0))
+        den = den + F.when(have, F.lit(wgt)).otherwise(F.lit(0))
+    return staged.select(
+        "event_id",
+        F.round(
+            num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
+        ).alias("ewma"),
+    )
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top tf-idf term (operators/text.tfidf_top_term):
     the 'what is this doc about' signal for topic binning. Broadcast
@@ -5446,6 +5495,34 @@ ENTRIES: dict[str, QueryDef] = {
         {_hilbert_ctes('ha0', 'hb0', 16, 'ev0')}
         SELECT CAST(event_id AS BIGINT) AS event_id, h
         FROM h_final
+        """,
+    ),
+    "ns_events_ewma": QueryDef(
+        events_ewma,
+        """
+        WITH staged AS (
+          SELECT event_id, user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               round(CAST("""
+        + " + ".join(
+            f"(CASE WHEN rn > {j} THEN"
+            f" coalesce(lag(c, {j}) OVER w, 0) * {1 << (31 - j)}"
+            f" ELSE 0 END)"
+            for j in range(32)
+        )
+        + """ AS DOUBLE) / (CAST("""
+        + " + ".join(
+            f"(CASE WHEN rn > {j} THEN {1 << (31 - j)} ELSE 0 END)"
+            for j in range(32)
+        )
+        + """ AS DOUBLE) * 100.0), 6) AS ewma
+        FROM staged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     ),
     "ns_events_rolling_1h": QueryDef(
