@@ -254,6 +254,8 @@ HEADLINE = [
     "g_reachable_until",
     "ns_layout_hilbert",
     "ns_events_ewma",
+    "g_role_redundancy",
+    "g_entitlement_cohorts",
 ]
 
 

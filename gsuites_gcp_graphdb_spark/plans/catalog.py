@@ -767,6 +767,53 @@ CATALOG: dict[str, QueryDef] = {
         gq.reachable_until_min_user,
         _REACHABLE_FROM_MIN_USER_SQL,
     ),
+    # r10 role mining: the consolidation questions an IAM audit asks
+    # after "who is in role R" — role-pair member Jaccard (bounded by
+    # #roles^2, linear in users) and identical-entitlement cohorts
+    # (hash-agg; user-pair mining is a complete graph at this
+    # membership density).
+    "g_role_redundancy": QueryDef(
+        gq.role_redundancy,
+        f"""
+        WITH ur AS (
+          SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE})
+        ),
+        sizes AS (SELECT role, count(*) AS n FROM ur GROUP BY role),
+        inter AS (
+          SELECT a.role AS role_a, b.role AS role_b, count(*) AS i
+          FROM ur a JOIN ur b
+            ON a.email = b.email AND a.role < b.role
+          GROUP BY 1, 2)
+        SELECT role_a, role_b,
+               CAST(i AS BIGINT) AS shared_members,
+               CAST(sa.n + sb.n - i AS BIGINT) AS union_members,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.role = role_a
+        JOIN sizes sb ON sb.role = role_b
+        ORDER BY role_a, role_b
+        """,
+    ),
+    "g_entitlement_cohorts": QueryDef(
+        gq.entitlement_cohorts,
+        f"""
+        WITH ur AS (
+          SELECT c_name AS email, p_brand AS role FROM ({_USER_ROLE})
+        ),
+        sets AS (
+          SELECT email,
+                 md5(string_agg(role, ',' ORDER BY role))
+                   AS cohort_sig,
+                 count(*) AS nr
+          FROM ur GROUP BY email)
+        SELECT cohort_sig, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(nr) AS BIGINT) AS n_roles,
+               min(email) AS representative
+        FROM sets GROUP BY cohort_sig HAVING count(*) >= 2
+        ORDER BY n_users DESC, cohort_sig
+        """,
+    ),
     "g_stress_sample": QueryDef(gq.stress_sample, _stress_sql()),
     "g_ktruss": QueryDef(gq.ktruss, _ktruss_sql()),
     "g_random_walks": QueryDef(

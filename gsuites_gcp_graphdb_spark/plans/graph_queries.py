@@ -414,6 +414,112 @@ def reachable_until_min_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_role_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (email, role) membership relation off the graph —
+    the shared input of the r10 role-mining pair (g_role_redundancy,
+    g_entitlement_cohorts)."""
+    g = _graph(spark, sf_dir)
+    v = g.vertices
+    users = v.filter(F.col("label") == "user").select(
+        F.col("id").alias("uid"), "email"
+    )
+    roles = v.filter(F.col("label") == "role").select(
+        F.col("id").alias("rid"), F.col("name").alias("role")
+    )
+    e = g.edges.filter(F.col("label") == "in")
+    return (
+        e.join(users, e.src == F.col("uid"))
+        .join(roles, e.dst == F.col("rid"))
+        .select("email", "role")
+        .dropDuplicates()
+    )
+
+
+def role_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE MINING over the IAM graph (r10): pairwise Jaccard of
+    role MEMBER SETS — "which roles grant to nearly the same
+    principals", the consolidation question a real IAM audit asks
+    right after the reference's "who is in role R" (main.go:320).
+    Scale shape: the pair space is over ROLES (the small dimension —
+    bounded by #roles^2 = 300 output rows at any corpus size), and
+    the co-membership join is O(sum_user deg(user)^2) with deg
+    bounded by #roles — LINEAR in users, never user-pair-quadratic
+    (the fixture's 77%-density membership makes user-pair mining a
+    complete graph; roles are the side that stays enumerable at
+    100 TB). Pairs canonicalize on role NAME (portable — vertex ids
+    are engine-internal). Exact integers until the one jaccard
+    division."""
+    ur = _user_role_names(spark, sf_dir)
+    sizes = ur.groupBy("role").agg(F.count("*").alias("__n"))
+    a = ur.alias("a")
+    b = ur.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.email") == F.col("b.email"))
+            & (F.col("a.role") < F.col("b.role")),
+        )
+        .groupBy(
+            F.col("a.role").alias("role_a"),
+            F.col("b.role").alias("role_b"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(
+        F.col("role").alias("role_a"), F.col("__n").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("role").alias("role_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), ["role_a"])
+        .join(F.broadcast(sb), ["role_b"])
+        .select(
+            "role_a",
+            "role_b",
+            F.col("__inter").cast("bigint").alias("shared_members"),
+            (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            .cast("bigint")
+            .alias("union_members"),
+            F.round(
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("role_a", "role_b")
+    )
+
+
+def entitlement_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user side of role mining, in the shape that stays bounded
+    on a dense membership graph: users with BYTE-IDENTICAL role sets
+    (md5 of the sorted role-name list — portable, engine-id-free)
+    grouped into entitlement cohorts. A cohort of k users is k-1
+    candidates for a shared group/role consolidation — the answer
+    "which accounts are interchangeable", O(n) hash-agg work where
+    pairwise user similarity would be a complete graph here. Only
+    cohorts with >= 2 users are emitted (singletons are everyone
+    else); representative = min email, deterministic."""
+    ur = _user_role_names(spark, sf_dir)
+    sets = ur.groupBy("email").agg(
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list("role")))
+        ).alias("cohort_sig"),
+        F.count("*").alias("__nr"),
+    )
+    return (
+        sets.groupBy("cohort_sig")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("__nr").cast("bigint").alias("n_roles"),
+            F.min("email").alias("representative"),
+        )
+        .filter(F.col("n_users") >= 2)
+        .orderBy(F.col("n_users").desc(), "cohort_sig")
+    )
+
+
 def users_with_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 where(out(...)) form: users having at least one direct role
     grant — existence as a left_semi chain (Traversal.where_out)."""
