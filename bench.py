@@ -256,6 +256,7 @@ HEADLINE = [
     "ns_events_ewma",
     "g_role_redundancy",
     "g_entitlement_cohorts",
+    "g_access_redundancy",
 ]
 
 

@@ -814,6 +814,34 @@ CATALOG: dict[str, QueryDef] = {
         ORDER BY n_users DESC, cohort_sig
         """,
     ),
+    # r10: redundancy histogram of grant paths to the flagship
+    # project — engine counts paths via the O(E)-per-round DAG power
+    # iteration; the oracle ENUMERATES them (recursive CTE, O(total
+    # paths)) and aggregates, so a count mismatch anywhere flips the
+    # hash.
+    "g_access_redundancy": QueryDef(
+        gq.access_redundancy,
+        f"""
+        WITH RECURSIVE
+        {_EDGES_NK.strip()},
+        tgt AS (SELECT min(p_name) AS pid FROM part),
+        walk(u, l, k, d) AS (
+          SELECT c_name, 'user', c_name, 0 FROM customer
+          UNION ALL
+          SELECT w.u, e.dl, e.dk, w.d + 1
+          FROM walk w JOIN edges_nk e ON e.sl = w.l AND e.sk = w.k
+          WHERE w.d < 6
+        ),
+        per_user AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS n_paths
+          FROM walk, tgt
+          WHERE l = 'project' AND k = tgt.pid AND d > 0
+          GROUP BY u
+        )
+        SELECT n_paths, CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY n_paths ORDER BY n_paths
+        """,
+    ),
     "g_stress_sample": QueryDef(gq.stress_sample, _stress_sql()),
     "g_ktruss": QueryDef(gq.ktruss, _ktruss_sql()),
     "g_random_walks": QueryDef(

@@ -520,6 +520,66 @@ def entitlement_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def access_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-REDUNDANCY audit for the flagship project (r10): how
+    many distinct grant paths back each user's access — the
+    resilience counterpart of g_access_paths' 'via what path' (a
+    user at n_paths=1 loses access if any single edge on it is
+    revoked; the fixture's floor is 2/5 at sf0.001/0.01, itself an
+    audit finding). Computed WITHOUT enumerating paths: per-length
+    counts via the DAG power iteration paths_k = A * paths_(k-1)
+    from the target backwards — 6 join+agg rounds over vertex-keyed
+    COUNTS (O(E) each), where the enumeration the recursive-CTE
+    oracle does is O(total paths) (12M rows at sf0.01 — DuckDB pays
+    it once at oracle scale; the engine never does). Exact BIGINTs;
+    depth cap 6 matches g_access_paths' walk bound. Output: the
+    bounded histogram (n_paths, n_users)."""
+    from ..graph.algorithms import _truncate
+
+    g = _graph(spark, sf_dir)
+    v = g.vertices
+    tgt_name = v.filter(F.col("label") == "project").agg(
+        F.min("projectid").alias("projectid")
+    )
+    target = (
+        v.filter(F.col("label") == "project")
+        .join(tgt_name, ["projectid"], "left_semi")
+        .select("id")
+    )
+    edges = g.edges.filter(F.col("label") == "in").select("src", "dst")
+    cur = target.select("id", F.lit(1).cast("bigint").alias("c"))
+    total = None
+    for _ in range(6):
+        cur = _truncate(
+            edges.join(cur, edges.dst == cur.id)
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.sum("c").alias("c"))
+            .select(F.col("nid").alias("id"), "c")
+        )
+        if not cur.take(1):
+            break
+        total = cur if total is None else total.unionByName(cur)
+    if total is None:
+        return spark.createDataFrame(
+            [], "n_paths bigint, n_users bigint"
+        )
+    per_user = (
+        total.groupBy("id")
+        .agg(F.sum("c").alias("n_paths"))
+        .join(
+            v.filter(F.col("label") == "user").select("id"),
+            ["id"],
+            "left_semi",
+        )
+    )
+    return (
+        per_user.groupBy("n_paths")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(F.col("n_paths").cast("bigint").alias("n_paths"), "n_users")
+        .orderBy("n_paths")
+    )
+
+
 def users_with_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 where(out(...)) form: users having at least one direct role
     grant — existence as a left_semi chain (Traversal.where_out)."""
