@@ -1887,63 +1887,62 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-9 window: changed/new first (driver checks the first
-    # 50 catalog names; everything here is new this round, changed
-    # behavior, or changed its oracle in round 9) ----
-    "g_community_quality",     # r9 new: LP-partition modularity/conductance
-    "ns_text_keyness",         # r9 new: chi-square source-term keyness
-    "ns_ivf_ann",              # r9 new: IVF per-query census (r8 item 8)
-    "ns_dedup_simhash",        # r9 new: xxhash simhash census (item 8)
-    "ns_corpus_pps_sample",    # r9 new: Madow systematic PPS sampling
-    "ns_events_retention_cohorts",  # r9 new: retention triangle+dropoff
-    "ns_dedup_minhash_calibration", # r9 new: estimator calibration
-    "ns_vec_pair_cos_hist",    # r9 new: pairwise-cosine histogram
-    "g_members_of_role_hinted",# r9 new: hinted skew-aware expansion
-    "ns_dedup_ngram_jaccard",  # r9: exact integer threshold (advisory)
-    "ns_dedup_ngram_prefix",   # r9: exact integer threshold (advisory)
-    "ns_vec_drift",            # r9: DECIMAL(38) cast-before-agg (advisory)
-    "ns_vec_spectral_summary", # r9: gram operand cast (advisory)
-    "ns_vec_pca_power",        # r9: gram operand cast (advisory)
-    "ns_vec_pca_centered",     # r9: gram operand cast (advisory)
-    "ns_vec_principal_extremes",  # r9: gram operand cast (advisory)
-    "ns_semantic_dedup",       # r9: tau-derived 512-bit verify width
-    "ns_embedding_near_dup",   # r9: tau-derived 512-bit verify width
-    "ns_dedup_clusters",       # r9: UF contraction single-group exit
-    "ns_dedup_quality_rep",    # r9: UF contraction single-group exit
-    "ns_split_leakage_safe",   # r9: UF contraction single-group exit
-    "g_skew_membership_auto",  # r9: third regime (big-dim -> plain+AQE)
-    "ns_events_retention",     # r9: shadow-collision fix re-receipt
+    # ---- round-10 window: changed/new first (driver checks the
+    # first 50 catalog names). New operators this round, then every
+    # query whose plan or oracle changed in round 10. ----
+    "rel_ivm_join",            # r10: O(1) checksum receipt (r9 weak)
+    "ns_dedup_minhash_calibration",  # r10: agreement carried in band join
+    "ns_dedup_minhash_lsh",    # r10: with_agreement param added
+    "ns_ivf_refresh",          # r10 new: IVF refresh lifecycle census
+    "g_reachable_until",       # r10 new: fluent repeat().until()
+    "ns_layout_hilbert",       # r10 new: Hilbert layout keys
+    "ns_ivfpq_recall",         # r10 new: composed IVF-PQ census
+    "ns_events_ewma",          # r10 new: dyadic-alpha EWMA
+    "g_role_redundancy",       # r10 new: role-pair member Jaccard
+    "g_entitlement_cohorts",   # r10 new: identical role-set cohorts
+    "g_access_redundancy",     # r10 new: grant-path count histogram
+    "g_members_of_role_hinted",  # r10: skew_join_auto left-size trust
+    "g_skew_membership_auto",  # r10: skew_join_auto left-size trust
+    "ns_vec_pca_power",        # r10: gram null/ragged fix (advisory)
+    "ns_vec_pca_centered",     # r10: gram null/ragged fix (advisory)
+    "ns_vec_spectral_summary", # r10: gram null/ragged fix (advisory)
+    "ns_vec_drift",            # r10: gram null/ragged fix (advisory)
+    "ns_vec_principal_extremes",  # r10: gram null/ragged fix (advisory)
+    "ns_events_funnel_stream", # r10: run_to_memory progress hook
     # ---- fill to 50 with the least-recently-driver-checked (last
-    # receipt r3/r4; list(CATALOG)[:50] is the driver window) ----
-    "ns_embedding_norm_stats",
-    "ns_lsh_recall",
-    "ns_media_stats",
-    "ns_mixture_sample",
-    "ns_pack_sequences",
-    "ns_split_assign",
-    "ns_stratified_sample",
-    "ns_text_fingerprints",
-    "ns_text_length_histogram",
-    "ns_text_quality",
-    "ns_text_token_stats",
-    "ns_text_top_ngrams",
-    "rel_customer_distribution",
-    "rel_discounted_revenue",
-    "rel_excess_availability",
-    "rel_important_stock",
-    "rel_large_volume_customers",
-    "rel_late_shipments",
-    "rel_min_cost_supplier",
-    "rel_price_quantiles",
-    "rel_profit_by_nation_year",
-    "rel_promo_revenue",
-    "rel_running_revenue",
-    "rel_sales_opportunity",
-    "rel_small_qty_revenue",
-    "rel_top_supplier",
-    "rel_waiting_suppliers",
+    # receipt r4; computed from the union of CORRECTNESS_r0*.json,
+    # oldest first, name-ordered) ----
     "g_access_paths",
     "g_count_by_label",
+    "g_edge_count",
+    "g_label_propagation",
+    "g_members_of_role",
+    "g_membership_paths",
+    "g_motif_flagship",
+    "g_motif_negation",
+    "g_out_neighbors",
+    "g_pagerank_top",
+    "g_ppr_access",
+    "g_principals_with_access",
+    "g_reachable_from_user",
+    "g_shortest_paths",
+    "g_skew_membership_plain",
+    "g_skew_membership_salted",
+    "g_snapshot_diff",
+    "g_sql_interface",
+    "g_subgraph_role_project",
+    "g_two_hop_region",
+    "g_user_by_email",
+    "g_user_exists",
+    "g_user_permissions",
+    "g_users_with_roles",
+    "g_who_can_access_bucket",
+    "g_who_can_reach_project",
+    "ns_dedup_incremental",
+    "ns_events_asof_join",
+    "ns_events_range_join",
+    "ns_events_sessions",
+    "ns_events_sessions_stream",
 ]
 
 
