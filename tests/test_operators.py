@@ -68,16 +68,24 @@ def test_ngram_jaccard_df_cut(docs, spark):
 
 def test_scratch_release(docs, spark):
     """Dedup scratch caches are registered and released — a long
-    session sweeping many queries must not accrete storage memory."""
+    session sweeping many queries must not accrete storage memory.
+
+    r10: asserts on the TRACKED relations' own storage levels. The
+    old global getPersistentRDDs() equality was racy two ways: the
+    module fixture's cache materializes lazily (inside the window in
+    an isolated run), and ContextCleaner's weak-ref sweeps reclaim
+    unrelated localCheckpoint RDDs from earlier tests at their own
+    cadence — both move the global count without any scratch leak."""
     dd.release_scratch()
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()
     dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
     dd.simhash_candidates(docs).collect()
-    assert jsc.getPersistentRDDs().size() > base
+    tracked = list(dd._SCRATCH)
+    assert tracked  # the operators registered their scratch caches
+    assert any(df.storageLevel.useMemory for df in tracked)
     dd.release_scratch()
-    assert jsc.getPersistentRDDs().size() == base
+    assert not dd._SCRATCH
+    assert all(not df.storageLevel.useMemory for df in tracked)
 
 
 def test_minhash_lsh_finds_near_dups(docs):
