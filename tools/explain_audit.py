@@ -218,6 +218,18 @@ def main():
         # exactly one source-partitioned Window for the top-k
         "g_community_quality",
         "ns_text_keyness",
+        # round-10: the checksum receipt must stay two map-combinable
+        # aggregates; the Hilbert key must plan as staged projections
+        # with zero shuffles; role mining / access redundancy should
+        # be hash-aggs + broadcasts (role dims are tiny); the fluent
+        # repeat().until() spelling must match the algorithms path.
+        "rel_ivm_join",
+        "g_reachable_until",
+        "ns_layout_hilbert",
+        "ns_events_ewma",
+        "g_role_redundancy",
+        "g_entitlement_cohorts",
+        "g_access_redundancy",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
