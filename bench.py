@@ -257,6 +257,8 @@ HEADLINE = [
     "g_role_redundancy",
     "g_entitlement_cohorts",
     "g_access_redundancy",
+    "ns_quality_calibration",
+    "ns_vec_dim_quartiles",
 ]
 
 

@@ -1890,6 +1890,8 @@ _PRIORITY = [
     # ---- round-10 window: changed/new first (driver checks the
     # first 50 catalog names). New operators this round, then every
     # query whose plan or oracle changed in round 10. ----
+    "ns_quality_calibration",  # r10 late: quality reliability bins
+    "ns_vec_dim_quartiles",    # r10 late: per-dim robust-scaler stats
     "rel_ivm_join",            # r10: O(1) checksum receipt (r9 weak)
     "ns_dedup_minhash_calibration",  # r10: agreement carried in band join
     "ns_dedup_minhash_lsh",    # r10: with_agreement param added
@@ -1941,8 +1943,6 @@ _PRIORITY = [
     "ns_dedup_incremental",
     "ns_events_asof_join",
     "ns_events_range_join",
-    "ns_events_sessions",
-    "ns_events_sessions_stream",
 ]
 
 

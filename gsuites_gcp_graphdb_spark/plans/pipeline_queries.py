@@ -1325,6 +1325,24 @@ def _sql_stop_ratio(words: tuple[str, ...]) -> str:
       / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6)"""
 
 
+# Shared quality-score CTE (the SQL twin of operators/text.quality_score)
+# — used verbatim by ns_pipeline_e2e and ns_quality_calibration so the
+# two oracles can never drift apart.
+_SQL_QUALITY_Q_CTE = f"""q AS (
+          SELECT doc_id, text, n_chars,
+            round(0.4 * least(
+                    CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CASE WHEN round(
+                    (CAST(length(text) AS DOUBLE)
+                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                    BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
+                + 0.3 * least(
+                    {_sql_stop_ratio(tx.STOPWORDS["en"])} * 10.0, 1.0),
+              6) AS quality
+          FROM documents)"""
+
+
 # --------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------
@@ -2707,6 +2725,102 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
         ).alias("ewma"),
     )
+
+
+def vec_dim_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension five-number summary of the embedding corpus
+    (r10) — the statistics a robust scaler / outlier clip needs
+    before normalization (min, quartiles, max per dim), and the
+    per-dim twin of ns_embedding_norm_stats' per-vector view. Group
+    count is bounded by d (64 here), so the exact percentile
+    aggregate sorts ~n values per dim-group — fine at fixture scale
+    and the oracle anchor; the 100 TB path swaps in
+    approx_percentile over the identical plan (the
+    rel_price_quantiles precedent) since exact per-group collection
+    is the known cost of exact quantiles. percentile/quantile_cont
+    use the same linear interpolation on identical doubles (the
+    theil_sen float-parity precedent; re-checked at sf0.1), outputs
+    rounded 6. NULL vectors drop in the explode on both engines;
+    NULL elements are skipped by both aggregates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count("v").cast("bigint").alias("n"),
+            F.round(F.min("v"), 6).alias("v_min"),
+            F.round(F.percentile("v", F.lit(0.25)), 6).alias("q1"),
+            F.round(F.percentile("v", F.lit(0.5)), 6).alias("med"),
+            F.round(F.percentile("v", F.lit(0.75)), 6).alias("q3"),
+            F.round(F.max("v"), 6).alias("v_max"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n",
+            "v_min",
+            "q1",
+            "med",
+            "q3",
+            "v_max",
+        )
+        .orderBy("dim")
+    )
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability audit of the heuristic quality score (r10): is
+    the score we GATE the corpus on predictive of the pathologies it
+    is meant to proxy? Docs bin by fixed quality decile — map-side
+    ``least(floor(q*10), 9)``, never a global ntile window — and
+    each bin reports its EXACT byte-duplication rate (share of docs
+    whose text has an md5-identical twin anywhere in the corpus) and
+    mean length. A score that does not separate dup-heavy from clean
+    bins is not earning its QUALITY_CUT. All integers until the two
+    per-bin divisions (rate, mean), rounded 6; the dup flag rides
+    the same md5-group semi-join as exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(docs)
+    keys = docs.select("doc_id", F.md5("text").alias("__k"))
+    dup_keys = (
+        keys.groupBy("__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__k")
+    )
+    dup_ids = keys.join(dup_keys, ["__k"], "left_semi").select(
+        "doc_id", F.lit(1).alias("__dup")
+    )
+    binned = (
+        q.select(
+            "doc_id",
+            "n_chars",
+            F.least(
+                F.floor(F.col("quality") * 10).cast("bigint"), F.lit(9)
+            ).alias("bin"),
+        )
+        .join(dup_ids, ["doc_id"], "left_outer")
+        .select(
+            "bin", "n_chars", F.coalesce("__dup", F.lit(0)).alias("__dup")
+        )
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__dup").cast("bigint").alias("n_dups"),
+        F.sum("n_chars").cast("bigint").alias("__chars"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_dups",
+        F.round(F.col("n_dups") / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("__chars") / F.col("n_docs"), 6).alias(
+            "mean_chars"
+        ),
+    ).orderBy("bin")
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5485,6 +5599,47 @@ ENTRIES: dict[str, QueryDef] = {
         FROM events
         """,
     ),
+    "ns_vec_dim_quartiles": QueryDef(
+        vec_dim_quartiles,
+        """
+        WITH x AS (
+          SELECT unnest(range(0, len(embedding))) AS dim,
+                 unnest(list_transform(embedding,
+                        e -> CAST(e AS DOUBLE))) AS v
+          FROM embeddings)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(count(v) AS BIGINT) AS n,
+               round(min(v), 6) AS v_min,
+               round(quantile_cont(v, 0.25), 6) AS q1,
+               round(quantile_cont(v, 0.5), 6) AS med,
+               round(quantile_cont(v, 0.75), 6) AS q3,
+               round(max(v), 6) AS v_max
+        FROM x GROUP BY dim ORDER BY dim
+        """,
+    ),
+    "ns_quality_calibration": QueryDef(
+        quality_calibration,
+        f"""
+        WITH {_SQL_QUALITY_Q_CTE},
+        dupk AS (
+          SELECT md5(text) AS k FROM documents
+          GROUP BY md5(text) HAVING count(*) > 1),
+        b AS (
+          SELECT least(CAST(floor(q.quality * 10) AS BIGINT), 9)
+                   AS bin,
+                 q.n_chars,
+                 CASE WHEN md5(q.text) IN (SELECT k FROM dupk)
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM q)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups,
+               round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6)
+                 AS dup_rate,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6)
+                 AS mean_chars
+        FROM b GROUP BY bin ORDER BY bin
+        """,
+    ),
     "ns_layout_hilbert": QueryDef(
         layout_hilbert,
         f"""
@@ -6505,19 +6660,7 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_pipeline_e2e": QueryDef(
         pipeline_e2e,
         f"""
-        WITH q AS (
-          SELECT doc_id, text, n_chars,
-            round(0.4 * least(
-                    CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
-                + 0.3 * (CASE WHEN round(
-                    (CAST(length(text) AS DOUBLE)
-                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
-                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
-                    BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END)
-                + 0.3 * least(
-                    {_sql_stop_ratio(tx.STOPWORDS["en"])} * 10.0, 1.0),
-              6) AS quality
-          FROM documents),
+        WITH {_SQL_QUALITY_Q_CTE},
         kept AS (SELECT * FROM q WHERE quality >= {QUALITY_CUT}),
         rep AS (
           SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
