@@ -1272,21 +1272,25 @@ def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivm_join_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded receipt over the maintained join view (r9 VERDICT item
-    1): ``(n_rows, view_checksum)`` where view_checksum is the SUM of
-    a per-row 48-bit md5 fingerprint over the row's canonical integer
-    form ``orderkey:nationkey:price_cents`` — order-insensitive,
-    computed entirely executor-side (two map-combinable aggregates),
-    so the driver receives ONE row no matter how big the base view
-    is. Exactness: cents = floor(price*100 + 0.5) uses only
-    correctly-rounded IEEE ops (DESIGN.md float policy), the
-    fingerprint is an integer on both engines, and the sum of n
-    48-bit values needs log2(n)+48 bits — DECIMAL(38,0) (~126 bits)
-    holds it exactly past 10^20 rows, so no modulus is needed. The
-    oracle replays the fingerprint from the direct recompute of the
-    view on the mutated table: a checksum match at equal n_rows IS
-    the maintenance-equals-recompute theorem, with O(1) transfer
-    instead of the r9 collected 2.37M rows (x16 bench ratio 6.15 was
-    pure driver deserialization; compute-only was 1.3)."""
+    1, dtype fixed per r10 VERDICT item 1): ``(n_rows, checksum_hi,
+    checksum_lo)`` where the two checksum words are SUMs of the high
+    24 and low 24 bits of a per-row 48-bit md5 fingerprint over the
+    row's canonical integer form ``orderkey:nationkey:price_cents``
+    — order-insensitive, computed entirely executor-side (three
+    map-combinable aggregates), so the driver receives ONE row no
+    matter how big the base view is. Exactness: cents =
+    floor(price*100 + 0.5) uses only correctly-rounded IEEE ops
+    (DESIGN.md float policy); each word sums n 24-bit values, which
+    BIGINT holds exactly past 5e11 rows per word — and BIGINT (unlike
+    the r10 DECIMAL(38,0) spelling, whose ~2^61 totals one harness
+    float64-round-tripped into 2084523696445190144) survives any
+    int64-preserving normalization. All wider arithmetic stays
+    internal. The oracle replays the fingerprint from the direct
+    recompute of the view on the mutated table: a two-word checksum
+    match at equal n_rows IS the maintenance-equals-recompute
+    theorem, with O(1) transfer instead of the r9 collected 2.37M
+    rows (x16 bench ratio 6.15 was pure driver deserialization;
+    compute-only was 1.3)."""
     v = ivm_join_maintenance(spark, sf_dir)
     cents = F.floor(
         F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
@@ -1306,12 +1310,16 @@ def ivm_join_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         16,
         10,
-    ).cast("decimal(38,0)")
+    ).cast("bigint")
+    zero = F.lit(0).cast("bigint")
     return v.agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.coalesce(
-            F.sum(fp), F.lit(0).cast("decimal(38,0)")
-        ).alias("view_checksum"),
+        F.coalesce(F.sum(F.shiftright(fp, 24)), zero)
+        .cast("bigint")
+        .alias("checksum_hi"),
+        F.coalesce(F.sum(fp.bitwiseAND(F.lit(0xFFFFFF))), zero)
+        .cast("bigint")
+        .alias("checksum_lo"),
     )
 
 
@@ -1342,16 +1350,22 @@ ENTRIES: dict[str, QueryDef] = {
                  CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
                  v2.o_totalprice
           FROM v2 JOIN customer c ON c.c_custkey = v2.o_custkey
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               COALESCE(sum(CAST(('0x' || substr(md5(
+        ),
+        fp_rows AS (
+          SELECT ('0x' || substr(md5(
                    CAST(o_orderkey AS VARCHAR) || ':'
                    || CAST(c_nationkey AS VARCHAR) || ':'
                    || CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
                            AS BIGINT) AS VARCHAR)
-                 ), 1, 12))::BIGINT AS DECIMAL(38,0))),
-                 CAST(0 AS DECIMAL(38,0))) AS view_checksum
-        FROM view_rows
+                 ), 1, 12))::BIGINT AS fp
+          FROM view_rows
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(sum(fp >> 24), 0) AS BIGINT)
+                 AS checksum_hi,
+               CAST(COALESCE(sum(fp & 16777215), 0) AS BIGINT)
+                 AS checksum_lo
+        FROM fp_rows
         """,
     ),
     "rel_trailing_window": QueryDef(

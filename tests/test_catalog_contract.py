@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import inspect
 import re
+import sys
 
 import __spark_entry__ as entrymod
 from gsuites_gcp_graphdb_spark.plans.catalog import CATALOG
@@ -62,6 +63,56 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["email", "role", "projectid"]
+
+
+def test_catalog_output_dtypes_are_driver_safe(spark):
+    """No catalog query may emit a driver-fragile output dtype
+    (r10 VERDICT item 2). The external driver normalizes results in
+    pandas; a DecimalType column holding ~2^61 values float64
+    round-trips into a DIFFERENT integer on one engine only —
+    exactly how `rel_ivm_join` shipped red in round 10 while every
+    repo-side receipt was green. Gate the whole class: every Spark
+    output field must be a scalar from the int64-or-narrower /
+    float / string / bool / date / timestamp set, and every DuckDB
+    oracle's DESCRIBE must bind to types free of DECIMAL/HUGEINT.
+    Runs over the 0-row fixture so iterative builders converge
+    instantly; schemas are scale-independent."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, "/root/repo/tools")
+    from selfcheck import build_empty_fixture
+
+    empty_dir = "/tmp/spark_graft_empty_fixture"
+    build_empty_fixture(spark, empty_dir)
+
+    allowed = (
+        T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+        T.DoubleType, T.FloatType, T.StringType, T.BooleanType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+    bad_spark = []
+    for name, qd in CATALOG.items():
+        df = qd.fn(spark, empty_dir)
+        for f in df.schema.fields:
+            if not isinstance(f.dataType, allowed):
+                bad_spark.append(f"{name}.{f.name}: {f.dataType}")
+    assert not bad_spark, f"driver-fragile Spark dtypes: {bad_spark}"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
+        )
+    bad_duck = []
+    for name, qd in CATALOG.items():
+        if qd.sql is None:
+            continue
+        desc = con.execute(f"DESCRIBE {qd.sql}").fetchall()
+        for col, typ, *_ in desc:
+            if "DECIMAL" in typ.upper() or "HUGEINT" in typ.upper():
+                bad_duck.append(f"{name}.{col}: {typ}")
+    assert not bad_duck, f"driver-fragile oracle dtypes: {bad_duck}"
 
 
 def test_coverage_md_names_resolve():
