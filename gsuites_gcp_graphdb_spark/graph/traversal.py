@@ -127,16 +127,10 @@ class Traversal:
         exceeds the cap (caller: plain join + AQE — NOT salt; the
         third-regime rule showed replicating a big frontier is the
         catastrophic branch)."""
+        from ..operators.joins import parse_broadcast_threshold
+
         spark = self._df.sparkSession
-        thr = str(
-            spark.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        ).lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        mult = units.get(thr.rstrip("b")[-1:], 1)
-        digits = "".join(c for c in thr if c.isdigit() or c == "-")
-        threshold = int(digits or "0") * mult
+        threshold = parse_broadcast_threshold(spark)
         if threshold <= 0:
             return None
         cap = max(threshold // self._PROBE_BYTES_PER_ROW, 1)

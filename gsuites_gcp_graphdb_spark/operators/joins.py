@@ -22,6 +22,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def parse_broadcast_threshold(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` as plain bytes.
+
+    Spark accepts the value as a bare byte count or with a k/m/g
+    suffix (optionally trailing 'b'), and ``-1`` disables
+    broadcasting. Shared by skew_join_auto's regime pick and
+    Traversal._probe_frontier_bytes' probe cap (r10 ADVICE: the
+    parse was duplicated verbatim; a unit-handling fix in one would
+    silently diverge the other's regime decision)."""
+    thr = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = units.get(thr.rstrip("b")[-1:], 1)
+    digits = "".join(ch for ch in thr if ch.isdigit() or ch == "-")
+    return int(digits or "0") * mult
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -140,13 +158,7 @@ def skew_join_auto(
     that, emit the plain join and let AQE split the hot
     partitions."""
     spark = right.sparkSession
-    thr = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    mult = units.get(thr.rstrip("b")[-1:], 1)
-    digits = "".join(ch for ch in thr if ch.isdigit() or ch == "-")
-    threshold = int(digits or "0") * mult
+    threshold = parse_broadcast_threshold(spark)
     if right_size_bytes is None:
         # py4j maps scala.math.BigInt through to a Python int already
         right_size_bytes = int(

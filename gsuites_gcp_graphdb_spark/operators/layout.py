@@ -276,7 +276,12 @@ def hbox_prefixes(
     prefix_bits/2) (one node of the quadrant recursion), so the
     intersection test is exact: decode one point of the cell
     (driver-side d2xy of the cell's lowest d) and mask to the cell
-    grid."""
+    grid. Odd prefix_bits would make prefix_bits//2 silently
+    over-approximate each cell to its parent square — reads would
+    stay correct through the residual filter but pruning would
+    quietly degrade — so this end enforces the same whole-level
+    contract as write_hilbert (r10 ADVICE)."""
+    assert prefix_bits % 2 == 0, "hilbert prefix must be whole levels"
     side = 1 << (bits - prefix_bits // 2)
     cells = []
     for hp in range(1 << prefix_bits):
