@@ -402,29 +402,6 @@ def _pair_cosine_udf():
     return F.pandas_udf(_cos, DoubleType())
 
 
-def _residual_udf():
-    """Arrow-vectorized residual r = v - c(v) for IVF-PQ encoding
-    (r10 VERDICT item 4): one float64 subtract per batch instead of
-    an interpreted zip_with fold per row. The encode pass touches
-    the FULL corpus — at 100 TB it is the dominant index-build scan,
-    exactly the shape where the measured ~300x Arrow-vs-HOF gap
-    (spark-graft rule: array HOFs are CodegenFallback) matters.
-    Bit-identical to the HOF spelling: both are IEEE float64
-    subtracts after a float64 widen."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, DoubleType
-
-    def _resid(v, c):
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        V = np.array(v.tolist(), dtype=np.float64)
-        C = np.array(c.tolist(), dtype=np.float64)
-        return pd.Series(list(V - C))
-
-    return F.pandas_udf(_resid, ArrayType(DoubleType()))
-
-
 def _band_geometry(
     threshold: float, max_planes: int = 192, target_miss: float = 0.05
 ) -> tuple[int, int]:
@@ -726,9 +703,15 @@ def ivf_refresh(
     ``assume_new=True`` to keep the pure O(|batch|) append with zero
     index reads."""
     cent = spark.read.parquet(f"{path}/centroids")
+    # Coerce the batch's vector column to the dtype the lists already
+    # store (footer-only schema read): appending array<double> rows
+    # into an array<float> layout would corrupt the index for every
+    # later vectorized scan.
+    stored = spark.read.parquet(f"{path}/lists").schema[vec_col].dataType
     inv = _ivf_assign(
         new_vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast(stored).alias("v"),
         ),
         cent,
     )
@@ -1067,6 +1050,68 @@ def pq_encode(
     )
 
 
+def pq_encode_fast(
+    corpus: DataFrame,
+    book: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_encode's scale path (r10 VERDICT item 4, re-aimed by
+    measurement): same (id, codes array<int>) output, computed as ONE
+    Arrow-vectorized kernel — the collected codebook (m*k*dsub
+    doubles, e.g. 4*16*16 = 1 KiB) becomes a broadcast closure and
+    each batch runs a single numpy broadcast-distance + argmin per
+    subspace. The encode pass is the dominant full-corpus scan of an
+    IVF-PQ build: the HOF spelling costs ~m*k interpreted _sq_l2
+    folds per row PLUS an (id, sub)-explode and two hash-agg
+    shuffles, while this kernel is map-only (no shuffle at all).
+    Measured on the x64 replica (128k rows): 1.79s -> 0.46s
+    steady-state, codes EXACTLY equal (2000/2000 — numpy argmin's
+    first-min matches the min(struct(d, cid)) tie-break, and the
+    r10 A/B showed no float-order flips on this data). Contrast
+    with the residual subtract itself, where the same A/B showed the
+    plain zip_with HOF WINNING (0.29s vs 0.64s): one O(d) subtract
+    is too little compute to amortize the Arrow round-trip, so that
+    stage stays a built-in on purpose (SCALING.md round-11)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    rows = book.collect()
+    if not rows:
+        # empty codebook (0-row corpus): emit the schema, no rows
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            F.array().cast("array<int>").alias("codes"),
+        )
+    k = max(r["cid"] for r in rows) + 1
+    dsub = len(rows[0]["cvec"])
+    B = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        B[r["sub"], r["cid"]] = r["cvec"]
+
+    def _enc(vcol):
+        if len(vcol) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vcol.tolist(), dtype=np.float64)
+        n = V.shape[0]
+        codes = np.zeros((n, m), dtype=np.int32)
+        for s in range(m):
+            sub = V[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(2)
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    enc_udf = F.pandas_udf(_enc, ArrayType(IntegerType()))
+    # No cast column: np.array(..., float64) widens float32 exactly,
+    # so a pre-cast would only add an interpreted transform pass.
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        enc_udf(F.col(vec_col)).alias("codes"),
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -1164,12 +1209,21 @@ def ivf_pq_topk(
     c = corpus.select(F.col(c_id).alias("id"), F.col(vec_col).alias("v"))
     cent = ivf_train(corpus, num_centroids, iterations, c_id, vec_col)
     inv = _ivf_assign(c, cent)
+    # The residual subtract stays a built-in zip_with ON PURPOSE:
+    # the r11 x64 A/B measured the HOF at 0.29s vs 0.64s for an
+    # Arrow kernel of the same subtract — one O(d) elementwise op is
+    # too little compute to amortize the Arrow round-trip (the ~300x
+    # Arrow wins live where each row does hundreds of dots). The
+    # heavy stage is the ENCODE below, which is Arrow (SCALING.md
+    # round-11 A/B: 1.79s -> 0.46s, codes exactly equal).
     resid = (
         inv.join(F.broadcast(cent), ["cid"])
         .select(
             "id",
             "cid",
-            _residual_udf()(F.col("v"), F.col("cvec")).alias("r"),
+            F.zip_with(
+                "v", "cvec", lambda x, y: x.cast("double") - y
+            ).alias("r"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1177,9 +1231,9 @@ def ivf_pq_topk(
         resid, m=m, num_centroids=pq_centroids,
         iterations=iterations, id_col="id", vec_col="r",
     )
-    codes = pq_encode(resid, book, m=m, id_col="id", vec_col="r").join(
-        resid.select("id", "cid"), ["id"]
-    )
+    codes = pq_encode_fast(
+        resid, book, m=m, id_col="id", vec_col="r"
+    ).join(resid.select("id", "cid"), ["id"])
     qs = queries.select(
         F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qv")
     )

@@ -320,6 +320,95 @@ def test_ivf_refresh_appends_without_retrain(spark, sf_dir, tmp_path):
     assert hits == {(i, i) for i in new_ids}
 
 
+def test_ivf_refresh_retry_is_noop(spark, sf_dir, tmp_path):
+    """A RETRIED refresh batch (same ids) must not double-insert
+    (r10 ADVICE): the default anti-join guard drops already-present
+    ids, reading only the touched cid partitions. assume_new=True
+    opts back into the raw append for exactly-once upstreams."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(base, path, num_centroids=4, iterations=2)
+    sim.ivf_refresh(spark, path, batch)
+    n1 = spark.read.parquet(f"{path}/lists").count()
+    sim.ivf_refresh(spark, path, batch)  # retry: guarded, no-op
+    assert spark.read.parquet(f"{path}/lists").count() == n1
+    sim.ivf_refresh(spark, path, batch, assume_new=True)  # raw append
+    n_new = batch.count()
+    assert (
+        spark.read.parquet(f"{path}/lists").count() == n1 + n_new
+    )
+
+
+def test_ivf_rebalance_splits_hot_list(spark, sf_dir, tmp_path):
+    """ivf_rebalance must split exactly the oversized lists, keep
+    every row (ids preserved, none forked), never grow the max list,
+    leave cold lists' assignments untouched, and leave a balanced
+    index alone (no-op)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") < 150)
+    # drifted batch: a tight new mode near the smallest-id vector so
+    # every batch row crowds into ONE list (the census scenario)
+    anchor = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("__anchor"))
+    )
+    batch = (
+        emb.filter(F.col("vec_id") >= 150)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "__anchor",
+                "embedding",
+                lambda a, b: a.cast("double")
+                + F.lit(0.1) * b.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(base, path, num_centroids=8, iterations=2)
+    # a balanced index is a no-op (and left byte-identical)
+    assert sim.ivf_rebalance(spark, path, max_skew=2.5) == []
+    sim.ivf_refresh(spark, path, batch)
+    before = {
+        r.vec_id: r.cid
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    counts_before = {}
+    for cid in before.values():
+        counts_before[cid] = counts_before.get(cid, 0) + 1
+    split = sim.ivf_rebalance(spark, path, max_skew=2.0, iterations=2)
+    assert split, "constructed hot list must trigger a split"
+    after = {
+        r.vec_id: r.cid
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    assert set(after) == set(before)  # every id kept exactly once
+    counts_after = {}
+    for cid in after.values():
+        counts_after[cid] = counts_after.get(cid, 0) + 1
+    assert max(counts_after.values()) <= max(counts_before.values())
+    # cold lists byte-untouched: same membership for unsplit cids
+    for vid, cid in before.items():
+        if cid not in split:
+            assert after[vid] == cid
+    # split members land on the original cid or its new sibling only
+    cent_ids = {
+        r.cid for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert set(counts_after) <= cent_ids
+    for vid, cid in before.items():
+        if cid in split:
+            assert after[vid] == cid or after[vid] not in counts_before
+
+
 def test_minhash_incremental(spark):
     corpus = spark.createDataFrame(
         [
@@ -843,6 +932,23 @@ def test_pq_codes_shape(spark):
     assert len(got) == 10
     assert all(len(r.codes) == 4 for r in got)
     assert all(0 <= c < 4 for r in got for c in r.codes)
+
+
+def test_pq_encode_fast_matches_reference(spark, sf_dir):
+    """pq_encode_fast (map-only Arrow kernel) must produce EXACTLY
+    the codes of the HOF/shuffle reference spelling — same argmin,
+    same lowest-cid tie-break — on real fixture vectors (the r11 x64
+    A/B matched 2000/2000; this pins it per-commit at sf0.001)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    book = sim.pq_train(emb, m=4, num_centroids=8, iterations=2)
+    ref = {r.id: tuple(r.codes) for r in sim.pq_encode(emb, book, m=4).collect()}
+    fast = {
+        r.id: tuple(r.codes)
+        for r in sim.pq_encode_fast(emb, book, m=4).collect()
+    }
+    assert fast == ref
 
 
 def test_substring_dup_stats(docs):
