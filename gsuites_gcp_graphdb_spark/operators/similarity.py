@@ -1205,7 +1205,10 @@ def ivf_pq_topk(
     (the invariant ns_ivfpq_recall's census leans on); scoring is
     dot-based like pq_adc_topk. Deterministic end to end (trained
     parts inherit ivf_train/pq_train's determinism; ties break on
-    cid / id). Returns (q_id, rank, <c_id>, adc_score)."""
+    cid / id). Returns (q_id, rank, <c_id>, adc_score). Probe
+    selection and ADC ranking are shared verbatim with the saved-
+    index path (_ivfpq_probes/_ivfpq_adc_rank), so ivfpq_probe over
+    an ivfpq_save layout returns EXACTLY this function's result."""
     c = corpus.select(F.col(c_id).alias("id"), F.col(vec_col).alias("v"))
     cent = ivf_train(corpus, num_centroids, iterations, c_id, vec_col)
     inv = _ivf_assign(c, cent)
@@ -1237,6 +1240,17 @@ def ivf_pq_topk(
     qs = queries.select(
         F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qv")
     )
+    probes = _ivfpq_probes(qs, cent, nprobe)
+    return _ivfpq_adc_rank(qs, probes, book, codes, k, m, q_id, c_id)
+
+
+def _ivfpq_probes(
+    qs: DataFrame, cent: DataFrame, nprobe: int
+) -> DataFrame:
+    """(__qid, __qv) x centroids -> the nprobe most cosine-similar
+    lists per query, carrying the EXACT dot(q, centroid) term:
+    (__qid, __qv, cid, __qc_dot). Shared by the in-query and
+    saved-index IVF-PQ paths so their probe sets are identical."""
     qcent = qs.crossJoin(F.broadcast(cent)).select(
         "__qid",
         "__qv",
@@ -1253,11 +1267,28 @@ def ivf_pq_topk(
     wq = Window.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col("cid")
     )
-    probes = (
+    return (
         qcent.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("__qid", "__qv", "cid", "__qc_dot")
     )
+
+
+def _ivfpq_adc_rank(
+    qs: DataFrame,
+    probes: DataFrame,
+    book: DataFrame,
+    codes: DataFrame,
+    k: int,
+    m: int,
+    q_id: str,
+    c_id: str,
+) -> DataFrame:
+    """ADC scoring + top-k over (id, codes, cid) candidate lists —
+    the scan side never touches raw vectors. Shared by ivf_pq_topk
+    (in-query codes) and ivfpq_probe (partition-pruned parquet scan),
+    which is what makes probe == in-query an identity, not a
+    property to re-verify per release."""
     # ADC table: per (query, sub, codeword) partial dot with the
     # RESIDUAL codebook — broadcast-sized (n_q * m * pq_centroids).
     qtab = (
@@ -1311,6 +1342,93 @@ def ivf_pq_topk(
             "adc_score",
         )
     )
+
+
+def ivfpq_save(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    m: int = 4,
+    pq_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index as a WRITE-TIME LAYOUT — the
+    100 TB operating point ivf_pq_topk's docstring promises, made
+    durable: the corpus is stored as PQ CODES ONLY (id + m small
+    ints per row, ~(32*D)/(m*log2(k*)) smaller than raw vectors),
+    partitioned by coarse-centroid id (``cid=NN/`` directories),
+    with the two tiny trained tables (coarse centroids, residual
+    codebook) alongside. A probe then reads nprobe/num_centroids of
+    an already ~32x-compressed relation — both I/O factors compound,
+    and the raw vectors never need to exist at query time at all.
+    Training follows ivf_pq_topk exactly (frozen recipe: cosine
+    coarse assignment, residual encode via the fused Arrow kernel)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cent = ivf_train(corpus, num_centroids, iterations, id_col, vec_col)
+    resid = (
+        _ivf_assign(c, cent)
+        .join(F.broadcast(cent), ["cid"])
+        .select(
+            "id",
+            "cid",
+            F.zip_with(
+                "v", "cvec", lambda x, y: x.cast("double") - y
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    book = pq_train(
+        resid, m=m, num_centroids=pq_centroids,
+        iterations=iterations, id_col="id", vec_col="r",
+    )
+    codes = pq_encode_fast(
+        resid, book, m=m, id_col="id", vec_col="r"
+    ).join(resid.select("id", "cid"), ["id"])
+    codes.select(
+        F.col("id").alias(id_col), "codes", "cid"
+    ).write.partitionBy("cid").parquet(f"{path}/codes", mode="overwrite")
+    cent.write.parquet(f"{path}/centroids", mode="overwrite")
+    book.write.parquet(f"{path}/codebook", mode="overwrite")
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a saved IVF-PQ index (ivfpq_save) reading ONLY the
+    probed code partitions: the probed cid set (nprobe per query,
+    deduplicated across the batch) is computed from the centroid
+    table and pushed into the codes scan as a partition filter — the
+    collect is bounded by num_centroids, never by corpus size, and
+    the scan touches codes, never vectors. Probe selection and ADC
+    ranking are the SAME helpers ivf_pq_topk uses, so this returns
+    exactly what the in-query operator returns for equal trained
+    state — the identity test_ivfpq_saved_index_probe pins."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    book = spark.read.parquet(f"{path}/codebook")
+    m = book.agg(F.max("sub")).collect()[0][0]
+    m = int(m) + 1 if m is not None else 0
+    qs = queries.select(
+        F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    probes = _ivfpq_probes(qs, cent, nprobe)
+    probed_cids = sorted(
+        r.cid for r in probes.select("cid").distinct().collect()
+    )
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cid").isin(probed_cids))
+        .select(F.col(c_id).alias("id"), "codes", "cid")
+    )
+    return _ivfpq_adc_rank(qs, probes, book, codes, k, m, q_id, c_id)
 
 
 def scalar_quantize(

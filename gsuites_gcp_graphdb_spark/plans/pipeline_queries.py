@@ -727,6 +727,77 @@ def ivf_rebalance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+def ivfpq_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved IVF-PQ index lifecycle census (round-11, completing the
+    ANN lifecycle symmetry: ivf_save/ivf_probe exist for the raw
+    index, this is the compressed twin): ivfpq_save materializes the
+    corpus as PQ codes partitioned by coarse cid — the 100 TB layout
+    where the scan side is ~32x smaller than raw vectors AND a probe
+    reads only nprobe/num_centroids of it — then ivfpq_probe answers
+    the frozen query set from the files alone.
+
+    One row of earned invariants:
+
+    - ``n_queries``: exact query census (oracle replays);
+    - ``probe_equals_inquery``: the saved-index probe returns
+      EXACTLY ivf_pq_topk's result (both exceptAll directions empty
+      at equal counts) — the durability theorem: writing the index
+      out and reading it back changes nothing;
+    - ``partition_pruned``: the executed codes scan carries a cid
+      PartitionFilter (the I/O receipt, read from the plan);
+    - ``codes_only``: the stored list relation has no raw vector
+      column — (id, codes, cid) and nothing else, the compression
+      point of the layout."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_queries bigint, probe_equals_inquery boolean,"
+        " partition_pruned boolean, codes_only boolean"
+    )
+    if emb.count() == 0:
+        return spark.createDataFrame([], schema)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    n_q = queries.count()
+    path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_probe_")
+    try:
+        sim.ivfpq_save(
+            emb, path, num_centroids=8, m=4, pq_centroids=16,
+            iterations=2,
+        )
+        probed = sim.ivfpq_probe(spark, path, queries, k=5, nprobe=2)
+        # plan receipt BEFORE checkpointing (a checkpointed df's
+        # executed plan is just the checkpoint scan)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        pruned = "PartitionFilters" in plan and "cid" in plan
+        in_query = sim.ivf_pq_topk(
+            queries, emb, k=5, num_centroids=8, nprobe=2, m=4,
+            pq_centroids=16, iterations=2,
+        )
+        probed = probed.localCheckpoint(eager=True)
+        n_probe = probed.count()
+        n_inq = in_query.count()
+        equal = (
+            n_probe == n_inq
+            and probed.exceptAll(in_query).count() == 0
+        )
+        stored_cols = set(
+            spark.read.parquet(f"{path}/codes").columns
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_q,
+        bool(equal),
+        bool(pruned),
+        stored_cols == {"vec_id", "codes", "cid"},
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def dedup_simhash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row census of the xxhash64 SimHash near-dup path (r8
     VERDICT item 8: ns_dedup_simhash back in the catalog with a
@@ -5377,6 +5448,18 @@ ENTRIES: dict[str, QueryDef] = {
         FROM embeddings
         HAVING coalesce(sum(CASE WHEN vec_id % 3 <> 2 THEN 1 ELSE 0
                             END), 0) > 0
+        """,
+    ),
+    "ns_ivfpq_probe": QueryDef(
+        ivfpq_probe_census,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               TRUE AS probe_equals_inquery,
+               TRUE AS partition_pruned,
+               TRUE AS codes_only
+        FROM embeddings
+        WHERE vec_id % 100 = 0
+        HAVING (SELECT count(*) FROM embeddings) > 0
         """,
     ),
     "ns_ivf_rebalance": QueryDef(

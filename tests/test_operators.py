@@ -320,6 +320,37 @@ def test_ivf_refresh_appends_without_retrain(spark, sf_dir, tmp_path):
     assert hits == {(i, i) for i in new_ids}
 
 
+def test_ivfpq_saved_index_probe(spark, sf_dir, tmp_path):
+    """The write-time IVF-PQ layout: ivfpq_save stores CODES ONLY
+    partitioned by coarse centroid; ivfpq_probe must (a) return
+    exactly what in-query ivf_pq_topk returns for the same
+    parameters (shared probe/rank helpers make this an identity, but
+    pin it against refactors), (b) plan the codes scan with a cid
+    partition filter, and (c) store no raw vector column at all."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_save(
+        emb, path, num_centroids=4, m=4, pq_centroids=8, iterations=2
+    )
+    probed = sim.ivfpq_probe(spark, path, queries, k=3, nprobe=2)
+    in_query = sim.ivf_pq_topk(
+        queries, emb, k=3, num_centroids=4, nprobe=2, m=4,
+        pq_centroids=8, iterations=2,
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, in_query.collect())
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    stored = spark.read.parquet(f"{path}/codes")
+    assert set(stored.columns) == {"vec_id", "codes", "cid"}
+
+
 def test_ivf_refresh_retry_is_noop(spark, sf_dir, tmp_path):
     """A RETRIED refresh batch (same ids) must not double-insert
     (r10 ADVICE): the default anti-join guard drops already-present
