@@ -1393,6 +1393,71 @@ def ivfpq_save(
     book.write.parquet(f"{path}/codebook", mode="overwrite")
 
 
+def ivfpq_refresh(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new: bool = False,
+) -> None:
+    """Incremental refresh of a saved IVF-PQ index — the compressed
+    twin of ivf_refresh, completing the PQ lifecycle (save / probe /
+    refresh): only the NEW vectors are assigned against the FROZEN
+    coarse centroids, residual-encoded with the FROZEN codebook (the
+    fused Arrow kernel), and appended into the ``cid=`` code
+    partitions. Per-refresh cost is O(|batch| * num_centroids)
+    assignment + O(|batch|) encode/write, independent of index size;
+    existing code files are never rewritten. Because both trained
+    parts are frozen, existing entries' probe behavior is
+    bit-identical after a refresh; codebook drift under a shifting
+    vector distribution degrades ADC quality gradually —
+    ns_vec_drift schedules the retrain, ivf_rebalance's split policy
+    applies to the raw-index layout when lists go hot.
+
+    Idempotence matches ivf_refresh (r10 ADVICE): retried batches
+    are anti-joined against ids already present in the touched cid
+    partitions — and here the guard is even cheaper, because the
+    scanned relation is codes-only (~32x smaller than vectors).
+    ``assume_new=True`` keeps the pure append for exactly-once
+    upstreams."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    book = spark.read.parquet(f"{path}/codebook")
+    m_max = book.agg(F.max("sub")).collect()[0][0]
+    m = int(m_max) + 1 if m_max is not None else 0
+    inv = _ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        cent,
+    )
+    resid = inv.join(F.broadcast(cent), ["cid"]).select(
+        "id",
+        "cid",
+        F.zip_with("v", "cvec", lambda x, y: x.cast("double") - y).alias(
+            "r"
+        ),
+    )
+    codes = (
+        pq_encode_fast(resid, book, m=m, id_col="id", vec_col="r")
+        .join(resid.select("id", "cid"), ["id"])
+        .localCheckpoint(eager=True)
+    )
+    if not assume_new:
+        touched = sorted(
+            r.cid for r in codes.select("cid").distinct().collect()
+        )
+        existing = (
+            spark.read.parquet(f"{path}/codes")
+            .filter(F.col("cid").isin(touched))
+            .select(F.col(id_col).alias("id"))
+        )
+        codes = codes.join(existing, ["id"], "left_anti")
+    codes.select(
+        F.col("id").alias(id_col), "codes", "cid"
+    ).write.partitionBy("cid").parquet(f"{path}/codes", mode="append")
+
+
 def ivfpq_probe(
     spark,
     path: str,

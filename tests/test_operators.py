@@ -351,6 +351,53 @@ def test_ivfpq_saved_index_probe(spark, sf_dir, tmp_path):
     assert set(stored.columns) == {"vec_id", "codes", "cid"}
 
 
+def test_ivfpq_refresh_appends_codes_frozen(spark, sf_dir, tmp_path):
+    """ivfpq_refresh must (a) leave centroids AND codebook
+    byte-identical (both frozen), (b) append each new id's code
+    exactly once, (c) no-op on a retried batch, and (d) make the
+    refreshed entries probe-visible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_save(
+        base, path, num_centroids=4, m=4, pq_centroids=8, iterations=2
+    )
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    book_before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/codebook").collect())
+    )
+    sim.ivfpq_refresh(spark, path, batch)
+    assert cent_before == sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    assert book_before == sorted(
+        map(tuple, spark.read.parquet(f"{path}/codebook").collect())
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    n_total = codes.count()
+    assert n_total == emb.count()
+    assert codes.select("vec_id").distinct().count() == n_total
+    sim.ivfpq_refresh(spark, path, batch)  # retry: guarded, no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n_total
+    # refreshed entries are probe-visible in their own first list
+    q = batch.select(F.col("vec_id").alias("q_id"), "embedding")
+    pr = sim.ivfpq_probe(spark, path, q, k=5, nprobe=4)
+    found = {
+        r.q_id
+        for r in pr.filter(F.col("q_id") == F.col("vec_id")).collect()
+    }
+    new_ids = {r.vec_id for r in batch.collect()}
+    # ADC self-hit is approximate by design; with an exhaustive
+    # probe budget (nprobe=4 of 4) the only misses possible are
+    # reconstruction ties — require near-total visibility
+    assert len(found) >= 0.9 * len(new_ids)
+
+
 def test_ivf_refresh_retry_is_noop(spark, sf_dir, tmp_path):
     """A RETRIED refresh batch (same ids) must not double-insert
     (r10 ADVICE): the default anti-join guard drops already-present
