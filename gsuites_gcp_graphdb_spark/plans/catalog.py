@@ -1887,62 +1887,63 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-10 window: changed/new first (driver checks the
+    # ---- round-11 window: changed/new first (driver checks the
     # first 50 catalog names). New operators this round, then every
-    # query whose plan or oracle changed in round 10. ----
-    "ns_quality_calibration",  # r10 late: quality reliability bins
-    "ns_vec_dim_quartiles",    # r10 late: per-dim robust-scaler stats
-    "rel_ivm_join",            # r10: O(1) checksum receipt (r9 weak)
-    "ns_dedup_minhash_calibration",  # r10: agreement carried in band join
-    "ns_dedup_minhash_lsh",    # r10: with_agreement param added
-    "ns_ivf_refresh",          # r10 new: IVF refresh lifecycle census
-    "g_reachable_until",       # r10 new: fluent repeat().until()
-    "ns_layout_hilbert",       # r10 new: Hilbert layout keys
-    "ns_ivfpq_recall",         # r10 new: composed IVF-PQ census
-    "ns_events_ewma",          # r10 new: dyadic-alpha EWMA
-    "g_role_redundancy",       # r10 new: role-pair member Jaccard
-    "g_entitlement_cohorts",   # r10 new: identical role-set cohorts
-    "g_access_redundancy",     # r10 new: grant-path count histogram
-    "g_members_of_role_hinted",  # r10: skew_join_auto left-size trust
-    "g_skew_membership_auto",  # r10: skew_join_auto left-size trust
-    "ns_vec_pca_power",        # r10: gram null/ragged fix (advisory)
-    "ns_vec_pca_centered",     # r10: gram null/ragged fix (advisory)
-    "ns_vec_spectral_summary", # r10: gram null/ragged fix (advisory)
-    "ns_vec_drift",            # r10: gram null/ragged fix (advisory)
-    "ns_vec_principal_extremes",  # r10: gram null/ragged fix (advisory)
-    "ns_events_funnel_stream", # r10: run_to_memory progress hook
+    # query whose plan, output schema, or underlying operator code
+    # changed in round 11. ----
+    "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
+    "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
+    "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle
+    "ns_ivfpq_refresh",    # r11 new: frozen-book refresh lifecycle
+    "ns_ivfpq_recall",     # r11: fused Arrow encode + shared rank path
+    "ns_pq_recall",        # r11: encode via pq_encode_fast
+    "ns_ivf_refresh",      # r11: retry anti-join guard inside refresh
+    "g_members_of_role_hinted",  # r11: shared parse_broadcast_threshold
+    "g_skew_membership_auto",    # r11: shared parse_broadcast_threshold
     # ---- fill to 50 with the least-recently-driver-checked (last
-    # receipt r4; computed from the union of CORRECTNESS_r0*.json,
-    # oldest first, name-ordered) ----
-    "g_access_paths",
-    "g_count_by_label",
-    "g_edge_count",
-    "g_label_propagation",
-    "g_members_of_role",
-    "g_membership_paths",
-    "g_motif_flagship",
-    "g_motif_negation",
-    "g_out_neighbors",
-    "g_pagerank_top",
-    "g_ppr_access",
-    "g_principals_with_access",
-    "g_reachable_from_user",
-    "g_shortest_paths",
-    "g_skew_membership_plain",
-    "g_skew_membership_salted",
-    "g_snapshot_diff",
-    "g_sql_interface",
-    "g_subgraph_role_project",
-    "g_two_hop_region",
-    "g_user_by_email",
-    "g_user_exists",
-    "g_user_permissions",
-    "g_users_with_roles",
-    "g_who_can_access_bucket",
-    "g_who_can_reach_project",
-    "ns_dedup_incremental",
-    "ns_events_asof_join",
-    "ns_events_range_join",
+    # receipts r4/r5/r6; computed from the union of
+    # CORRECTNESS_r*.json, oldest round first, name-ordered) ----
+    "ns_events_sessions",
+    "ns_events_sessions_stream",
+    "ns_events_sliding",
+    "ns_events_stateful_counts",
+    "ns_events_stream_dedup",
+    "ns_events_stream_join",
+    "ns_events_tumbling",
+    "ns_events_tumbling_stream",
+    "ns_ivf_recall",
+    "ns_lsh_ann",
+    "ns_media_embedding_ann",
+    "ns_media_frames",
+    "ns_pipeline_e2e",
+    "ns_text_unigram_logprob",
+    "rel_approx_distinct",
+    "rel_approx_quantiles",
+    "rel_grouping_sets",
+    "g_diameter",
+    "g_link_prediction",
+    "g_neighbor_minhash",
+    "ns_events_rolling_1h",
+    "ns_events_stream_enrich",
+    "rel_pivot_status",
+    "rel_returned_items",
+    "rel_unpivot_status",
+    "g_closeness_sample",
+    "g_edge_census",
+    "g_graph_summary",
+    "g_harmonic_sample",
+    "g_hits_top",
+    "g_kcore",
+    "g_next_role",
+    "g_random_walks",
+    "g_risk_report",
+    "g_role_by_id",
+    "g_stream_ingest_e2e",
+    "g_stress_sample",
+    "g_weighted_distances",
+    "ns_class_balance",
+    "ns_cms_heavy_hitters",
+    "ns_dedup_containment",
 ]
 
 
