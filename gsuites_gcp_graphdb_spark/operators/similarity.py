@@ -945,6 +945,7 @@ def pq_train(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Train a product-quantization codebook (Jégou et al. 2011):
     split each D-dim vector into ``m`` contiguous D/m-dim subspaces
@@ -959,10 +960,24 @@ def pq_train(
     m subspaces train in ONE plan (the subspace index is just another
     grouping key — no per-subspace driver loop).
 
+    ``sample_mod`` is the 100 TB training path (FAISS practice:
+    codebooks train on a sample, the full corpus only ENCODES): keep
+    the rows whose md5-derived hash16 (the corpus-ops sampling
+    convention, so DuckDB can replay the exact training census) is
+    0 mod sample_mod — Lloyd's per-round cost drops by that factor
+    while pq_encode_fast still walks everything. ns_pq_sampled_train
+    pins the quality cost of the 1/4 sample against the full-corpus
+    book at every fixture SF.
+
     Returns (sub, cid, cvec)."""
     from ..functions.ranking import ranked_limit
+    from .corpus import hash16
 
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_mod is not None and sample_mod > 1:
+        c = c.filter(
+            F.pmod(hash16(F.col("id"), "pqtrain"), F.lit(sample_mod)) == 0
+        )
     seeds = ranked_limit(
         c, ["id"], num_centroids, rank_col="cid", zero_based=True
     ).select(F.col("cid").cast("int").alias("cid"), "id", "v")

@@ -1895,6 +1895,7 @@ _PRIORITY = [
     "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
     "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle
     "ns_ivfpq_refresh",    # r11 new: frozen-book refresh lifecycle
+    "ns_pq_sampled_train", # r11 late: sampled codebook training path
     "ns_ivfpq_recall",     # r11: fused Arrow encode + shared rank path
     "ns_pq_recall",        # r11: encode via pq_encode_fast
     "ns_ivf_refresh",      # r11: retry anti-join guard inside refresh
@@ -1943,7 +1944,6 @@ _PRIORITY = [
     "g_weighted_distances",
     "ns_class_balance",
     "ns_cms_heavy_hitters",
-    "ns_dedup_containment",
 ]
 
 

@@ -1029,6 +1029,24 @@ def test_pq_encode_fast_matches_reference(spark, sf_dir):
     assert fast == ref
 
 
+def test_pq_train_sampled(spark, sf_dir):
+    """sample_mod=1 is the identity (trains on everything); a real
+    sample trains on exactly the md5-hash16 subset and still yields
+    a full (sub, cid) codebook usable to encode the whole corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    full = sorted(map(tuple, sim.pq_train(emb, m=4, num_centroids=8).collect()))
+    mod1 = sorted(
+        map(tuple, sim.pq_train(emb, m=4, num_centroids=8, sample_mod=1).collect())
+    )
+    assert mod1 == full
+    book = sim.pq_train(emb, m=4, num_centroids=8, sample_mod=4)
+    assert book.count() <= 4 * 8
+    codes = sim.pq_encode_fast(emb, book, m=4)
+    assert codes.count() == emb.count()
+
+
 def test_substring_dup_stats(docs):
     """Window-level exact dedup: docs 1 and 4 are verbatim-identical
     (every window duplicated); doc 3 shares no window with anything;
