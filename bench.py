@@ -259,6 +259,9 @@ HEADLINE = [
     "g_access_redundancy",
     "ns_quality_calibration",
     "ns_vec_dim_quartiles",
+    # round-11: ns_nn_descent stays out (census harness — the ladder
+    # carries its own brute-force truth stage; the
+    # oracle-verification-query rule, same as ns_ivf_refresh).
 ]
 
 

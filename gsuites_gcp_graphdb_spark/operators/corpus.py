@@ -251,6 +251,40 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    last stage of every pretraining data pipeline (decorrelate
+    document order, emit S reproducible shard files). shard =
+    hash16(id, salt) % S; within-shard order = (hash16(id,
+    salt:ord), id) with an INDEPENDENT salt so shard assignment and
+    order don't correlate. Returns (id, shard, sort_key, position).
+
+    Scale shape: one exchange on shard + a per-shard sort (window
+    PARTITIONED by shard) — never `ORDER BY rand()` (a global sort
+    whose output isn't reproducible across retries, which breaks
+    both resumable writes and any training-data audit). The md5 draw
+    makes the permutation a pure function of doc ids: re-running on
+    the same corpus reproduces every shard byte-for-byte, and the
+    per-shard order fingerprint (see ns_corpus_shuffle_shards) is
+    the receipt."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards} must be >= 1")
+    keyed = df.select(
+        F.col(id_col),
+        (hash16(F.col(id_col), salt) % n_shards).alias("shard"),
+        hash16(F.col(id_col), salt + ":ord").alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.withColumn(
+        "position", F.row_number().over(w).cast("bigint")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

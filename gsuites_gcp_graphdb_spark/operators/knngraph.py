@@ -1,0 +1,302 @@
+"""Distributed kNN-graph construction via NN-Descent.
+
+The graph-based member of the ANN family (IVF / PQ / LSH live in
+operators/similarity.py): instead of answering one query's top-k,
+NN-Descent materializes the WHOLE k-nearest-neighbour graph — the
+artifact semantic-dedup clustering, graph-ANN serving (HNSW-style
+neighborhood graphs), and manifold diagnostics consume. Algorithm
+structure follows Dong, Moses & Li, "Efficient k-nearest neighbor
+graph construction for generic similarity measures" (WWW'11),
+implemented from the paper's idea as pure dataflow:
+
+  init   : k independent pseudo-random neighbours per node — node
+           v's neighbour in permutation o is its SUCCESSOR in the
+           md5-shuffled order of its hash bucket (fresh salts per
+           o), so the seed graph is DIVERSE (a single-ring seed was
+           measured 10x worse here: neighbour-of-neighbour along
+           one ring yields ~2k distinct candidates instead of k²).
+           Successor-in-a-permutation makes the init a pure
+           function of the id SET — no density assumption (an
+           earlier draw-into-[0,max_id) init silently produced a
+           near-empty seed graph on the x4 replica fixture, whose
+           ids are offset by 1e9 per replica).
+  round r: U = N ∪ Nᵀ (undirected current graph), candidates =
+           {(a,c) : (a,b) ∈ U, (b,c) ∈ U, a≠c} — "my neighbour's
+           neighbours" — unioned with the current edges, re-scored,
+           cut back to the per-node top-k.
+
+Scale shape (the reason this is THE distributed kNN-graph
+algorithm): each round is two self-joins shuffled on vertex id plus
+two id-joins to re-attach vectors; candidate volume is O(N·(2k)²)
+rows — linear in N for fixed k — and the per-node cut is a window
+PARTITIONED by node. No global window (init windows are partitioned
+by (permutation, hash bucket)), no cross join, no broadcast of the
+corpus, no collect. Rounds are localCheckpointed (the HITS idiom) so
+round r+1 starts from materialized edges instead of re-running the
+whole lineage — and the census's per-stage recall probes don't
+re-execute earlier rounds.
+
+Determinism contract (what makes the DuckDB oracle exact): the init
+bucket/order keys are corpus.hash16(f"{id}_{o}", salt); scores
+divide the strict
+left-fold dot (functions/vectors.py) by per-node precomputed
+left-fold norms — bit-identical to the oracle's list_reduce twins;
+every top-k cut breaks ties (score DESC, neighbour id ASC). Given
+the same input set, every round's edge SET is identical
+cross-engine.
+
+Monotonicity invariant (pinned by tests + the catalog census): each
+round's candidate set includes the previous round's edges and the
+kept-k ordering is a total order, so recall@k against brute-force
+truth is non-decreasing round over round — if a true top-k member
+were evicted, k strictly-better nodes would exist, contradicting
+its top-k membership.
+
+Scoring-kernel note: the left-fold dot is an interpreted HOF
+(CodegenFallback) kept for cross-engine exactness in the census; at
+production scale swap _score_pairs for the Arrow matmul mapInPandas
+kernel (similarity._pair_cosine_udf shape, measured ~300x on that
+exact shape) — the algorithm is scorer-agnostic.
+
+Reference parity: the reference (main.go, 934-line Gremlin ETL) has
+no ANN surface; this extends the LLM-pipeline operator inventory the
+same way similarity.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, l2_norm
+from .corpus import hash16
+
+
+def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, nrm): norms precomputed once per node — the cosine
+    then divides the pair dot by the two attached norms, the same
+    doubles as folding norms inline (identical operand order)."""
+    return emb.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("nrm", l2_norm(F.col("vec")))
+
+
+def _score_pairs(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact cosine for a bounded pair set: two shuffle joins on id
+    to re-attach endpoint vectors+norms (corpus is never broadcast),
+    then left-fold dot / (nrm_a * nrm_b)."""
+    va = emb.select(
+        F.col("id").alias("a"),
+        F.col("vec").alias("__va"),
+        F.col("nrm").alias("__na"),
+    )
+    vb = emb.select(
+        F.col("id").alias("b"),
+        F.col("vec").alias("__vb"),
+        F.col("nrm").alias("__nb"),
+    )
+    return (
+        pairs.join(va, ["a"])
+        .join(vb, ["b"])
+        .select(
+            "a",
+            "b",
+            (
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("s"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.lit(k))
+        .select("a", "b", "s", "rk")
+    )
+
+
+def permutation_init(
+    emb: DataFrame, k: int, nbuckets: int = 32
+) -> DataFrame:
+    """Seed graph: node v's neighbour in permutation o (o = 1..k) is
+    its successor in the md5-shuffled order of its hash bucket
+    (wrapping to the bucket's first element). Each permutation uses
+    fresh salts for bucket AND order, so the k successors are
+    independent uniform-ish picks — a pure function of the id set,
+    valid for ANY id distribution. Windows are partitioned by
+    (o, bucket): scale-safe. Singleton buckets self-wrap and drop;
+    collisions across permutations dedupe (degree <= k)."""
+    s = (
+        emb.select("id")
+        .select(
+            "id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("o")
+        )
+        .withColumn("__k", F.concat_ws("_", F.col("id"), F.col("o")))
+        .select(
+            "id",
+            "o",
+            (hash16(F.col("__k"), "nndb") % F.lit(nbuckets)).alias(
+                "bkt"
+            ),
+            hash16(F.col("__k"), "nndo").alias("hk"),
+        )
+    )
+    w = Window.partitionBy("o", "bkt").orderBy("hk", "id")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nb = F.coalesce(F.lead("id").over(w), F.first("id").over(wf))
+    return (
+        s.select(F.col("id").alias("a"), nb.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def descent_round(graph: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """One NN-Descent refinement: undirected neighbour-of-neighbour
+    candidates unioned with the current edges, re-scored, cut to
+    top-k per node. `graph` needs columns (a, b); returns scored
+    (a, b, s, rk)."""
+    e = graph.select("a", "b")
+    u = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    x = u.alias("x")
+    y = u.alias("y")
+    cand = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    pairs = cand.union(e).distinct()
+    return _topk(_score_pairs(pairs, emb), k)
+
+
+def nn_descent(
+    emb: DataFrame,
+    k: int = 10,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> list[DataFrame]:
+    """Build the kNN graph; returns the scored graph per stage:
+    [init, round1, ..., round<rounds>] — each (a, b, s, rk). Callers
+    wanting only the final graph take [-1]; the census consumes the
+    whole ladder to pin monotone recall. Each stage is
+    localCheckpointed (eager) so later stages and repeated probes
+    start from materialized edges."""
+    e = _normalize(emb, id_col, vec_col)
+    g = _topk(_score_pairs(permutation_init(e, k), e), k)
+    if checkpoint:
+        g = g.localCheckpoint()
+    out = [g]
+    for _ in range(rounds):
+        g = descent_round(g, e, k)
+        if checkpoint:
+            g = g.localCheckpoint()
+        out.append(g)
+    return out
+
+
+def beam_search(
+    graph: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    beam: int = 16,
+    hops: int = 6,
+    n_entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Serving-side graph ANN: greedy beam search over a materialized
+    kNN graph (the search half of the build/search lifecycle —
+    nn_descent builds the navigable graph, this answers queries over
+    it, the same split as the IVF family's train/probe). From
+    n_entries md5-chosen entry points, each hop expands the current
+    beam's out-neighbours, re-scores every candidate against the
+    query vector, and keeps the best `beam` per query; `queries`
+    holds one column `a` of query ids (corpus members; the query
+    itself is excluded from its results).
+
+    Scale shape: per hop, candidates are bounded by |q|·beam·(k+1) —
+    independent of N; scoring is the same two id-joins as
+    _score_pairs; the per-query cut is a window partitioned by
+    query. The only global operation is picking the entry set (a
+    TakeOrdered of n_entries rows). Each hop is localCheckpointed:
+    the beam feeds the next hop twice (carry + expand), so lineage
+    would otherwise double per hop."""
+    e = _normalize(emb, id_col, vec_col)
+    ent = (
+        e.select("id", hash16(F.col("id"), "entry").alias("__h"))
+        .orderBy("__h", "id")
+        .limit(n_entries)
+        .select(F.col("id").alias("b"))
+    )
+    f0 = queries.select("a").crossJoin(ent).where(
+        F.col("a") != F.col("b")
+    )
+    g = _topk(_score_pairs(f0, e), beam)
+    if checkpoint:
+        g = g.localCheckpoint()
+    nbrs = graph.select(
+        F.col("a").alias("v"), F.col("b").alias("nb")
+    )
+    for _ in range(hops):
+        hopp = (
+            g.select("a", F.col("b").alias("v"))
+            .join(nbrs, ["v"])
+            .select("a", F.col("nb").alias("b"))
+        )
+        pairs = (
+            g.select("a", "b")
+            .union(hopp)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        g = _topk(_score_pairs(pairs, e), beam)
+        if checkpoint:
+            g = g.localCheckpoint()
+    return g
+
+
+def mutual_edges(graph: DataFrame, tau: float) -> DataFrame:
+    """Mutual-kNN thresholding: keep (a, b) with a < b where BOTH
+    directions survived the top-k cut and the score clears tau. The
+    mutuality semi-join is the standard symmetrization that turns a
+    kNN digraph into the sparse similarity graph semantic clustering
+    consumes (SemDeDup-style): one-sided edges are mostly hubness
+    noise; mutual edges at a high tau are near-duplicate/same-topic
+    evidence. Output is candidate-bounded (≤ N·k/2 rows)."""
+    e = graph.select("a", "b", "s")
+    rev = graph.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        e.join(rev, ["a", "b"], "left_semi")
+        .where((F.col("s") >= F.lit(tau)) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k ground truth for a SAMPLED query set (census use
+    only — the O(|q|·N) scan is the measuring stick, not the scale
+    path). `queries` holds one column `a` of query ids."""
+    e = _normalize(emb, id_col, vec_col)
+    pairs = (
+        queries.select("a")
+        .join(e.select(F.col("id").alias("b")), F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    return _topk(_score_pairs(pairs, e), k)

@@ -1891,6 +1891,10 @@ _PRIORITY = [
     # first 50 catalog names). New operators this round, then every
     # query whose plan, output schema, or underlying operator code
     # changed in round 11. ----
+    "ns_nn_descent",       # r11 new: NN-Descent kNN-graph census
+    "ns_knn_components",   # r11 new: mutual-kNN semantic clustering
+    "ns_corpus_shuffle_shards",  # r11 new: deterministic shard shuffle
+    "ns_graph_ann_search",  # r11 new: beam search over the kNN graph
     "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
     "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
     "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle

@@ -4992,6 +4992,443 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nn_descent_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction census (operators/knngraph.nn_descent,
+    NN-Descent per Dong et al. WWW'11): permutation-successor init,
+    three neighbour-of-neighbour refinement rounds, recall@10
+    against brute-force truth on the 1-in-20 query sample at every
+    stage. The oracle REPLAYS the whole algorithm in SQL (init
+    permutations, all rounds, truth) — exact value match, not a
+    bounds check; cross-engine bit-parity comes from the shared md5
+    keys (corpus.hash16 / _sql_hex16) and the left-fold dot/norm.
+
+    Measured on this fixture (sf0.01): recall climbs 0.008 → 0.56 →
+    0.81 → 0.88 over the ladder — the self-improving property the
+    paper proves, on embeddings with only weak metric structure.
+    Monotone recall is a theorem for this cut rule (see module
+    docstring) and is asserted identically on both engines. Scale:
+    every stage is candidate-bounded (O(N·(2k)²) pairs), windows are
+    partitioned by node, the corpus is never broadcast; the only
+    O(|q|·N) scan is the truth measuring stick on the sampled 5%."""
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    ladder = kg.nn_descent(emb, k=k, rounds=3)
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    truth = kg.brute_force_topk(emb, q, k=k).select("a", "b")
+
+    def _m(g: DataFrame, name: str) -> DataFrame:
+        return (
+            g.select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    row = (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(
+            truth.agg(
+                F.countDistinct("a").cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            )
+        )
+        .crossJoin(_m(ladder[0], "m0"))
+        .crossJoin(_m(ladder[1], "m1"))
+        .crossJoin(_m(ladder[2], "m2"))
+        .crossJoin(_m(ladder[3], "m3"))
+    )
+
+    def _rec(m: str):
+        return F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col(m) / F.col("n_truth").cast("double"), 6),
+        )
+
+    return row.where(F.col("n_nodes") > 0).select(
+        "n_nodes",
+        "n_queries",
+        _rec("m0").alias("recall_init"),
+        _rec("m1").alias("recall_r1"),
+        _rec("m2").alias("recall_r2"),
+        _rec("m3").alias("recall_r3"),
+        (
+            (F.col("m0") <= F.col("m1"))
+            & (F.col("m1") <= F.col("m2"))
+            & (F.col("m2") <= F.col("m3"))
+        ).alias("monotone"),
+    )
+
+
+def graph_ann_search_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serving-side graph ANN census (operators/knngraph.beam_search
+    over the nn_descent graph — the search half of the
+    build/search lifecycle, mirroring IVF train/probe): 1-in-20
+    self-queries, 4 md5-chosen entry points, beam 16, 6 hops,
+    recall@10 vs brute-force truth. The search graph is the kNN
+    edges UNION the permutation-init edges as long-range links (the
+    NSW navigability trick: pure kNN graphs disconnect into islands
+    on well-separated data — measured on planted clusters, recall
+    0.39 without the long links vs ~1.0 with; random out-links into
+    the query's cluster score high and instantly recapture the
+    beam). The oracle replays the ENTIRE pipeline — build ladder,
+    entry pick, every hop, truth — so the recall value is
+    exact-matched cross-engine, not a bound.
+
+    Scale: per hop candidates are |q|·beam·(k+1) — independent of
+    corpus size; the brute-force stage exists only as the census
+    measuring stick on the 5% sample."""
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ladder = kg.nn_descent(emb, k=10, rounds=3)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    search_graph = (
+        ladder[-1].select("a", "b").union(kg.permutation_init(e, 10))
+    )
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    res = kg._topk(
+        kg.beam_search(
+            search_graph, emb, q, beam=16, hops=6, n_entries=4
+        ).select("a", "b", "s"),
+        10,
+    )
+    truth = kg.brute_force_topk(emb, q, k=10).select("a", "b")
+    matched = (
+        res.select("a", "b")
+        .join(truth, ["a", "b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mt"))
+    )
+    row = (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(
+            truth.agg(
+                F.countDistinct("a").cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            )
+        )
+        .crossJoin(matched)
+    )
+    return row.where(F.col("n_nodes") > 0).select(
+        "n_nodes",
+        "n_queries",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("mt") / F.col("n_truth").cast("double"), 6),
+        ).alias("recall"),
+    )
+
+
+def _sql_graph_ann_search(
+    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+) -> str:
+    """Full SQL replay of graph_ann_search_census: the shared
+    NN-Descent prefix, md5 entry pick, `hops` unrolled beam
+    expansions (each stage MATERIALIZED — the beam feeds the next
+    hop twice), brute-force truth, exact recall."""
+    ent_h = _sql_hex16("CAST(id AS VARCHAR) || ':entry'")
+    steps = [
+        f"""
+        f0 AS (
+          SELECT q.a, e.b FROM qt q, ent e WHERE e.b <> q.a),
+        {_sql_nnd_stage("f0", "h0", beam, materialized=True)}"""
+    ]
+    for h in range(hops):
+        steps.append(
+            f"""
+        c{h + 1}p AS (
+          SELECT a, b FROM (
+            SELECT a, b FROM gh{h}
+            UNION
+            SELECT g.a, e.b FROM gh{h} g JOIN gm e ON e.a = g.b)
+          WHERE a <> b),
+        {_sql_nnd_stage(f"c{h + 1}p", f"h{h + 1}", beam,
+                        materialized=True)}"""
+        )
+    hop_sql = "".join(steps)
+    return f"""
+        {_sql_nnd_prefix(k)}
+        gm AS MATERIALIZED (
+          SELECT a, b FROM g3 UNION SELECT a, b FROM init),
+        ent AS MATERIALIZED (
+          SELECT id AS b FROM (
+            SELECT id, ({ent_h}) AS h FROM emb
+            ORDER BY h, id LIMIT {n_entries})),
+        qt AS MATERIALIZED (
+          SELECT id AS a FROM emb WHERE id % 20 = 0),
+        {hop_sql}
+        res AS (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS r2
+            FROM gh{hops}) WHERE r2 <= {k}),
+        tp AS (
+          SELECT q.a, e.id AS b FROM qt q JOIN emb e ON e.id <> q.a),
+        {_sql_nnd_stage("tp", "t", k)}
+        m AS (
+          SELECT
+            (SELECT count(*) FROM emb) AS n_nodes,
+            (SELECT count(DISTINCT a) FROM gt) AS n_queries,
+            (SELECT count(*) FROM gt) AS n_truth,
+            (SELECT count(*) FROM res JOIN gt USING (a, b)) AS mt)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_queries AS BIGINT) AS n_queries,
+               CASE WHEN n_truth > 0
+                 THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall
+        FROM m WHERE n_nodes > 0
+        """
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into 8 training shards
+    (operators/corpus.shuffle_shards): per-shard doc counts, id
+    range, and an ORDER-SENSITIVE fingerprint — sum of
+    (position * sort_key) % 1000003 — so the oracle pins the exact
+    within-shard permutation, not just membership (the driver's
+    value hash is order-insensitive; the fingerprint restores order
+    sensitivity). Every term is < 1e6 and positions are per-shard,
+    so the sum stays exact in BIGINT past 1e12 rows."""
+    from ..operators.corpus import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shuffle_shards(docs, n_shards=8)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("position") * F.col("sort_key")) % F.lit(1000003)
+            )
+            .cast("bigint")
+            .alias("order_fp"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "order_fp",
+            "min_doc",
+            "max_doc",
+        )
+        .orderBy("shard")
+    )
+
+
+def knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering over the NN-Descent kNN graph
+    (operators/knngraph): mutual-kNN edges at tau=0.4, then
+    distributed connected components (hash-min with pointer halving,
+    graph/algorithms.connected_components) — the SemDeDup-style
+    corpus clustering pass: clusters are same-topic/near-duplicate
+    pockets, output one row per cluster (rep = min vec_id, size).
+
+    Measured on the fixtures: 44 clusters (max 6) at sf0.001, 39
+    (max 8) at sf0.01, 253 (max 16) at sf0.1 — tau=0.4 keeps
+    components tiny, so the oracle's unrolled hash-min is bounded
+    while the engine's CC is the O(log d)-round label propagation
+    that survives 100 TB. Scale: mutual check is a self semi-join on
+    the candidate-bounded kNN edge set; no stage exceeds O(N·k)."""
+    from ..graph.algorithms import connected_components
+    from ..graph.traversal import Graph as _G
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ladder = kg.nn_descent(emb, k=10, rounds=3)
+    mut = kg.mutual_edges(ladder[-1], tau=0.4)
+    nodes = (
+        mut.select(F.col("a").alias("id"))
+        .union(mut.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    edges = mut.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(_G(nodes, edges))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(
+            F.col("component").cast("bigint").alias("cluster_rep"),
+            "n_members",
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+def _sql_dot_pair(u: str, v: str) -> str:
+    """Left-fold dot for two named array expressions — identical
+    operand order to functions/vectors.dot."""
+    return (
+        f"list_reduce(list_transform(range(1, len({u})+1), "
+        f"i -> CAST({u}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _sql_nnd_stage(
+    src: str, out: str, k: int, materialized: bool = False
+) -> str:
+    """One NN-Descent scoring stage as SQL CTEs: score the pair set
+    `src` (norms precomputed in emb — same doubles as folding
+    inline, identical operand order), cut to top-k per node with
+    (score DESC, neighbour id ASC) ties. g{out} keeps s so the
+    mutual-kNN consumer can threshold it. `materialized` pins the
+    result when a consumer references g{out} more than once per
+    level (DuckDB inlines plain CTEs — see _sql_knn_components)."""
+    cos = (
+        f"({_sql_dot_pair('ea.embedding', 'eb.embedding')}"
+        " / (ea.nrm * eb.nrm))"
+    )
+    mat = "MATERIALIZED " if materialized else ""
+    return f"""
+        s{out} AS (
+          SELECT p.a, p.b, {cos} AS s
+          FROM {src} p JOIN emb ea ON ea.id = p.a
+               JOIN emb eb ON eb.id = p.b),
+        g{out} AS {mat}(
+          SELECT a, b, s FROM (
+            SELECT a, b, s, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS rnk
+            FROM s{out}) WHERE rnk <= {k}),"""
+
+
+def _sql_nnd_expand(g: str, out: str) -> str:
+    return f"""
+        u{g} AS (
+          SELECT a, b FROM g{g} UNION SELECT b AS a, a AS b FROM g{g}),
+        c{out} AS (
+          SELECT x.a AS a, y.b AS b
+          FROM u{g} x JOIN u{g} y ON x.b = y.a WHERE x.a <> y.b
+          UNION SELECT a, b FROM g{g}),"""
+
+
+def _sql_nnd_prefix(k: int = 10) -> str:
+    """Shared SQL replay of operators/knngraph.nn_descent
+    (permutation-successor init, three refinement rounds): the WITH
+    chain through the final graph g3, reused by ns_nn_descent and
+    ns_knn_components. MUST stay plain WITH — under WITH RECURSIVE
+    DuckDB treats the whole mutually-referencing CTE chain as a
+    recursive group and iterates it to fixpoint (measured: recall
+    silently becomes 1.0), so consumers needing iteration use
+    bounded unrolled rounds instead of a recursive CTE."""
+    key = "CAST(a.id AS VARCHAR) || '_' || CAST(t.o AS VARCHAR)"
+    hb = _sql_hex16(f"{key} || ':nndb'")
+    ho = _sql_hex16(f"{key} || ':nndo'")
+    return f"""
+        WITH emb AS (
+          SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+                 sqrt({_sql_dot_pair("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        sel AS (
+          SELECT a.id, t.o,
+                 ({hb}) % 32 AS bkt,
+                 ({ho}) AS hk
+          FROM emb a, range(1, {k + 1}) t(o)),
+        init AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT id AS a,
+                   coalesce(
+                     lead(id) OVER (
+                       PARTITION BY o, bkt ORDER BY hk, id),
+                     first_value(id) OVER (
+                       PARTITION BY o, bkt ORDER BY hk, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)) AS b
+            FROM sel) WHERE a <> b),
+        {_sql_nnd_stage("init", "0", k)}
+        {_sql_nnd_expand("0", "1")}
+        {_sql_nnd_stage("c1", "1", k)}
+        {_sql_nnd_expand("1", "2")}
+        {_sql_nnd_stage("c2", "2", k)}
+        {_sql_nnd_expand("2", "3")}
+        {_sql_nnd_stage("c3", "3", k)}"""
+
+
+def _sql_nn_descent(k: int = 10) -> str:
+    """Full SQL replay of nn_descent_census: the shared prefix plus
+    brute-force truth and exact recall per stage."""
+    return f"""
+        {_sql_nnd_prefix(k)}
+        qt AS (SELECT id AS a FROM emb WHERE id % 20 = 0),
+        tp AS (
+          SELECT q.a, e.id AS b FROM qt q JOIN emb e ON e.id <> q.a),
+        {_sql_nnd_stage("tp", "t", k)}
+        m AS (
+          SELECT
+            (SELECT count(*) FROM emb) AS n_nodes,
+            (SELECT count(DISTINCT a) FROM gt) AS n_queries,
+            (SELECT count(*) FROM gt) AS n_truth,
+            (SELECT count(*) FROM g0 JOIN gt USING (a, b)) AS m0,
+            (SELECT count(*) FROM g1 JOIN gt USING (a, b)) AS m1,
+            (SELECT count(*) FROM g2 JOIN gt USING (a, b)) AS m2,
+            (SELECT count(*) FROM g3 JOIN gt USING (a, b)) AS m3)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_queries AS BIGINT) AS n_queries,
+               CASE WHEN n_truth > 0
+                 THEN round(m0 / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_init,
+               CASE WHEN n_truth > 0
+                 THEN round(m1 / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_r1,
+               CASE WHEN n_truth > 0
+                 THEN round(m2 / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_r2,
+               CASE WHEN n_truth > 0
+                 THEN round(m3 / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_r3,
+               (m0 <= m1 AND m1 <= m2 AND m2 <= m3) AS monotone
+        FROM m WHERE n_nodes > 0
+        """
+
+
+def _sql_knn_components(
+    k: int = 10, tau: float = 0.4, rounds: int = 20
+) -> str:
+    """Full SQL replay of knn_components: the shared NN-Descent
+    prefix, mutual-kNN thresholding, then components as BOUNDED
+    unrolled hash-min rounds (the _kcore_sql idiom — a recursive CTE
+    is off the table because the prefix must stay plain WITH, see
+    _sql_nnd_prefix). 20 rounds is a fixpoint whenever every
+    component's min-id eccentricity is <= 20; tau=0.4 keeps
+    components tiny (max size 16 at sf0.1), and
+    test_knn_components_oracle_rounds_converged pins the bound."""
+    mins = "\n        ".join(
+        f"""l{r + 1} AS MATERIALIZED (
+          SELECT e.a AS v, min(least(la.m, lb.m)) AS m
+          FROM eu e JOIN l{r} la ON la.v = e.a
+               JOIN l{r} lb ON lb.v = e.b
+          GROUP BY e.a),"""
+        for r in range(rounds)
+    )
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one twice -> a 2^rounds plan
+    # blowup without it (measured: "Too many open files" at 20).
+    return f"""
+        {_sql_nnd_prefix(k)}
+        mut AS MATERIALIZED (
+          SELECT g.a, g.b FROM g3 g JOIN g3 r
+            ON r.a = g.b AND r.b = g.a
+          WHERE g.s >= {tau} AND g.a < g.b),
+        eu AS MATERIALIZED (
+          SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS m FROM eu),
+        {mins}
+        comp AS (SELECT v, m FROM l{rounds})
+        SELECT CAST(m AS BIGINT) AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY m
+        ORDER BY cluster_rep
+        """
+
+
 _TUMBLING_SQL = """
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket,
                event_type,
@@ -5486,6 +5923,44 @@ ENTRIES: dict[str, QueryDef] = {
                      / CAST(count(*) AS DOUBLE), 4) AS recall
         FROM truth t LEFT JOIN hits h ON h.q_id = t.q_id
         GROUP BY t.q_id
+        """,
+    ),
+    "ns_nn_descent": QueryDef(
+        nn_descent_census,
+        _sql_nn_descent(),
+    ),
+    "ns_knn_components": QueryDef(
+        knn_components,
+        _sql_knn_components(),
+    ),
+    "ns_graph_ann_search": QueryDef(
+        graph_ann_search_census,
+        _sql_graph_ann_search(),
+    ),
+    "ns_corpus_shuffle_shards": QueryDef(
+        corpus_shuffle_shards,
+        f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 ({_sql_hex16("CAST(doc_id AS VARCHAR) || ':shard'")})
+                   % 8 AS shard,
+                 ({_sql_hex16(
+                     "CAST(doc_id AS VARCHAR) || ':shard:ord'"
+                 )}) AS sort_key
+          FROM documents),
+        pos AS (
+          SELECT doc_id, shard, sort_key,
+                 CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY sort_key, doc_id)
+                   AS BIGINT) AS position
+          FROM sh)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum((position * sort_key) % 1000003) AS BIGINT)
+                 AS order_fp,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM pos GROUP BY shard ORDER BY shard
         """,
     ),
     "ns_knn_join": QueryDef(

@@ -1,0 +1,193 @@
+"""NN-Descent kNN-graph construction (operators/knngraph): planted-
+cluster effectiveness (the census on the near-random fixture pins
+exactness; THIS pins that the algorithm actually finds structure
+when structure exists), structural invariants of every stage, and
+init determinism. Complements ns_nn_descent's cross-engine replay."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gsuites_gcp_graphdb_spark.operators import knngraph as kg
+
+
+def _clustered_df(spark, n_clusters=10, per=20, dim=16):
+    """Deterministic planted clusters: near-orthogonal axis-aligned
+    centres (mass on coordinate c) with a small sin wobble, members
+    perturbed on ALL coordinates so scores are distinct (measured:
+    intra-cluster cosine >= 0.992, inter <= 0.143 — a tie-free,
+    cleanly separated geometry; an earlier same-centre variant made
+    every intra score ~1.0 and the id tie-break collapsed the
+    mutual graph)."""
+    rows = []
+    for c in range(n_clusters):
+        centre = [
+            (10.0 if d == c else 0.0)
+            + 0.5 * math.sin(0.9 * (c + 1) * (d + 1))
+            for d in range(dim)
+        ]
+        for m in range(per):
+            v = [
+                centre[d] + 0.2 * math.sin(1.3 * (m + 1) * (d + 2))
+                for d in range(dim)
+            ]
+            rows.append((c * per + m, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_nn_descent_finds_planted_clusters(spark):
+    emb = _clustered_df(spark)
+    k = 6
+    ladder = kg.nn_descent(emb, k=k, rounds=3)
+    q = emb.select(F.col("vec_id").cast("bigint").alias("a"))
+    truth = kg.brute_force_topk(emb, q, k=k).select("a", "b")
+    n_truth = truth.count()
+    hits = [
+        g.select("a", "b").join(truth, ["a", "b"], "left_semi").count()
+        for g in ladder
+    ]
+    recalls = [h / n_truth for h in hits]
+    # monotone (theorem for the keep-best-k cut rule) ...
+    assert recalls == sorted(recalls)
+    # ... and effective: cluster-mates dominate the true top-6, and
+    # three rounds from a random seed graph must recover nearly all
+    # of them (measured: 1.0 on this fixture; bound left slack).
+    assert recalls[-1] >= 0.9
+    # random seed alone must NOT already be there — otherwise this
+    # test would pass with descent_round broken.
+    assert recalls[0] < 0.5
+
+
+def test_nn_descent_stage_invariants(spark):
+    emb = _clustered_df(spark, n_clusters=4, per=10)
+    k = 5
+    for g in kg.nn_descent(emb, k=k, rounds=2):
+        assert g.where(F.col("a") == F.col("b")).count() == 0
+        assert g.where(F.col("rk") > k).count() == 0
+        # per-node ranks are contiguous 1..deg (row_number cut)
+        bad = (
+            g.groupBy("a")
+            .agg(F.max("rk").alias("mx"), F.count("*").alias("c"))
+            .where(F.col("mx") != F.col("c"))
+            .count()
+        )
+        assert bad == 0
+
+
+def test_knn_components_recover_planted_clusters(spark):
+    """Mutual-kNN + CC must recover the planted clusters exactly:
+    10 components, each of size 20, rep = the cluster's min id."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import (
+        connected_components,
+    )
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph as _G
+
+    emb = _clustered_df(spark)
+    final = kg.nn_descent(emb, k=6, rounds=3)[-1]
+    mut = kg.mutual_edges(final, tau=0.4)
+    # no cross-cluster mutual edge survives tau on this geometry
+    assert (
+        mut.where(
+            (F.col("a") / 20).cast("int")
+            != (F.col("b") / 20).cast("int")
+        ).count()
+        == 0
+    )
+    nodes = (
+        mut.select(F.col("a").alias("id"))
+        .union(mut.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(
+        _G(
+            nodes,
+            mut.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        )
+    )
+    labelled = comp.withColumn(
+        "cluster", (F.col("id") / 20).cast("int")
+    )
+    # purity: every component lives inside one planted cluster
+    impure = (
+        labelled.groupBy("component")
+        .agg(F.countDistinct("cluster").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    assert impure == 0
+    # coverage: mutual-kNN at k=6 may fracture a cluster or drop a
+    # node on the margin (measured: 197/200 nodes, 12 components on
+    # this geometry) but must recover essentially all of the corpus
+    n_nodes = comp.count()
+    n_comp = comp.select("component").distinct().count()
+    assert n_nodes >= 190
+    assert 10 <= n_comp <= 15
+
+
+def test_knn_components_oracle_rounds_converged():
+    """The unrolled hash-min bound (20 rounds) is a fixpoint on the
+    fixture: 24 rounds yield the identical clustering (the kcore
+    convergence-within-bound discipline)."""
+    import duckdb
+
+    from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
+        _sql_knn_components,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    a = con.sql(_sql_knn_components(rounds=20)).fetchall()
+    b = con.sql(_sql_knn_components(rounds=24)).fetchall()
+    assert a == b and len(a) > 0
+
+
+def test_beam_search_on_planted_clusters(spark):
+    """Serving-side search over the built graph: on separable
+    geometry a 6-hop beam-16 search must find essentially the true
+    top-6 for every query (the graph itself is near-perfect there),
+    and the query id never appears in its own results."""
+    emb = _clustered_df(spark)
+    knn = kg.nn_descent(emb, k=6, rounds=3)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    # kNN edges alone disconnect into 10 islands here (measured:
+    # recall 0.39 — only entry-point clusters reachable); the
+    # permutation-init long links restore navigability (NSW trick)
+    graph = knn.select("a", "b").union(kg.permutation_init(e, 6))
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    res = kg._topk(
+        kg.beam_search(graph, emb, q, beam=16, hops=6, n_entries=4)
+        .select("a", "b", "s"),
+        6,
+    )
+    assert res.where(F.col("a") == F.col("b")).count() == 0
+    truth = kg.brute_force_topk(emb, q, k=6).select("a", "b")
+    n_truth = truth.count()
+    hit = res.select("a", "b").join(truth, ["a", "b"], "left_semi").count()
+    assert hit / n_truth >= 0.95
+
+
+def test_permutation_init_deterministic_and_bounded(spark):
+    emb = _clustered_df(spark, n_clusters=3, per=7)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    g1 = sorted(
+        (r.a, r.b) for r in kg.permutation_init(e, k=4).collect()
+    )
+    g2 = sorted(
+        (r.a, r.b) for r in kg.permutation_init(e, k=4).collect()
+    )
+    assert g1 == g2
+    ids = {r.id for r in e.select("id").collect()}
+    assert all(a in ids and b in ids and a != b for a, b in g1)
+    from collections import Counter
+
+    deg = Counter(a for a, _ in g1)
+    assert max(deg.values()) <= 4
