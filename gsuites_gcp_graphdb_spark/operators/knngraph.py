@@ -82,31 +82,57 @@ def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("nrm", l2_norm(F.col("vec")))
 
 
-def _score_pairs(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+def _score_pairs(
+    pairs: DataFrame,
+    emb: DataFrame,
+    emb_b: DataFrame | None = None,
+    arrow: bool = False,
+) -> DataFrame:
     """Exact cosine for a bounded pair set: two shuffle joins on id
     to re-attach endpoint vectors+norms (corpus is never broadcast),
-    then left-fold dot / (nrm_a * nrm_b)."""
+    then left-fold dot / (nrm_a * nrm_b). `emb_b` lets side `b`
+    resolve against a different vector source (insert_batch scores
+    new-vector queries against the base corpus); operand order is
+    always (vec_a, vec_b).
+
+    `arrow=True` swaps the interpreted HOF fold for the Arrow
+    einsum kernel (similarity._pair_cosine_udf) — the production
+    scorer for a 100 TB build. Scores differ from the fold only in
+    final ulps (numpy pairwise summation vs strict left fold), so
+    the oracle-exact catalog census stays on the fold while
+    production builds take the kernel; near-tie cut differences are
+    bounded by test_nn_descent_arrow_scorer_parity."""
+    if emb_b is None:
+        emb_b = emb
     va = emb.select(
         F.col("id").alias("a"),
         F.col("vec").alias("__va"),
         F.col("nrm").alias("__na"),
     )
-    vb = emb.select(
+    vb = emb_b.select(
         F.col("id").alias("b"),
         F.col("vec").alias("__vb"),
         F.col("nrm").alias("__nb"),
     )
-    return (
-        pairs.join(va, ["a"])
-        .join(vb, ["b"])
-        .select(
+    joined = pairs.join(va, ["a"]).join(vb, ["b"])
+    if arrow:
+        from .similarity import _pair_cosine_udf
+
+        return joined.select(
             "a",
             "b",
-            (
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb"))
+            _pair_cosine_udf()(
+                F.col("__va").cast("array<double>"),
+                F.col("__vb").cast("array<double>"),
             ).alias("s"),
         )
+    return joined.select(
+        "a",
+        "b",
+        (
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("s"),
     )
 
 
@@ -157,7 +183,9 @@ def permutation_init(
     )
 
 
-def descent_round(graph: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+def descent_round(
+    graph: DataFrame, emb: DataFrame, k: int, arrow: bool = False
+) -> DataFrame:
     """One NN-Descent refinement: undirected neighbour-of-neighbour
     candidates unioned with the current edges, re-scored, cut to
     top-k per node. `graph` needs columns (a, b); returns scored
@@ -174,7 +202,7 @@ def descent_round(graph: DataFrame, emb: DataFrame, k: int) -> DataFrame:
         .where(F.col("a") != F.col("b"))
     )
     pairs = cand.union(e).distinct()
-    return _topk(_score_pairs(pairs, emb), k)
+    return _topk(_score_pairs(pairs, emb, arrow=arrow), k)
 
 
 def nn_descent(
@@ -184,20 +212,22 @@ def nn_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
+    arrow: bool = False,
 ) -> list[DataFrame]:
     """Build the kNN graph; returns the scored graph per stage:
     [init, round1, ..., round<rounds>] — each (a, b, s, rk). Callers
     wanting only the final graph take [-1]; the census consumes the
     whole ladder to pin monotone recall. Each stage is
     localCheckpointed (eager) so later stages and repeated probes
-    start from materialized edges."""
+    start from materialized edges. `arrow=True` scores with the
+    einsum kernel (production path — see _score_pairs)."""
     e = _normalize(emb, id_col, vec_col)
-    g = _topk(_score_pairs(permutation_init(e, k), e), k)
+    g = _topk(_score_pairs(permutation_init(e, k), e, arrow=arrow), k)
     if checkpoint:
         g = g.localCheckpoint()
     out = [g]
     for _ in range(rounds):
-        g = descent_round(g, e, k)
+        g = descent_round(g, e, k, arrow=arrow)
         if checkpoint:
             g = g.localCheckpoint()
         out.append(g)
@@ -214,6 +244,7 @@ def beam_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
+    query_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Serving-side graph ANN: greedy beam search over a materialized
     kNN graph (the search half of the build/search lifecycle —
@@ -231,8 +262,15 @@ def beam_search(
     query. The only global operation is picking the entry set (a
     TakeOrdered of n_entries rows). Each hop is localCheckpointed:
     the beam feeds the next hop twice (carry + expand), so lineage
-    would otherwise double per hop."""
+    would otherwise double per hop. `query_emb` lets queries carry
+    their OWN vectors (ids need not exist in the corpus — the
+    insert_batch path); side b always scores against the corpus."""
     e = _normalize(emb, id_col, vec_col)
+    qe = (
+        e
+        if query_emb is None
+        else _normalize(query_emb, id_col, vec_col)
+    )
     ent = (
         e.select("id", hash16(F.col("id"), "entry").alias("__h"))
         .orderBy("__h", "id")
@@ -242,7 +280,7 @@ def beam_search(
     f0 = queries.select("a").crossJoin(ent).where(
         F.col("a") != F.col("b")
     )
-    g = _topk(_score_pairs(f0, e), beam)
+    g = _topk(_score_pairs(f0, qe, e), beam)
     if checkpoint:
         g = g.localCheckpoint()
     nbrs = graph.select(
@@ -260,10 +298,83 @@ def beam_search(
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        g = _topk(_score_pairs(pairs, e), beam)
+        g = _topk(_score_pairs(pairs, qe, e), beam)
         if checkpoint:
             g = g.localCheckpoint()
     return g
+
+
+def insert_batch(
+    graph: DataFrame,
+    base_emb: DataFrame,
+    batch_emb: DataFrame,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 6,
+    n_entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    search_graph: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Search-based incremental insertion — the third leg of the
+    graph-ANN lifecycle (build=nn_descent, search=beam_search,
+    insert=this; the analogue of the IVF family's refresh, and the
+    insert primitive HNSW uses): each new vector beam-searches the
+    EXISTING graph (long links included by the caller) for its
+    neighbourhood, links to its top-k, and back-links are offered to
+    the touched base nodes, whose lists re-cut to top-k (score DESC,
+    id ASC — cosine is exactly symmetric under the left-fold, so the
+    reverse edge reuses the forward score).
+
+    Cost is O(|batch|·beam·(k+1)·hops) scoring — independent of
+    index size, like ivf_refresh — and the rewrite surface is the
+    new rows plus AT MOST |batch|·k touched base lists; every other
+    base list is byte-identical (returned untouched, never
+    re-scored). Returns {"new_edges", "updated", "touched"}:
+    new-node adjacency, the full updated edge set (a, b, s, rk),
+    and the ids of base nodes whose list actually changed.
+    `search_graph` (default: the kNN edges themselves) lets the
+    caller add the permutation-init long links for navigability —
+    the census does."""
+    sg = graph if search_graph is None else search_graph
+    found = beam_search(
+        sg.select("a", "b"),
+        base_emb,
+        _normalize(batch_emb, id_col, vec_col).select(
+            F.col("id").alias("a")
+        ),
+        beam=beam,
+        hops=hops,
+        n_entries=n_entries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_emb=batch_emb,
+    )
+    new_edges = _topk(found.select("a", "b", "s"), k)
+    rev = new_edges.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), "s"
+    )
+    touched_ids = rev.select("a").distinct()
+    old_touched = graph.join(touched_ids, ["a"], "left_semi")
+    recut = _topk(
+        old_touched.select("a", "b", "s").union(rev), k
+    )
+    changed = (
+        recut.join(
+            rev.select("a", "b"), ["a", "b"], "left_semi"
+        )
+        .select("a")
+        .distinct()
+    )
+    untouched = graph.join(touched_ids, ["a"], "left_anti")
+    updated = untouched.select("a", "b", "s", "rk").union(
+        recut
+    ).union(new_edges)
+    return {
+        "new_edges": new_edges,
+        "updated": updated,
+        "touched": changed,
+    }
 
 
 def mutual_edges(graph: DataFrame, tau: float) -> DataFrame:
@@ -289,14 +400,21 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k ground truth for a SAMPLED query set (census use
     only — the O(|q|·N) scan is the measuring stick, not the scale
-    path). `queries` holds one column `a` of query ids."""
+    path). `queries` holds one column `a` of query ids; `query_emb`
+    resolves their vectors when they are not corpus members."""
     e = _normalize(emb, id_col, vec_col)
+    qe = (
+        e
+        if query_emb is None
+        else _normalize(query_emb, id_col, vec_col)
+    )
     pairs = (
         queries.select("a")
         .join(e.select(F.col("id").alias("b")), F.col("a") != F.col("b"))
         .select("a", "b")
     )
-    return _topk(_score_pairs(pairs, e), k)
+    return _topk(_score_pairs(pairs, qe, e), k)

@@ -317,6 +317,45 @@ def _hits_sql(iterations: int = 5, topk: int = 20) -> str:
         """
 
 
+def _coreness_sql(rounds: int = 8) -> str:
+    """Coreness oracle: the SAME iterated neighbourhood H-index as
+    graph/algorithms.coreness, unrolled as bounded MATERIALIZED SQL
+    rounds (h0 = undirected degree; h_{t+1}(v) = max_r min(nh_r, r)
+    over v's neighbours' values sorted DESC — the H-index identity,
+    tie-order invariant). Monotone non-increasing, so rounds past
+    the fixpoint are no-ops; the unroll equals the engine's fixpoint
+    whenever convergence happens within ``rounds``
+    (test_coreness_converges_within_oracle_bound pins <= 8 at the
+    driver's scale factors). MATERIALIZED per round for the same
+    reason as _kcore_sql (each round re-references the last)."""
+    ctes = [
+        _EDGES_NK.strip(),
+        """e0 AS MATERIALIZED (
+          SELECT sl AS al, sk AS ak, dl AS bl, dk AS bk FROM edges_nk
+          UNION
+          SELECT dl, dk, sl, sk FROM edges_nk)""",
+        """h0 AS MATERIALIZED (
+          SELECT al, ak, CAST(count(*) AS BIGINT) AS h
+          FROM e0 GROUP BY al, ak)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""h{i} AS MATERIALIZED (
+          SELECT al, ak, CAST(max(least(nh, rn)) AS BIGINT) AS h
+          FROM (
+            SELECT e.al, e.ak, h.h AS nh, row_number() OVER (
+              PARTITION BY e.al, e.ak ORDER BY h.h DESC) AS rn
+            FROM e0 e
+            JOIN h{i - 1} h ON e.bl = h.al AND e.bk = h.ak)
+          GROUP BY al, ak)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT al AS label, ak AS key, h AS coreness
+        FROM h{rounds}
+        ORDER BY label, key
+        """
+
+
 def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
     """k-core oracle: the SAME degree-floor peel as graph/
     algorithms.k_core, unrolled as bounded SQL rounds over the
@@ -1334,6 +1373,7 @@ CATALOG: dict[str, QueryDef] = {
         """,
     ),
     "g_kcore": QueryDef(gq.kcore_census, _kcore_sql()),
+    "g_coreness": QueryDef(gq.coreness_census, _coreness_sql()),
     "g_link_prediction": QueryDef(
         gq.link_prediction_pairs,
         f"""
@@ -1895,6 +1935,8 @@ _PRIORITY = [
     "ns_knn_components",   # r11 new: mutual-kNN semantic clustering
     "ns_corpus_shuffle_shards",  # r11 new: deterministic shard shuffle
     "ns_graph_ann_search",  # r11 new: beam search over the kNN graph
+    "ns_knn_insert",       # r11 new: search-based graph insertion
+    "g_coreness",          # r11 new: full k-core decomposition
     "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
     "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
     "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle

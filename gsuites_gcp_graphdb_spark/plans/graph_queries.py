@@ -2401,6 +2401,30 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def coreness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (graph/algorithms.coreness, the
+    iterated-H-index fixpoint of Lü et al. 2016): the peel depth of
+    EVERY vertex with >= 1 edge — generalizes g_kcore's single-k
+    membership to the whole hierarchy (coreness 1 = leaves, max
+    coreness = the densest audit hub). Returns (label, key,
+    coreness).
+
+    Oracle: the SAME H-index iteration unrolled as bounded
+    MATERIALIZED SQL rounds (8; the sequence is monotone
+    non-increasing so extra rounds past the fixpoint are no-ops —
+    test_coreness_converges_within_oracle_bound pins convergence
+    within the bound at the driver's scale factors)."""
+    from ..graph.algorithms import coreness
+
+    g = _graph(spark, sf_dir)
+    c = coreness(g)
+    return (
+        c.join(g.vertices, ["id"])
+        .select("label", natural_key_col().alias("key"), "coreness")
+        .orderBy("label", "key")
+    )
+
+
 def diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep diameter lower bound (Magnien et al. 2009) over
     the UNDIRECTED IAM graph: BFS from the min-email user to its

@@ -5186,6 +5186,168 @@ def _sql_graph_ann_search(
         """
 
 
+def knn_insert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph insertion census
+    (operators/knngraph.insert_batch — search-based insertion, the
+    HNSW insert primitive; the graph-ANN analogue of ns_ivf_refresh,
+    same base/batch split convention vec_id % 3): build on the base
+    2/3, insert the held-out 1/3 by beam-searching the existing
+    graph (+ long links), link each new node to its top-10, offer
+    back-links to touched base lists (re-cut to top-10). Outputs:
+    exact recall of the new nodes' edges vs brute-force truth among
+    the base, the exact count of base lists that actually changed
+    (bounded by |batch|·k BY CONSTRUCTION — every other list is
+    byte-identical, never re-scored), and a full-degree flag. The
+    oracle replays the whole pipeline. Cost is O(|batch|) like
+    ivf_refresh — index-size-independent. Measured at sf0.01:
+    recall_new 0.9536 (insertion via search finds essentially the
+    true neighbourhoods), 325 of 334 base lists touched at this
+    batch/base ratio (1:2 — a daily-refresh ratio would touch
+    proportionally fewer)."""
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    ladder = kg.nn_descent(base, k=10, rounds=3)
+    e_base = kg._normalize(base, "vec_id", "embedding")
+    sg = ladder[-1].select("a", "b").union(
+        kg.permutation_init(e_base, 10)
+    )
+    out = kg.insert_batch(
+        ladder[-1],
+        base,
+        batch,
+        k=10,
+        beam=16,
+        hops=6,
+        n_entries=4,
+        search_graph=sg,
+    )
+    q = batch.select(F.col("vec_id").cast("bigint").alias("a"))
+    truth = kg.brute_force_topk(
+        base, q, k=10, query_emb=batch
+    ).select("a", "b")
+    row = (
+        base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+        .crossJoin(
+            batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+        )
+        .crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        )
+        .crossJoin(
+            out["new_edges"]
+            .select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("mt"))
+        )
+        .crossJoin(
+            out["new_edges"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("ne_rows")
+            )
+        )
+        .crossJoin(
+            out["touched"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_touched")
+            )
+        )
+    )
+    return row.where(F.col("n_base") > 0).select(
+        "n_base",
+        "n_new",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("mt") / F.col("n_truth").cast("double"), 6),
+        ).alias("recall_new"),
+        "n_touched",
+        (F.col("ne_rows") == F.col("n_new") * F.lit(10)).alias(
+            "new_deg_full"
+        ),
+    )
+
+
+def _sql_knn_insert(
+    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+) -> str:
+    """Full SQL replay of knn_insert_census: base-only NN-Descent
+    prefix, batch vector CTE, beam hops with the batch as the left
+    vector source, top-k linking, back-link re-cut of touched base
+    lists, brute-force truth, exact recall + touched count."""
+    ent_h = _sql_hex16("CAST(id AS VARCHAR) || ':entry'")
+    steps = [
+        f"""
+        f0 AS (
+          SELECT q.a, e.b FROM qt q, ent e WHERE e.b <> q.a),
+        {_sql_nnd_stage("f0", "h0", beam, materialized=True,
+                        left_emb="bemb")}"""
+    ]
+    for h in range(hops):
+        steps.append(
+            f"""
+        c{h + 1}p AS (
+          SELECT a, b FROM (
+            SELECT a, b FROM gh{h}
+            UNION
+            SELECT g.a, e.b FROM gh{h} g JOIN gm e ON e.a = g.b)
+          WHERE a <> b),
+        {_sql_nnd_stage(f"c{h + 1}p", f"h{h + 1}", beam,
+                        materialized=True, left_emb="bemb")}"""
+        )
+    hop_sql = "".join(steps)
+    return f"""
+        {_sql_nnd_prefix(k, where="vec_id % 3 <> 2")}
+        bemb AS (
+          SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+                 sqrt({_sql_dot_pair("embedding", "embedding")}) AS nrm
+          FROM embeddings WHERE vec_id % 3 = 2),
+        gm AS MATERIALIZED (
+          SELECT a, b FROM g3 UNION SELECT a, b FROM init),
+        ent AS MATERIALIZED (
+          SELECT id AS b FROM (
+            SELECT id, ({ent_h}) AS h FROM emb
+            ORDER BY h, id LIMIT {n_entries})),
+        qt AS MATERIALIZED (SELECT id AS a FROM bemb),
+        {hop_sql}
+        ne AS MATERIALIZED (
+          SELECT a, b, s FROM (
+            SELECT a, b, s, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS r2
+            FROM gh{hops}) WHERE r2 <= {k}),
+        rv AS MATERIALIZED (
+          SELECT b AS a, a AS b, s FROM ne),
+        oldt AS (
+          SELECT g.a, g.b, g.s FROM g3 g
+          WHERE g.a IN (SELECT a FROM rv)),
+        rc AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS rr
+            FROM (SELECT * FROM oldt
+                  UNION ALL SELECT * FROM rv))
+          WHERE rr <= {k}),
+        tp AS (SELECT q.a, e.id AS b FROM qt q, emb e),
+        {_sql_nnd_stage("tp", "t", k, left_emb="bemb")}
+        m AS (
+          SELECT
+            (SELECT count(*) FROM emb) AS n_base,
+            (SELECT count(*) FROM bemb) AS n_new,
+            (SELECT count(*) FROM gt) AS n_truth,
+            (SELECT count(*) FROM ne JOIN gt USING (a, b)) AS mt,
+            (SELECT count(*) FROM ne) AS ne_rows,
+            (SELECT count(DISTINCT rc.a) FROM rc
+              JOIN rv ON rc.a = rv.a AND rc.b = rv.b) AS n_touched)
+        SELECT CAST(n_base AS BIGINT) AS n_base,
+               CAST(n_new AS BIGINT) AS n_new,
+               CASE WHEN n_truth > 0
+                 THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_new,
+               CAST(n_touched AS BIGINT) AS n_touched,
+               (ne_rows = n_new * {k}) AS new_deg_full
+        FROM m WHERE n_base > 0
+        """
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle into 8 training shards
     (operators/corpus.shuffle_shards): per-shard doc counts, id
@@ -5274,7 +5436,11 @@ def _sql_dot_pair(u: str, v: str) -> str:
 
 
 def _sql_nnd_stage(
-    src: str, out: str, k: int, materialized: bool = False
+    src: str,
+    out: str,
+    k: int,
+    materialized: bool = False,
+    left_emb: str = "emb",
 ) -> str:
     """One NN-Descent scoring stage as SQL CTEs: score the pair set
     `src` (norms precomputed in emb — same doubles as folding
@@ -5282,7 +5448,9 @@ def _sql_nnd_stage(
     (score DESC, neighbour id ASC) ties. g{out} keeps s so the
     mutual-kNN consumer can threshold it. `materialized` pins the
     result when a consumer references g{out} more than once per
-    level (DuckDB inlines plain CTEs — see _sql_knn_components)."""
+    level (DuckDB inlines plain CTEs — see _sql_knn_components).
+    `left_emb` resolves side a's vector+norm against a different
+    CTE (the insert census scores batch vectors vs the base)."""
     cos = (
         f"({_sql_dot_pair('ea.embedding', 'eb.embedding')}"
         " / (ea.nrm * eb.nrm))"
@@ -5291,7 +5459,7 @@ def _sql_nnd_stage(
     return f"""
         s{out} AS (
           SELECT p.a, p.b, {cos} AS s
-          FROM {src} p JOIN emb ea ON ea.id = p.a
+          FROM {src} p JOIN {left_emb} ea ON ea.id = p.a
                JOIN emb eb ON eb.id = p.b),
         g{out} AS {mat}(
           SELECT a, b, s FROM (
@@ -5310,7 +5478,7 @@ def _sql_nnd_expand(g: str, out: str) -> str:
           UNION SELECT a, b FROM g{g}),"""
 
 
-def _sql_nnd_prefix(k: int = 10) -> str:
+def _sql_nnd_prefix(k: int = 10, where: str = "") -> str:
     """Shared SQL replay of operators/knngraph.nn_descent
     (permutation-successor init, three refinement rounds): the WITH
     chain through the final graph g3, reused by ns_nn_descent and
@@ -5322,11 +5490,12 @@ def _sql_nnd_prefix(k: int = 10) -> str:
     key = "CAST(a.id AS VARCHAR) || '_' || CAST(t.o AS VARCHAR)"
     hb = _sql_hex16(f"{key} || ':nndb'")
     ho = _sql_hex16(f"{key} || ':nndo'")
+    w = f" WHERE {where}" if where else ""
     return f"""
         WITH emb AS (
           SELECT CAST(vec_id AS BIGINT) AS id, embedding,
                  sqrt({_sql_dot_pair("embedding", "embedding")}) AS nrm
-          FROM embeddings),
+          FROM embeddings{w}),
         sel AS (
           SELECT a.id, t.o,
                  ({hb}) % 32 AS bkt,
@@ -5936,6 +6105,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_graph_ann_search": QueryDef(
         graph_ann_search_census,
         _sql_graph_ann_search(),
+    ),
+    "ns_knn_insert": QueryDef(
+        knn_insert_census,
+        _sql_knn_insert(),
     ),
     "ns_corpus_shuffle_shards": QueryDef(
         corpus_shuffle_shards,

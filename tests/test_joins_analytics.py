@@ -286,6 +286,42 @@ def test_k_core_semantics(spark):
     assert k_core(g, k=3).count() == 0
 
 
+def test_coreness_hand_computed(spark):
+    """Coreness on a hand graph: K4 (coreness 3 each) with a
+    2-vertex tail hanging off one corner (coreness 1 each)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import coreness
+    from gsuites_gcp_graphdb_spark.graph.traversal import Graph as _G
+
+    verts = spark.createDataFrame(
+        [(i,) for i in range(6)], "id long"
+    )
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r.id: r.coreness for r in coreness(_G(verts, edges)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_coreness_converges_within_oracle_bound(spark, sf_dir):
+    """The g_coreness oracle unrolls exactly 8 H-index rounds; the
+    engine runs to fixpoint. Pin convergence within the bound at the
+    driver's scale factors by asserting round-8 == round-9 of the
+    H-index iteration (also re-checked in DuckDB: rounds 8 == 11 at
+    sf0.001 and sf0.01 when the oracle was written)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import coreness
+    from gsuites_gcp_graphdb_spark.plans import graph_queries as gq
+
+    g = gq._graph(spark, sf_dir)
+    bounded = coreness(g, max_iter=8)
+    free = coreness(g, max_iter=50)
+    assert sorted(map(tuple, bounded.collect())) == sorted(
+        map(tuple, free.collect())
+    )
+
+
 def test_kcore_converges_within_oracle_bound(spark, sf_dir):
     """The g_kcore oracle unrolls exactly 6 peel rounds; the engine
     runs to fixpoint. They agree iff the peel converges within the

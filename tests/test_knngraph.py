@@ -175,6 +175,58 @@ def test_beam_search_on_planted_clusters(spark):
     assert hit / n_truth >= 0.95
 
 
+def test_nn_descent_arrow_scorer_parity(spark):
+    """The Arrow einsum scorer (production path) must build a graph
+    of the same QUALITY as the oracle-exact fold scorer — scores
+    differ only in final ulps, so near-tie cut flips are allowed but
+    recall against shared truth must agree within a hair."""
+    emb = _clustered_df(spark, n_clusters=6, per=15)
+    truth = kg.brute_force_topk(
+        emb, emb.select(F.col("vec_id").cast("bigint").alias("a")), 5
+    ).select("a", "b")
+    n_truth = truth.count()
+
+    def rec(arrow):
+        g = kg.nn_descent(emb, k=5, rounds=2, arrow=arrow)[-1]
+        return (
+            g.select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .count()
+            / n_truth
+        )
+
+    assert abs(rec(True) - rec(False)) <= 0.02
+
+
+def test_insert_batch_links_and_untouched_lists(spark):
+    """Search-based insertion on planted clusters: every new node
+    links inside its own cluster (the beam + long links find it),
+    and base lists NOT in `touched` are byte-identical in the
+    updated graph — the bounded-rewrite contract."""
+    emb = _clustered_df(spark)
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    g = kg.nn_descent(base, k=6, rounds=3)[-1]
+    e_base = kg._normalize(base, "vec_id", "embedding")
+    sg = g.select("a", "b").union(kg.permutation_init(e_base, 6))
+    out = kg.insert_batch(
+        g, base, batch, k=6, beam=16, hops=6, search_graph=sg
+    )
+    new_e = out["new_edges"].collect()
+    assert new_e, "insertion produced no edges"
+    assert all(r.a // 20 == r.b // 20 for r in new_e)
+    touched = {r.a for r in out["touched"].collect()}
+    old = {
+        (r.a, r.b) for r in g.collect() if r.a not in touched
+    }
+    upd = {
+        (r.a, r.b)
+        for r in out["updated"].collect()
+        if r.a not in touched and r.a % 3 != 2
+    }
+    assert old == upd
+
+
 def test_permutation_init_deterministic_and_bounded(spark):
     emb = _clustered_df(spark, n_clusters=3, per=7)
     e = kg._normalize(emb, "vec_id", "embedding")
