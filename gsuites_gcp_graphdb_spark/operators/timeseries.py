@@ -247,3 +247,36 @@ def gapfill_locf(
         "observed",
     )
     return out
+
+
+def out_of_order_lateness(
+    events: DataFrame,
+    series_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event out-of-orderness in exact integer microseconds: how
+    far each event's event-time lags behind the maximum event-time
+    already seen in ITS SERIES' arrival order (arrival order =
+    `order_col`, the ingestion sequence). lateness_us = max(0,
+    running_prior_max_us - ts_us); an in-order event scores 0.
+
+    This is THE statistic that sizes a streaming watermark: a
+    watermark of W drops exactly the events whose lateness exceeds
+    W, so the lateness distribution is the drop-rate curve. Scale:
+    one window PARTITIONED by series ordered by arrival (never a
+    global scan), all-integer arithmetic."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    prior = F.max(F.unix_micros(F.col(ts_col))).over(w)
+    return events.withColumn(
+        "lateness_us",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.coalesce(prior, ts_us) - ts_us).cast("bigint"),
+        ),
+    )

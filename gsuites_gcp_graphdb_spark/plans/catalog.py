@@ -1930,13 +1930,19 @@ _PRIORITY = [
     # ---- round-11 window: changed/new first (driver checks the
     # first 50 catalog names). New operators this round, then every
     # query whose plan, output schema, or underlying operator code
-    # changed in round 11. ----
+    # changed in round 11. Session 2 added 7 new names at the top,
+    # displacing the last 7 r4-era fill names (g_risk_report,
+    # g_role_by_id, g_stream_ingest_e2e, g_stress_sample,
+    # g_weighted_distances, ns_class_balance, ns_cms_heavy_hitters)
+    # past position 50 — they rotate back in next round per the
+    # least-recently-checked policy. ----
     "ns_nn_descent",       # r11 new: NN-Descent kNN-graph census
     "ns_knn_components",   # r11 new: mutual-kNN semantic clustering
     "ns_corpus_shuffle_shards",  # r11 new: deterministic shard shuffle
     "ns_graph_ann_search",  # r11 new: beam search over the kNN graph
     "ns_knn_insert",       # r11 new: search-based graph insertion
     "g_coreness",          # r11 new: full k-core decomposition
+    "ns_events_watermark_census",  # r11 new: out-of-orderness stats
     "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
     "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
     "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle

@@ -5348,6 +5348,38 @@ def _sql_knn_insert(
         """
 
 
+def events_watermark_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark sizing census (operators/timeseries.
+    out_of_order_lateness): per event_type, how out-of-order the
+    stream actually is — event count, late-event count, max and
+    total lateness vs the per-user running event-time max in arrival
+    (event_id) order. A watermark of W drops exactly the events
+    whose lateness exceeds W, so this table IS the drop-rate curve
+    the streaming queries' withWatermark settings should be derived
+    from. All-integer microseconds; one user-partitioned window +
+    one group-by — no floats, no global scan."""
+    from ..operators.timeseries import out_of_order_lateness
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = out_of_order_lateness(ev)
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("lateness_us") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+            F.max("lateness_us").cast("bigint").alias("max_late_us"),
+            F.sum("lateness_us").cast("bigint").alias("sum_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle into 8 training shards
     (operators/corpus.shuffle_shards): per-shard doc counts, id
@@ -6109,6 +6141,26 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_insert": QueryDef(
         knn_insert_census,
         _sql_knn_insert(),
+    ),
+    "ns_events_watermark_census": QueryDef(
+        events_watermark_census,
+        """
+        WITH x AS (
+          SELECT event_type,
+                 greatest(0, coalesce(max(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), epoch_us(ts))
+                   - epoch_us(ts)) AS late_us
+          FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(max(late_us) AS BIGINT) AS max_late_us,
+               CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        FROM x GROUP BY event_type ORDER BY event_type
+        """,
     ),
     "ns_corpus_shuffle_shards": QueryDef(
         corpus_shuffle_shards,

@@ -182,3 +182,28 @@ def test_events_pit_lookup_boundaries(spark, tmp_path):
         "view": (1, 2.0),   # 11:00 inside [10:00, 12:00)
         "click": (2, 12.0), # 12:00 tick attributes to the NEW state
     }
+
+
+def test_out_of_order_lateness_hand_computed(spark):
+    """Lateness vs per-user running max in arrival (event_id) order:
+    user 1 gets one in-order event, one exactly-equal (0), one 2h
+    late; user 2's single event is trivially 0; series never mix."""
+    from gsuites_gcp_graphdb_spark.operators.timeseries import (
+        out_of_order_lateness,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 12:00:00", 1),  # in order
+        (3, "2024-01-01 12:00:00", 1),  # ties prior max -> 0
+        (4, "2024-01-01 10:00:00", 1),  # 2h behind the 12:00 max
+        (5, "2024-01-01 09:00:00", 2),  # other series, first -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_id: r.lateness_us
+        for r in out_of_order_lateness(df).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 7200 * 1000000, 5: 0}

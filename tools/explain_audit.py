@@ -230,6 +230,20 @@ def main():
         "g_role_redundancy",
         "g_entitlement_cohorts",
         "g_access_redundancy",
+        # round-11 wave (session 2): nn_descent's windows must ALL be
+        # node-partitioned (never 'No Partition Defined') and the
+        # vector re-attach must be equi-joins on id — the only
+        # BroadcastNestedLoop allowed in the census is the 1-row
+        # aggregate crossJoins assembling the final row; the shard
+        # shuffle must be exactly ONE exchange on shard feeding a
+        # shard-partitioned window; the watermark census is one
+        # user-partitioned window + one final agg; coreness shows the
+        # final H-index round only (loop-checkpointed) — one join +
+        # one vertex-partitioned window.
+        "ns_nn_descent",
+        "ns_corpus_shuffle_shards",
+        "ns_events_watermark_census",
+        "g_coreness",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
