@@ -388,3 +388,55 @@ def test_prefix_sum_property(spark, vals, gaps):
         acc += v
         want[i] = acc
     assert got == want
+
+
+@given(
+    ids=st.sets(
+        st.integers(min_value=1, max_value=10**9),
+        min_size=8,
+        max_size=18,
+    )
+)
+@settings(
+    max_examples=3,  # each example is a full build ladder (~50s)
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nn_descent_invariants_for_any_id_set(spark, ids):
+    """NN-Descent structural laws hold for ANY id set — dense,
+    sparse, or 1e9-offset (the axis the x4 replica fixture broke:
+    the old init assumed dense ids). Vectors are a deterministic
+    function of id, so hypothesis explores exactly the id-space
+    geometry: per-stage degree <= k, no self loops, contiguous
+    ranks, and monotone recall vs brute-force truth (the
+    keep-best-k theorem)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gsuites_gcp_graphdb_spark.operators import knngraph as kg
+
+    rows = [
+        (i, [float(math.sin(i * (d + 1))) for d in range(6)])
+        for i in sorted(ids)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    k = 3
+    ladder = kg.nn_descent(emb, k=k, rounds=2)
+    q = emb.select(F.col("vec_id").cast("bigint").alias("a"))
+    truth = kg.brute_force_topk(emb, q, k=k).select("a", "b")
+    hits = [
+        g.select("a", "b").join(truth, ["a", "b"], "left_semi").count()
+        for g in ladder
+    ]
+    assert hits == sorted(hits)
+    for g in ladder:
+        rows_g = g.collect()
+        assert all(r.a != r.b for r in rows_g)
+        assert all(1 <= r.rk <= k for r in rows_g)
+        per = {}
+        for r in rows_g:
+            per.setdefault(r.a, []).append(r.rk)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
