@@ -350,6 +350,69 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Second-order LM-proxy scoring: each doc's mean bigram
+    log-likelihood under the corpus's own add-one-smoothed bigram
+    model — ln((c(w1,w2) + 1) / (c(w1) + V)). The step up from
+    :func:`unigram_logprob` that actually penalizes improbable
+    token SEQUENCES (shuffled or templated text scores near the
+    unigram model; fluent text scores higher) — the KenLM-filter
+    approximation expressible as pure dataflow.
+
+    Scale shape: bigram strings are built in-array (zip of the
+    token list against its own tail — map-only, no positional
+    self-join); the bigram count table is corpus-bounded and joins
+    by key (broadcast when small, shuffle otherwise — Catalyst's
+    call); V and the unigram table are tiny broadcasts. Float
+    policy: ln to ~1 ulp + round(6), same as unigram_logprob.
+
+    Returns (id, n_bigrams, mean_bigram_logprob); docs with < 2
+    tokens drop out (no bigrams)."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
+                F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
+                lambda a, b: F.concat_ws("|", a, b),
+            )
+        ).alias("bg"),
+    )
+    uni = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("__c1"))
+    vsize = uni.agg(F.count("*").cast("double").alias("__v"))
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("__c2"))
+    first = F.split(F.col("bg"), "\\|").getItem(0)
+    return (
+        bi.join(c2, ["bg"])
+        .withColumn("__w1", first)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("__w1"), "__c1")),
+            ["__w1"],
+        )
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("__c2") + 1)
+                        / (F.col("__c1") + F.col("__v"))
+                    )
+                ),
+                6,
+            ).alias("mean_bigram_logprob"),
+        )
+    )
+
+
 # PII patterns, shared verbatim with the oracle SQL (RE2 and Java
 # regex agree on these constructs: char classes, bounded repeats,
 # alternation — no lookarounds, no \b ambiguity on the inputs we

@@ -1943,6 +1943,8 @@ _PRIORITY = [
     "ns_knn_insert",       # r11 new: search-based graph insertion
     "g_coreness",          # r11 new: full k-core decomposition
     "ns_events_watermark_census",  # r11 new: out-of-orderness stats
+    "ns_text_bigram_logprob",  # r11 new: sequence-aware LM filter
+    "ns_text_zipf_fit",    # r11 new: Zipf slope corpus diagnostic
     "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
     "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
     "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle

@@ -1732,6 +1732,65 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(docs)
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM-proxy scoring (operators/text.bigram_logprob):
+    per-doc mean add-one-smoothed bigram log-likelihood under the
+    corpus's own model — the sequence-aware step up from
+    ns_text_unigram_logprob (shuffled/templated text separates from
+    fluent text here, not there). Bigrams are built in-array
+    (map-only), counts join by key, V and the unigram table
+    broadcast; ln + round(6) float policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.bigram_logprob(docs)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_bigrams",
+            "mean_bigram_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over
+    the top-256 token types — the corpus-health diagnostic
+    complementing ns_text_vocab_stats' hapax share (natural text
+    slopes near -1; template-saturated corpora flatten, boilerplate
+    steepens the head). The top set is a TakeOrdered (no global
+    sort); the rank window runs over that BOUNDED 256-row relation
+    only. ln + round(6) float policy; closed-form OLS, same
+    spelling as the exact-integer trend operator but in doubles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("__n"))
+    )
+    top = per.orderBy(F.col("__n").desc(), "w").limit(256)
+    w = Window.orderBy(F.col("__n").desc(), "w")
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("__n").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    agg = pts.agg(
+        n.cast("bigint").alias("n_points"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )
+    return agg.where(F.col("n_points") > 1)
+
+
 def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding mean/std (operators/similarity.
     dimension_stats): the normalization/whitening pass statistics and
@@ -6949,6 +7008,54 @@ ENTRIES: dict[str, QueryDef] = {
         SELECT token, exact_cnt,
                TRUE AS lower_ok, TRUE AS within_tol
         FROM c ORDER BY exact_cnt DESC, token LIMIT 10
+        """,
+    ),
+    "ns_text_bigram_logprob": QueryDef(
+        text_bigram_logprob,
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || '|' || t[i+1])) AS bg
+          FROM toks),
+        uni AS (
+          SELECT tok, count(*) AS c1 FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents) GROUP BY 1),
+        vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1)
+        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((c2.c2 + 1) / (u.c1 + vs.v))), 6)
+                 AS mean_bigram_logprob
+        FROM bi b JOIN c2 USING (bg)
+        JOIN uni u ON u.tok = string_split(b.bg, '|')[1], vs
+        GROUP BY b.doc_id
+        ORDER BY doc_id
+        """,
+    ),
+    "ns_text_zipf_fit": QueryDef(
+        text_zipf_fit,
+        """
+        WITH per AS (
+          SELECT tok, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents) GROUP BY 1),
+        top AS (
+          SELECT tok, c FROM per ORDER BY c DESC, tok LIMIT 256),
+        pts AS (
+          SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                     AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y
+          FROM top)
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round((count(*) * sum(x * y) - sum(x) * sum(y))
+                     / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+                 AS zipf_slope
+        FROM pts HAVING count(*) > 1
         """,
     ),
     "ns_text_unigram_logprob": QueryDef(

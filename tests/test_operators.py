@@ -1544,3 +1544,26 @@ def test_minhash_calibration(docs):
         # Python subtraction can differ by an ulp, so compare with a
         # tolerance instead of exact float equality (r9 ADVICE).
         assert abs(abs(r.est_jaccard - r.jaccard) - r.cal_err) < 1e-9
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a 2-doc corpus: unigrams a:3
+    b:2 (V=2), bigrams a|b:1 b|a:2. doc1 'a b a' = mean(ln(2/5),
+    ln(3/4)); doc2 'b a' = ln(3/4); a 1-token doc drops out."""
+    import math
+
+    from gsuites_gcp_graphdb_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_bigram_logprob)
+        for r in tx.bigram_logprob(docs).collect()
+    }
+    # doc 3 contributes the unigram 'x' (V=3), no bigrams
+    v = 3
+    d1 = round((math.log(2 / (3 + v)) + math.log(3 / (2 + v))) / 2, 6)
+    d2 = round(math.log(3 / (2 + v)), 6)
+    assert got == {1: (2, d1), 2: (1, d2)}
