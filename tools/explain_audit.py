@@ -244,6 +244,12 @@ def main():
         "ns_corpus_shuffle_shards",
         "ns_events_watermark_census",
         "g_coreness",
+        # round-11 late pair: the bigram scorer must broadcast the
+        # unigram+V tables and join the bigram counts by key (no
+        # positional self-join — bigrams are built in-array); the
+        # Zipf fit is TakeOrdered into a 256-row bounded window.
+        "ns_text_bigram_logprob",
+        "ns_text_zipf_fit",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
