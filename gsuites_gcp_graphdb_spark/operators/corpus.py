@@ -57,6 +57,26 @@ def hash16(key: Column, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
 
 
+# 60-bit ordering space: md5 hex chars 1..15 (16^15 - 1 ~ 1.15e18,
+# exact in signed BIGINT in both engines). hash16's 65536 values are
+# fine for SPLIT decisions (1/65536 resolution) but collide heavily
+# as an ORDERING key once a partition exceeds ~65k rows, leaving long
+# runs decided by the (key, id) tie-break — i.e. ascending original
+# ids, exactly the correlation a shuffle exists to destroy. 2^60
+# keeps the expected tied-pair count ~ n^2 / 2^61 below one up to
+# n ~ 1e9 rows per partition. SQL twin: pipeline_queries._sql_hex60.
+ORDER_SPACE = 1 << 60
+
+
+def hash_order(key: Column, salt: str) -> Column:
+    """Deterministic uniform int in [0, 2^60): first 15 hex chars of
+    md5(key || ':' || salt). Use for within-partition ORDERING keys
+    (shard shuffle, permutation inits) where hash16's 16-bit space
+    would collide; same salt-independence contract as hash16."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
 def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     """Cumulative integer upper bounds (exclusive) for each split name,
     in dict order; the final bound is forced to HASH_SPACE so the
@@ -260,9 +280,12 @@ def shuffle_shards(
     """Deterministic global corpus shuffle into training shards — the
     last stage of every pretraining data pipeline (decorrelate
     document order, emit S reproducible shard files). shard =
-    hash16(id, salt) % S; within-shard order = (hash16(id,
-    salt:ord), id) with an INDEPENDENT salt so shard assignment and
-    order don't correlate. Returns (id, shard, sort_key, position).
+    hash16(id, salt) % S; within-shard order = (hash_order(id,
+    salt:ord), id) — a 60-bit draw with an INDEPENDENT salt so shard
+    assignment and order don't correlate, and so the key stays
+    collision-free well past 65k docs per shard (a 16-bit key there
+    degenerates to id order once shards outgrow its space). Returns
+    (id, shard, sort_key, position).
 
     Scale shape: one exchange on shard + a per-shard sort (window
     PARTITIONED by shard) — never `ORDER BY rand()` (a global sort
@@ -277,7 +300,7 @@ def shuffle_shards(
     keyed = df.select(
         F.col(id_col),
         (hash16(F.col(id_col), salt) % n_shards).alias("shard"),
-        hash16(F.col(id_col), salt + ":ord").alias("sort_key"),
+        hash_order(F.col(id_col), salt + ":ord").alias("sort_key"),
     )
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return keyed.withColumn(

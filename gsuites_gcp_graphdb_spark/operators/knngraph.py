@@ -37,7 +37,8 @@ whole lineage — and the census's per-stage recall probes don't
 re-execute earlier rounds.
 
 Determinism contract (what makes the DuckDB oracle exact): the init
-bucket/order keys are corpus.hash16(f"{id}_{o}", salt); scores
+bucket keys are corpus.hash16(f"{id}_{o}", salt), order keys the
+60-bit corpus.hash_order (collision-free past 65k/bucket); scores
 divide the strict
 left-fold dot (functions/vectors.py) by per-node precomputed
 left-fold norms — bit-identical to the oracle's list_reduce twins;
@@ -69,7 +70,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
-from .corpus import hash16
+from .corpus import hash16, hash_order
 
 
 def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -168,7 +169,11 @@ def permutation_init(
             (hash16(F.col("__k"), "nndb") % F.lit(nbuckets)).alias(
                 "bkt"
             ),
-            hash16(F.col("__k"), "nndo").alias("hk"),
+            # 60-bit order key: a 16-bit hk collides heavily past
+            # ~65k nodes per bucket, degrading successors toward
+            # id-adjacent picks — the opposite of the seed diversity
+            # this init exists for. SQL twin: _sql_nnd_prefix's ho.
+            hash_order(F.col("__k"), "nndo").alias("hk"),
         )
     )
     w = Window.partitionBy("o", "bkt").orderBy("hk", "id")

@@ -368,6 +368,12 @@ def bigram_logprob(
     call); V and the unigram table are tiny broadcasts. Float
     policy: ln to ~1 ulp + round(6), same as unigram_logprob.
 
+    The bigram key joins w1 and w2 with a single space — tokens are
+    single-space-split (textfns.tokens), so ' ' can never occur
+    inside a token and the key is collision-free for any corpus; w1
+    is carried as its own column from the zip projection rather
+    than recovered by re-splitting the key.
+
     Returns (id, n_bigrams, mean_bigram_logprob); docs with < 2
     tokens drop out (no bigrams)."""
     toks = df.select(
@@ -379,19 +385,20 @@ def bigram_logprob(
             F.zip_with(
                 F.expr("slice(__t, 1, greatest(size(__t) - 1, 0))"),
                 F.expr("slice(__t, 2, greatest(size(__t) - 1, 0))"),
-                lambda a, b: F.concat_ws("|", a, b),
+                lambda a, b: F.struct(
+                    F.concat_ws(" ", a, b).alias("bg"),
+                    a.alias("w1"),
+                ),
             )
-        ).alias("bg"),
-    )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.bg").alias("bg"), F.col("__p.w1").alias("__w1"))
     uni = df.select(
         F.explode(tokens(F.col(text_col))).alias("w")
     ).groupBy("w").agg(F.count("*").alias("__c1"))
     vsize = uni.agg(F.count("*").cast("double").alias("__v"))
     c2 = bi.groupBy("bg").agg(F.count("*").alias("__c2"))
-    first = F.split(F.col("bg"), "\\|").getItem(0)
     return (
         bi.join(c2, ["bg"])
-        .withColumn("__w1", first)
         .join(
             F.broadcast(uni.select(F.col("w").alias("__w1"), "__c1")),
             ["__w1"],

@@ -1930,12 +1930,15 @@ _PRIORITY = [
     # ---- round-11 window: changed/new first (driver checks the
     # first 50 catalog names). New operators this round, then every
     # query whose plan, output schema, or underlying operator code
-    # changed in round 11. Session 2 added 7 new names at the top,
-    # displacing the last 7 r4-era fill names (g_risk_report,
-    # g_role_by_id, g_stream_ingest_e2e, g_stress_sample,
-    # g_weighted_distances, ns_class_balance, ns_cms_heavy_hitters)
-    # past position 50 — they rotate back in next round per the
-    # least-recently-checked policy. ----
+    # changed in round 11. Session 2 ultimately added 9 new names at
+    # the top (the 7 listed below plus ns_text_bigram_logprob and
+    # ns_text_zipf_fit, added later in the session), displacing the
+    # last 9 r4-era fill names (g_risk_report, g_role_by_id,
+    # g_stream_ingest_e2e, g_stress_sample, g_weighted_distances,
+    # ns_class_balance, ns_cms_heavy_hitters, plus the two that fell
+    # with the late additions: g_next_role and g_random_walks)
+    # past position 50 — they rotate back in next
+    # round per the least-recently-checked policy. ----
     "ns_nn_descent",       # r11 new: NN-Descent kNN-graph census
     "ns_knn_components",   # r11 new: mutual-kNN semantic clustering
     "ns_corpus_shuffle_shards",  # r11 new: deterministic shard shuffle

@@ -3782,6 +3782,23 @@ def _sql_hex16(expr: str) -> str:
     )
 
 
+def _sql_hex60(expr: str) -> str:
+    """DuckDB twin of corpus.hash_order: first 15 hex chars of
+    md5(expr) as an integer in [0, 2^60) via the same positional
+    strpos expansion as _sql_hex16 (largest term 15 * 16^14 ~ 1.1e18,
+    sum < 16^15 — exact in BIGINT)."""
+    m = f"md5({expr})"
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({m},{i + 1},1))-1)"
+            f"*{16 ** (14 - i)}"
+            for i in range(15)
+        )
+        + ")"
+    )
+
+
 def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split census: content-hash
     bucketing (corpus.hash_split), then per-split doc and char counts.
@@ -5443,21 +5460,25 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle into 8 training shards
     (operators/corpus.shuffle_shards): per-shard doc counts, id
     range, and an ORDER-SENSITIVE fingerprint — sum of
-    (position * sort_key) % 1000003 — so the oracle pins the exact
-    within-shard permutation, not just membership (the driver's
-    value hash is order-insensitive; the fingerprint restores order
-    sensitivity). Every term is < 1e6 and positions are per-shard,
-    so the sum stays exact in BIGINT past 1e12 rows."""
+    ((position % p) * (sort_key % p)) % p with p = 1000003 — so the
+    oracle pins the exact within-shard permutation, not just
+    membership (the driver's value hash is order-insensitive; the
+    fingerprint restores order sensitivity). Both factors are
+    reduced mod p BEFORE multiplying because sort_key is a 60-bit
+    draw (corpus.hash_order): the product of two residues is < 1e12
+    and every term < 1e6, so the sum stays exact in BIGINT past
+    1e12 rows."""
     from ..operators.corpus import shuffle_shards
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shuffle_shards(docs, n_shards=8)
+    p = F.lit(1000003)
     return (
         sh.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(
-                (F.col("position") * F.col("sort_key")) % F.lit(1000003)
+                ((F.col("position") % p) * (F.col("sort_key") % p)) % p
             )
             .cast("bigint")
             .alias("order_fp"),
@@ -5580,7 +5601,7 @@ def _sql_nnd_prefix(k: int = 10, where: str = "") -> str:
     bounded unrolled rounds instead of a recursive CTE."""
     key = "CAST(a.id AS VARCHAR) || '_' || CAST(t.o AS VARCHAR)"
     hb = _sql_hex16(f"{key} || ':nndb'")
-    ho = _sql_hex16(f"{key} || ':nndo'")
+    ho = _sql_hex60(f"{key} || ':nndo'")
     w = f" WHERE {where}" if where else ""
     return f"""
         WITH emb AS (
@@ -6228,7 +6249,7 @@ ENTRIES: dict[str, QueryDef] = {
           SELECT doc_id,
                  ({_sql_hex16("CAST(doc_id AS VARCHAR) || ':shard'")})
                    % 8 AS shard,
-                 ({_sql_hex16(
+                 ({_sql_hex60(
                      "CAST(doc_id AS VARCHAR) || ':shard:ord'"
                  )}) AS sort_key
           FROM documents),
@@ -6240,7 +6261,8 @@ ENTRIES: dict[str, QueryDef] = {
           FROM sh)
         SELECT CAST(shard AS BIGINT) AS shard,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum((position * sort_key) % 1000003) AS BIGINT)
+               CAST(sum(((position % 1000003) * (sort_key % 1000003))
+                        % 1000003) AS BIGINT)
                  AS order_fp,
                CAST(min(doc_id) AS BIGINT) AS min_doc,
                CAST(max(doc_id) AS BIGINT) AS max_doc
@@ -7019,7 +7041,9 @@ ENTRIES: dict[str, QueryDef] = {
         bi AS (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(t)),
-                        i -> t[i] || '|' || t[i+1])) AS bg
+                        i -> t[i] || ' ' || t[i+1])) AS bg,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i])) AS w1
           FROM toks),
         uni AS (
           SELECT tok, count(*) AS c1 FROM (
@@ -7032,7 +7056,7 @@ ENTRIES: dict[str, QueryDef] = {
                round(avg(ln((c2.c2 + 1) / (u.c1 + vs.v))), 6)
                  AS mean_bigram_logprob
         FROM bi b JOIN c2 USING (bg)
-        JOIN uni u ON u.tok = string_split(b.bg, '|')[1], vs
+        JOIN uni u ON u.tok = b.w1, vs
         GROUP BY b.doc_id
         ORDER BY doc_id
         """,

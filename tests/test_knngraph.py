@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from gsuites_gcp_graphdb_spark.operators import knngraph as kg
@@ -128,10 +129,15 @@ def test_knn_components_recover_planted_clusters(spark):
     assert 10 <= n_comp <= 15
 
 
-def test_knn_components_oracle_rounds_converged():
-    """The unrolled hash-min bound (20 rounds) is a fixpoint on the
-    fixture: 24 rounds yield the identical clustering (the kcore
-    convergence-within-bound discipline)."""
+@pytest.mark.parametrize(
+    "sf", ["sf0.001", "sf0.01", "sf0.1"]
+)
+def test_knn_components_oracle_rounds_converged(sf):
+    """The unrolled hash-min bound (20 rounds) is a fixpoint at EVERY
+    driver scale factor, including the largest (sf0.1 — where a
+    single long-chain component would first appear): 24 rounds yield
+    the identical clustering (the kcore convergence-within-bound
+    discipline, extended past the sf the docstrings cite)."""
     import duckdb
 
     from gsuites_gcp_graphdb_spark.plans.pipeline_queries import (
@@ -141,7 +147,7 @@ def test_knn_components_oracle_rounds_converged():
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW embeddings AS SELECT * FROM "
-        "'/root/testdata/sf0.001/embeddings.parquet'"
+        f"'/root/testdata/{sf}/embeddings.parquet'"
     )
     a = con.sql(_sql_knn_components(rounds=20)).fetchall()
     b = con.sql(_sql_knn_components(rounds=24)).fetchall()
