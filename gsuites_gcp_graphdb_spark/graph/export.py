@@ -35,8 +35,39 @@ _GRAPHML_KEYS = (
 )
 
 
-def to_graphml(g: Graph) -> str:
-    """Serialize a (small, pre-extracted) graph to GraphML XML."""
+# write_graphml/to_graphml serialize on the DRIVER (mirroring the
+# reference, whose exported subgraph is a driver-memory TinkerGraph —
+# README.md:383-388). That contract only holds for small, pre-extracted
+# subgraphs, so the guard below refuses anything bigger instead of
+# trusting the caller not to OOM the driver on a full graph.
+GRAPHML_MAX_ELEMENTS = 500_000
+
+
+def _guard_graphml_size(g: Graph, max_elements: int) -> None:
+    """Fail fast when vertices+edges exceed the driver bound. The
+    probe is `limit(max+1).count()` on each side — it never scans
+    more than max+1 rows, so refusing a 10B-row graph is as cheap as
+    admitting a 200-row one (a plain count() would itself be the
+    full-scan the guard exists to avoid)."""
+    probe = max_elements + 1
+    n_v = g.vertices.limit(probe).count()
+    n_e = g.edges.limit(max(probe - n_v, 1)).count()
+    if n_v + n_e > max_elements:
+        raise ValueError(
+            f"GraphML export is a driver-side, small-subgraph path: "
+            f"graph has > {max_elements} elements "
+            f"(vertices+edges >= {n_v + n_e}). Extract a subgraph "
+            f"first (Graph.subgraph), raise "
+            f"max_elements explicitly, or use write_graphson() — the "
+            f"distributed, any-scale export."
+        )
+
+
+def to_graphml(g: Graph, max_elements: int = GRAPHML_MAX_ELEMENTS) -> str:
+    """Serialize a (small, pre-extracted) graph to GraphML XML.
+    Refuses graphs above ``max_elements`` vertices+edges — see
+    _guard_graphml_size."""
+    _guard_graphml_size(g, max_elements)
     header = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
@@ -74,9 +105,14 @@ def to_graphml(g: Graph) -> str:
     return "\n".join(lines)
 
 
-def write_graphml(g: Graph, path: str) -> None:
+def write_graphml(
+    g: Graph, path: str, max_elements: int = GRAPHML_MAX_ELEMENTS
+) -> None:
+    # serialize (and size-guard) BEFORE touching the path — a refused
+    # export must not leave an empty file behind
+    xml = to_graphml(g, max_elements=max_elements)
     with open(path, "w", encoding="utf-8") as f:
-        f.write(to_graphml(g))
+        f.write(xml)
 
 
 def read_graphml(spark: SparkSession, path: str) -> Graph:

@@ -97,6 +97,29 @@ def test_graphml_export(spark, tmp_path):
     md.parseString(xml)  # well-formed
 
 
+def test_graphml_guard_rejects_large_graph(spark, tmp_path):
+    """GraphML is the driver-side, small-subgraph export (the
+    reference's own workflow, README.md:383-388): above the element
+    bound it must fail fast with an error naming write_graphson as
+    the distributed alternative — not OOM the driver mid-iterate.
+    A bounded subgraph still round-trips (the guard can't break the
+    legitimate path)."""
+    import pytest
+
+    g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
+    with pytest.raises(ValueError, match="write_graphson"):
+        ex.write_graphml(g, str(tmp_path / "no.graphml"), max_elements=4)
+    # un-guarded probe never scans past max+1 rows; the default bound
+    # admits the same small graph unchanged
+    path = str(tmp_path / "ok.graphml")
+    ex.write_graphml(g, path, max_elements=5)
+    back = ex.read_graphml(spark, path)
+    assert sorted(map(tuple, back.vertices.collect())) == sorted(
+        map(tuple, g.vertices.collect())
+    )
+    assert not os.path.exists(str(tmp_path / "no.graphml"))
+
+
 def test_graphml_import_roundtrip(spark, tmp_path):
     g = Graph(vertices_of(spark, GOLDEN_V), edges_of(spark, GOLDEN_E))
     path = str(tmp_path / "rt.graphml")
