@@ -69,8 +69,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import os
+
 from ..functions.vectors import dot, l2_norm
 from .corpus import hash16, hash_order
+
+
+def _resolve_arrow(arrow: bool | None) -> bool:
+    """Scorer choice for the whole module: explicit True/False wins;
+    None defers to SPARK_GRAFT_KNN_SCORER ('arrow' | 'fold',
+    default 'arrow'). The Arrow einsum kernel is the PRODUCTION
+    default — vectorized numpy over Arrow batches, ~the only sane
+    shape for 100 TB pair scoring; the interpreted left-fold HOF is
+    the census/oracle mode (bit-identical to the DuckDB list_reduce
+    twins), kept for every catalog query so the correctness gate
+    stays exact. test_nn_descent_scorer_edge_set_equivalence pins
+    the two scorers to identical edge SETS on the driver fixture."""
+    if arrow is not None:
+        return arrow
+    return os.environ.get("SPARK_GRAFT_KNN_SCORER", "arrow") != "fold"
 
 
 def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -87,7 +104,7 @@ def _score_pairs(
     pairs: DataFrame,
     emb: DataFrame,
     emb_b: DataFrame | None = None,
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Exact cosine for a bounded pair set: two shuffle joins on id
     to re-attach endpoint vectors+norms (corpus is never broadcast),
@@ -96,13 +113,16 @@ def _score_pairs(
     new-vector queries against the base corpus); operand order is
     always (vec_a, vec_b).
 
-    `arrow=True` swaps the interpreted HOF fold for the Arrow
-    einsum kernel (similarity._pair_cosine_udf) — the production
-    scorer for a 100 TB build. Scores differ from the fold only in
-    final ulps (numpy pairwise summation vs strict left fold), so
-    the oracle-exact catalog census stays on the fold while
-    production builds take the kernel; near-tie cut differences are
-    bounded by test_nn_descent_arrow_scorer_parity."""
+    Scorer choice (`arrow`, default None → _resolve_arrow): the
+    Arrow einsum kernel (similarity._pair_cosine_udf) is the
+    PRODUCTION DEFAULT — the interpreted HOF fold survives as the
+    census/oracle mode (catalog queries pin arrow=False so scores
+    stay bit-identical to the DuckDB twins). The two differ only in
+    final ulps (numpy pairwise summation vs strict left fold);
+    test_nn_descent_scorer_edge_set_equivalence pins identical edge
+    sets on the driver fixture and
+    test_nn_descent_arrow_scorer_parity bounds recall drift on
+    adversarial near-tie geometry."""
     if emb_b is None:
         emb_b = emb
     va = emb.select(
@@ -116,7 +136,7 @@ def _score_pairs(
         F.col("nrm").alias("__nb"),
     )
     joined = pairs.join(va, ["a"]).join(vb, ["b"])
-    if arrow:
+    if _resolve_arrow(arrow):
         from .similarity import _pair_cosine_udf
 
         return joined.select(
@@ -189,7 +209,7 @@ def permutation_init(
 
 
 def descent_round(
-    graph: DataFrame, emb: DataFrame, k: int, arrow: bool = False
+    graph: DataFrame, emb: DataFrame, k: int, arrow: bool | None = None
 ) -> DataFrame:
     """One NN-Descent refinement: undirected neighbour-of-neighbour
     candidates unioned with the current edges, re-scored, cut to
@@ -217,15 +237,16 @@ def nn_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> list[DataFrame]:
     """Build the kNN graph; returns the scored graph per stage:
     [init, round1, ..., round<rounds>] — each (a, b, s, rk). Callers
     wanting only the final graph take [-1]; the census consumes the
     whole ladder to pin monotone recall. Each stage is
     localCheckpointed (eager) so later stages and repeated probes
-    start from materialized edges. `arrow=True` scores with the
-    einsum kernel (production path — see _score_pairs)."""
+    start from materialized edges. `arrow` picks the scorer (None →
+    the configured default, Arrow einsum in production; catalog
+    census pins arrow=False for oracle exactness — _score_pairs)."""
     e = _normalize(emb, id_col, vec_col)
     g = _topk(_score_pairs(permutation_init(e, k), e, arrow=arrow), k)
     if checkpoint:
@@ -250,6 +271,7 @@ def beam_search(
     vec_col: str = "embedding",
     checkpoint: bool = True,
     query_emb: DataFrame | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Serving-side graph ANN: greedy beam search over a materialized
     kNN graph (the search half of the build/search lifecycle —
@@ -285,7 +307,7 @@ def beam_search(
     f0 = queries.select("a").crossJoin(ent).where(
         F.col("a") != F.col("b")
     )
-    g = _topk(_score_pairs(f0, qe, e), beam)
+    g = _topk(_score_pairs(f0, qe, e, arrow=arrow), beam)
     if checkpoint:
         g = g.localCheckpoint()
     nbrs = graph.select(
@@ -303,7 +325,7 @@ def beam_search(
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        g = _topk(_score_pairs(pairs, qe, e), beam)
+        g = _topk(_score_pairs(pairs, qe, e, arrow=arrow), beam)
         if checkpoint:
             g = g.localCheckpoint()
     return g
@@ -320,6 +342,7 @@ def insert_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     search_graph: DataFrame | None = None,
+    arrow: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Search-based incremental insertion — the third leg of the
     graph-ANN lifecycle (build=nn_descent, search=beam_search,
@@ -354,6 +377,7 @@ def insert_batch(
         id_col=id_col,
         vec_col=vec_col,
         query_emb=batch_emb,
+        arrow=arrow,
     )
     new_edges = _topk(found.select("a", "b", "s"), k)
     rev = new_edges.select(

@@ -5090,7 +5090,7 @@ def nn_descent_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 10
-    ladder = kg.nn_descent(emb, k=k, rounds=3)
+    ladder = kg.nn_descent(emb, k=k, rounds=3, arrow=False)
     q = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").cast("bigint").alias("a")
     )
@@ -5161,7 +5161,7 @@ def graph_ann_search_census(
     from ..operators import knngraph as kg
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ladder = kg.nn_descent(emb, k=10, rounds=3)
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
     e = kg._normalize(emb, "vec_id", "embedding")
     search_graph = (
         ladder[-1].select("a", "b").union(kg.permutation_init(e, 10))
@@ -5171,7 +5171,8 @@ def graph_ann_search_census(
     )
     res = kg._topk(
         kg.beam_search(
-            search_graph, emb, q, beam=16, hops=6, n_entries=4
+            search_graph, emb, q, beam=16, hops=6, n_entries=4,
+            arrow=False,
         ).select("a", "b", "s"),
         10,
     )
@@ -5285,7 +5286,7 @@ def knn_insert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 3 != 2)
     batch = emb.where(F.col("vec_id") % 3 == 2)
-    ladder = kg.nn_descent(base, k=10, rounds=3)
+    ladder = kg.nn_descent(base, k=10, rounds=3, arrow=False)
     e_base = kg._normalize(base, "vec_id", "embedding")
     sg = ladder[-1].select("a", "b").union(
         kg.permutation_init(e_base, 10)
@@ -5299,6 +5300,7 @@ def knn_insert_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         hops=6,
         n_entries=4,
         search_graph=sg,
+        arrow=False,
     )
     q = batch.select(F.col("vec_id").cast("bigint").alias("a"))
     truth = kg.brute_force_topk(
@@ -5515,7 +5517,7 @@ def knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import knngraph as kg
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ladder = kg.nn_descent(emb, k=10, rounds=3)
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
     mut = kg.mutual_edges(ladder[-1], tau=0.4)
     nodes = (
         mut.select(F.col("a").alias("id"))

@@ -204,6 +204,44 @@ def test_nn_descent_arrow_scorer_parity(spark):
     assert abs(rec(True) - rec(False)) <= 0.02
 
 
+def test_nn_descent_scorer_edge_set_equivalence(spark):
+    """The production default (Arrow einsum) and the census/oracle
+    mode (strict left-fold HOF) must build the IDENTICAL edge set on
+    the driver fixture at sf0.01 — scores differ only in final ulps,
+    and no top-k cut on this corpus sits on an ulp-sized tie. This is
+    the receipt that lets the catalog stay oracle-exact on the fold
+    while production builds take the kernel: same graph, either
+    scorer."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    fold = {
+        (r.a, r.b)
+        for r in kg.nn_descent(emb, k=10, rounds=2, arrow=False)[-1]
+        .select("a", "b")
+        .collect()
+    }
+    arrow = {
+        (r.a, r.b)
+        for r in kg.nn_descent(emb, k=10, rounds=2, arrow=True)[-1]
+        .select("a", "b")
+        .collect()
+    }
+    assert fold == arrow and len(fold) > 0
+
+
+def test_knn_scorer_env_default(monkeypatch):
+    """None defers to SPARK_GRAFT_KNN_SCORER; 'fold' flips the
+    default off, anything else (including unset) means Arrow — the
+    production default the module docstring promises."""
+    monkeypatch.delenv("SPARK_GRAFT_KNN_SCORER", raising=False)
+    assert kg._resolve_arrow(None) is True
+    monkeypatch.setenv("SPARK_GRAFT_KNN_SCORER", "fold")
+    assert kg._resolve_arrow(None) is False
+    assert kg._resolve_arrow(True) is True
+    monkeypatch.setenv("SPARK_GRAFT_KNN_SCORER", "arrow")
+    assert kg._resolve_arrow(None) is True
+    assert kg._resolve_arrow(False) is False
+
+
 def test_insert_batch_links_and_untouched_lists(spark):
     """Search-based insertion on planted clusters: every new node
     links inside its own cluster (the beam + long links find it),
