@@ -272,6 +272,7 @@ def beam_search(
     checkpoint: bool = True,
     query_emb: DataFrame | None = None,
     arrow: bool | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serving-side graph ANN: greedy beam search over a materialized
     kNN graph (the search half of the build/search lifecycle —
@@ -291,13 +292,56 @@ def beam_search(
     the beam feeds the next hop twice (carry + expand), so lineage
     would otherwise double per hop. `query_emb` lets queries carry
     their OWN vectors (ids need not exist in the corpus — the
-    insert_batch path); side b always scores against the corpus."""
+    insert_batch path); side b always scores against the corpus.
+
+    `tombstones` (one column `id`) makes the search LAZY-DELETE
+    aware, the FreshDiskANN serving pattern between consolidations
+    (delete_batch is the compaction): tombstoned ids never enter the
+    beam, the entry set, or the results, but the graph stays
+    navigable THROUGH them — their adjacency is folded into a
+    one-level bridged view (v → d → b becomes v → b for dead d)
+    before the hops, so a dead hub doesn't sever its neighbourhood.
+    One level of bridging only: a chain of ≥2 adjacent deletions can
+    still cut a path — that's the signal to run delete_batch."""
     e = _normalize(emb, id_col, vec_col)
     qe = (
         e
         if query_emb is None
         else _normalize(query_emb, id_col, vec_col)
     )
+    if tombstones is not None:
+        t = tombstones.select(F.col("id").cast("bigint").alias("id"))
+        ge = graph.select("a", "b")
+        t_a = t.select(F.col("id").alias("a"))
+        t_b = t.select(F.col("id").alias("b"))
+        into_dead = ge.join(t_b, ["b"], "left_semi")
+        out_of_dead = ge.join(t_a, ["a"], "left_semi")
+        bridged = (
+            into_dead.select("a", F.col("b").alias("__d"))
+            .join(
+                out_of_dead.select(
+                    F.col("a").alias("__d"), F.col("b").alias("nb")
+                ),
+                ["__d"],
+            )
+            .select("a", F.col("nb").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        # every branch re-selects (a, b) explicitly: join-on-key
+        # reorders columns and union matches by position
+        graph = (
+            ge.join(t_a, ["a"], "left_anti")
+            .join(t_b, ["b"], "left_anti")
+            .select("a", "b")
+            .union(
+                bridged.join(t_a, ["a"], "left_anti")
+                .join(t_b, ["b"], "left_anti")
+                .select("a", "b")
+            )
+            .distinct()
+        )
+        # results/entries draw only from survivors
+        e = e.join(t.select(F.col("id")), ["id"], "left_anti")
     ent = (
         e.select("id", hash16(F.col("id"), "entry").alias("__h"))
         .orderBy("__h", "id")
@@ -403,6 +447,83 @@ def insert_batch(
         "new_edges": new_edges,
         "updated": updated,
         "touched": changed,
+    }
+
+
+def delete_batch(
+    graph: DataFrame,
+    base_emb: DataFrame,
+    delete_ids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool | None = None,
+) -> dict[str, DataFrame]:
+    """Tombstone deletion + bounded re-knit — the fourth leg of the
+    graph-ANN lifecycle (build=nn_descent, search=beam_search,
+    insert=insert_batch, delete=this). A production vector store
+    compacts deletions instead of letting dead ids rot in adjacency
+    lists; this is the consolidation rule the DiskANN family uses
+    (FreshDiskANN, arXiv 2105.09613): drop the deleted nodes' own
+    lists, and for every SURVIVOR that pointed at a deleted node,
+    re-knit its list from (its kept neighbours) ∪ (the deleted
+    neighbour's own out-neighbours) — the dead node's neighbourhood
+    is exactly where its in-neighbours' replacement edges live.
+
+    Bounded by construction: the rewrite surface is the deleted
+    nodes' in-neighbours (≤ |D|·k lists); candidates per affected
+    node ≤ k (kept) + k·k (bridged); every other survivor's list is
+    returned byte-identical, never re-scored. `delete_ids` is one
+    column `id`. Returns {"updated", "affected", "tombstones"}:
+    the compacted graph (a, b, s, rk — no edge touches a deleted
+    id), the survivor ids whose lists were re-knit, and the deleted
+    id set as passed.
+
+    Scale shape: three anti/semi joins on id (broadcast when |D| is
+    small — Catalyst's call), one bounded bridge join through the
+    old adjacency, one _score_pairs over the candidate set. Nothing
+    scans the corpus; cost is O(|D|·k²) like insert_batch's
+    O(|batch|·beam·k) — index-size-independent. Oracle twin:
+    pipeline_queries._sql_knn_delete (ns_knn_delete)."""
+    tomb = delete_ids.select(F.col("id").cast("bigint").alias("id"))
+    t_a = tomb.select(F.col("id").alias("a"))
+    t_b = tomb.select(F.col("id").alias("b"))
+    g = graph.select("a", "b", "s", "rk")
+    # survivors' rows only, then split on whether the edge died
+    alive = g.join(t_a, ["a"], "left_anti")
+    lost = alive.join(t_b, ["b"], "left_semi").select("a", "b")
+    kept = alive.join(t_b, ["b"], "left_anti")
+    affected = lost.select("a").distinct()
+    # DiskANN consolidation: v -> d (dead) bridges to d's old
+    # out-neighbours that survive and aren't v itself
+    bridge = (
+        lost.select("a", F.col("b").alias("__d"))
+        .join(
+            g.select(F.col("a").alias("__d"), F.col("b").alias("nb")),
+            ["__d"],
+        )
+        .select("a", F.col("nb").alias("b"))
+        .join(t_b, ["b"], "left_anti")
+        .where(F.col("a") != F.col("b"))
+        # join-on-["b"] moved the key to column 0 — re-fix the order
+        # explicitly, because the union below matches by POSITION and
+        # would silently flip every bridged edge otherwise
+        .select("a", "b")
+    )
+    cand = (
+        kept.join(affected, ["a"], "left_semi")
+        .select("a", "b")
+        .union(bridge)
+        .distinct()
+    )
+    e = _normalize(base_emb, id_col, vec_col)
+    recut = _topk(_score_pairs(cand, e, arrow=arrow), k)
+    untouched = kept.join(affected, ["a"], "left_anti")
+    updated = untouched.select("a", "b", "s", "rk").union(recut)
+    return {
+        "updated": updated,
+        "affected": affected,
+        "tombstones": tomb,
     }
 
 

@@ -5426,6 +5426,137 @@ def _sql_knn_insert(
         """
 
 
+def knn_delete_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph tombstone deletion census
+    (operators/knngraph.delete_batch — DiskANN-style consolidation,
+    the delete leg of the graph-ANN lifecycle; deletion convention
+    vec_id % 5 = 1, ~20% of the corpus): build on the full corpus,
+    tombstone the deleted fifth, re-knit exactly the survivors that
+    pointed at a dead node from (kept neighbours) ∪ (the dead
+    neighbour's own out-neighbours). Outputs: exact corpus/deleted/
+    affected counts (affected ≤ |D|·k BY CONSTRUCTION — every other
+    list is byte-identical, never re-scored), exact recall of the
+    re-knit lists vs brute-force truth among SURVIVORS, and a
+    `clean` flag proving no edge in the compacted graph touches a
+    tombstoned id. The oracle replays the whole pipeline (NND
+    prefix, tombstone split, bridge, re-score, survivor truth).
+    Cost is O(|D|·k²) like insert_batch — index-size-independent."""
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
+    tomb = emb.where(F.col("vec_id") % 5 == 1).select(
+        F.col("vec_id").cast("bigint").alias("id")
+    )
+    out = kg.delete_batch(ladder[-1], emb, tomb, k=10, arrow=False)
+    surv = emb.join(
+        tomb.select(F.col("id").alias("vec_id")), ["vec_id"], "left_anti"
+    )
+    q = out["affected"]
+    truth = kg.brute_force_topk(surv, q, k=10).select("a", "b")
+    upd = out["updated"]
+    re_lists = upd.join(q, ["a"], "left_semi").select("a", "b")
+    row = (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(
+            tomb.agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+        )
+        .crossJoin(
+            q.agg(F.count(F.lit(1)).cast("bigint").alias("n_affected"))
+        )
+        .crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        )
+        .crossJoin(
+            re_lists.join(truth, ["a", "b"], "left_semi").agg(
+                F.count(F.lit(1)).cast("bigint").alias("mt")
+            )
+        )
+        .crossJoin(
+            upd.join(
+                tomb.select(F.col("id").alias("a")), ["a"], "left_semi"
+            )
+            .select("a", "b")
+            .union(
+                upd.join(
+                    tomb.select(F.col("id").alias("b")),
+                    ["b"],
+                    "left_semi",
+                ).select("a", "b")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("dirty"))
+        )
+    )
+    return row.where(F.col("n_nodes") > 0).select(
+        "n_nodes",
+        "n_deleted",
+        "n_affected",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("mt") / F.col("n_truth").cast("double"), 6),
+        ).alias("recall_affected"),
+        (F.col("dirty") == 0).alias("clean"),
+    )
+
+
+def _sql_knn_delete(k: int = 10) -> str:
+    """Full SQL replay of knn_delete_census: full-corpus NN-Descent
+    prefix, tombstone split (% 5 = 1), the DiskANN bridge
+    (in-neighbour of dead → dead's out-neighbours), re-score + re-cut
+    of affected lists, survivor-only brute-force truth, exact recall
+    and the no-tombstone-endpoint flag."""
+    return f"""
+        {_sql_nnd_prefix(k)}
+        del AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings
+          WHERE vec_id % 5 = 1),
+        alive AS MATERIALIZED (
+          SELECT a, b, s FROM g3
+          WHERE a NOT IN (SELECT id FROM del)),
+        lost AS MATERIALIZED (
+          SELECT a, b FROM alive WHERE b IN (SELECT id FROM del)),
+        aff AS MATERIALIZED (SELECT DISTINCT a FROM lost),
+        kept AS MATERIALIZED (
+          SELECT a, b, s FROM alive
+          WHERE b NOT IN (SELECT id FROM del)),
+        bridge AS (
+          SELECT l.a AS a, g.b AS b FROM lost l JOIN g3 g ON g.a = l.b
+          WHERE g.b NOT IN (SELECT id FROM del) AND g.b <> l.a),
+        cand AS (
+          SELECT a, b FROM bridge
+          UNION
+          SELECT k2.a, k2.b FROM kept k2
+          WHERE k2.a IN (SELECT a FROM aff)),
+        {_sql_nnd_stage("cand", "rknit", k, materialized=True)}
+        upd AS MATERIALIZED (
+          SELECT a, b FROM kept WHERE a NOT IN (SELECT a FROM aff)
+          UNION ALL
+          SELECT a, b FROM grknit),
+        tp AS (
+          SELECT f.a, e.id AS b FROM aff f JOIN emb e ON e.id <> f.a
+          WHERE e.id NOT IN (SELECT id FROM del)),
+        {_sql_nnd_stage("tp", "t", k)}
+        m AS (
+          SELECT
+            (SELECT count(*) FROM emb) AS n_nodes,
+            (SELECT count(*) FROM del) AS n_deleted,
+            (SELECT count(*) FROM aff) AS n_affected,
+            (SELECT count(*) FROM gt) AS n_truth,
+            (SELECT count(*) FROM grknit JOIN gt USING (a, b)) AS mt,
+            (SELECT count(*) FROM upd
+              WHERE a IN (SELECT id FROM del)
+                 OR b IN (SELECT id FROM del)) AS dirty)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_deleted AS BIGINT) AS n_deleted,
+               CAST(n_affected AS BIGINT) AS n_affected,
+               CASE WHEN n_truth > 0
+                 THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall_affected,
+               (dirty = 0) AS clean
+        FROM m WHERE n_nodes > 0
+        """
+
+
 def events_watermark_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6223,6 +6354,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_insert": QueryDef(
         knn_insert_census,
         _sql_knn_insert(),
+    ),
+    "ns_knn_delete": QueryDef(
+        knn_delete_census,
+        _sql_knn_delete(),
     ),
     "ns_events_watermark_census": QueryDef(
         events_watermark_census,

@@ -204,6 +204,86 @@ def test_nn_descent_arrow_scorer_parity(spark):
     assert abs(rec(True) - rec(False)) <= 0.02
 
 
+def test_delete_batch_compacts_and_bounds_rewrite(spark):
+    """Tombstone deletion on planted clusters: the compacted graph
+    contains NO edge touching a deleted id; survivors that never
+    pointed at a dead node keep byte-identical lists (the bounded-
+    rewrite contract, same discipline as insert_batch); re-knit
+    lists stay inside the survivor corpus and inside the node's own
+    planted cluster (the dead neighbour's out-list is where the
+    replacements live)."""
+    emb = _clustered_df(spark)
+    g = kg.nn_descent(emb, k=6, rounds=3)[-1]
+    # delete one-quarter: every 4th id
+    tomb = emb.where(F.col("vec_id") % 4 == 1).select(
+        F.col("vec_id").cast("bigint").alias("id")
+    )
+    dead = {r.id for r in tomb.collect()}
+    out = kg.delete_batch(g, emb, tomb, k=6)
+    upd = [(r.a, r.b) for r in out["updated"].select("a", "b").collect()]
+    assert upd, "compacted graph is empty"
+    assert all(a not in dead and b not in dead for a, b in upd)
+    affected = {r.a for r in out["affected"].collect()}
+    assert affected and affected.isdisjoint(dead)
+    # untouched survivors: lists byte-identical (s and rk included)
+    old = {
+        (r.a, r.b, r.s, r.rk)
+        for r in g.collect()
+        if r.a not in dead and r.a not in affected
+    }
+    new = {
+        (r.a, r.b, r.s, r.rk)
+        for r in out["updated"].collect()
+        if r.a not in affected
+    }
+    assert old == new
+    # re-knit stays intra-cluster on this separable geometry
+    re_rows = [
+        (a, b) for a, b in upd if a in affected
+    ]
+    assert re_rows and all(a // 20 == b // 20 for a, b in re_rows)
+
+
+def test_beam_search_tombstones_route_through_dead(spark):
+    """Lazy-delete serving (FreshDiskANN pattern): with tombstones
+    supplied, beam search never RETURNS a dead id, the entry set
+    skips dead ids, and recall among survivors stays high because
+    dead nodes still ROUTE (their adjacency is bridged v→d→b). The
+    same search with the dead rows physically dropped but unbridged
+    would strand any cluster whose links ran through them."""
+    emb = _clustered_df(spark)
+    knn = kg.nn_descent(emb, k=6, rounds=3)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    graph = knn.select("a", "b").union(kg.permutation_init(e, 6))
+    tomb = emb.where(F.col("vec_id") % 4 == 1).select(
+        F.col("vec_id").cast("bigint").alias("id")
+    )
+    dead = {r.id for r in tomb.collect()}
+    q = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    res = kg._topk(
+        kg.beam_search(
+            graph, emb, q, beam=16, hops=6, n_entries=4,
+            tombstones=tomb,
+        ).select("a", "b", "s"),
+        6,
+    )
+    rows = [(r.a, r.b) for r in res.collect()]
+    assert rows and all(b not in dead for _, b in rows)
+    assert all(a != b for a, b in rows)
+    # truth among survivors only
+    surv = emb.join(
+        tomb.select(F.col("id").alias("vec_id")), ["vec_id"], "left_anti"
+    )
+    truth = kg.brute_force_topk(surv, q, k=6).select("a", "b")
+    n_truth = truth.count()
+    hit = (
+        res.select("a", "b").join(truth, ["a", "b"], "left_semi").count()
+    )
+    assert hit / n_truth >= 0.9
+
+
 def test_nn_descent_scorer_edge_set_equivalence(spark):
     """The production default (Arrow einsum) and the census/oracle
     mode (strict left-fold HOF) must build the IDENTICAL edge set on
