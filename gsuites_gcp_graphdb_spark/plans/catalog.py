@@ -1927,80 +1927,68 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-11 window: changed/new first (driver checks the
-    # first 50 catalog names). New operators this round, then every
-    # query whose plan, output schema, or underlying operator code
-    # changed in round 11. Session 2 ultimately added 9 new names at
-    # the top (the 7 listed below plus ns_text_bigram_logprob and
-    # ns_text_zipf_fit, added later in the session), displacing the
-    # last 9 r4-era fill names (g_risk_report, g_role_by_id,
-    # g_stream_ingest_e2e, g_stress_sample, g_weighted_distances,
-    # ns_class_balance, ns_cms_heavy_hitters, plus the two that fell
-    # with the late additions: g_next_role and g_random_walks)
-    # past position 50 — they rotate back in next
-    # round per the least-recently-checked policy. ----
-    "ns_nn_descent",       # r11 new: NN-Descent kNN-graph census
-    "ns_knn_components",   # r11 new: mutual-kNN semantic clustering
-    "ns_corpus_shuffle_shards",  # r11 new: deterministic shard shuffle
-    "ns_graph_ann_search",  # r11 new: beam search over the kNN graph
-    "ns_knn_insert",       # r11 new: search-based graph insertion
-    "g_coreness",          # r11 new: full k-core decomposition
-    "ns_events_watermark_census",  # r11 new: out-of-orderness stats
-    "ns_text_bigram_logprob",  # r11 new: sequence-aware LM filter
-    "ns_text_zipf_fit",    # r11 new: Zipf slope corpus diagnostic
-    "rel_ivm_join",        # r11: checksum now two BIGINT words (r10 red)
-    "ns_ivf_rebalance",    # r11 new: hot-list split maintenance census
-    "ns_ivfpq_probe",      # r11 new: saved codes-only IVF-PQ lifecycle
-    "ns_ivfpq_refresh",    # r11 new: frozen-book refresh lifecycle
-    "ns_pq_sampled_train", # r11 late: sampled codebook training path
-    "ns_ivfpq_recall",     # r11: fused Arrow encode + shared rank path
-    "ns_pq_recall",        # r11: encode via pq_encode_fast
-    "ns_ivf_refresh",      # r11: retry anti-join guard inside refresh
-    "g_members_of_role_hinted",  # r11: shared parse_broadcast_threshold
-    "g_skew_membership_auto",    # r11: shared parse_broadcast_threshold
-    # ---- fill to 50 with the least-recently-driver-checked (last
-    # receipts r4/r5/r6; computed from the union of
-    # CORRECTNESS_r*.json, oldest round first, name-ordered) ----
-    "ns_events_sessions",
-    "ns_events_sessions_stream",
-    "ns_events_sliding",
-    "ns_events_stateful_counts",
-    "ns_events_stream_dedup",
-    "ns_events_stream_join",
-    "ns_events_tumbling",
-    "ns_events_tumbling_stream",
-    "ns_ivf_recall",
-    "ns_lsh_ann",
-    "ns_media_embedding_ann",
-    "ns_media_frames",
-    "ns_pipeline_e2e",
-    "ns_text_unigram_logprob",
-    "rel_approx_distinct",
-    "rel_approx_quantiles",
-    "rel_grouping_sets",
-    "g_diameter",
-    "g_link_prediction",
-    "g_neighbor_minhash",
-    "ns_events_rolling_1h",
-    "ns_events_stream_enrich",
-    "rel_pivot_status",
-    "rel_returned_items",
-    "rel_unpivot_status",
-    "g_closeness_sample",
-    "g_edge_census",
-    "g_graph_summary",
-    "g_harmonic_sample",
-    "g_hits_top",
-    "g_kcore",
-    "g_next_role",
-    "g_random_walks",
-    "g_risk_report",
-    "g_role_by_id",
-    "g_stream_ingest_e2e",
-    "g_stress_sample",
-    "g_weighted_distances",
-    "ns_class_balance",
-    "ns_cms_heavy_hitters",
+    # ---- round-12 window: changed/new first (driver checks the
+    # first 50 catalog names). ns_knn_delete is NEW (tombstone
+    # deletion census, never driver-checked); the graph-ANN family +
+    # shard shuffle changed (60-bit hash_order keys + Arrow-default
+    # scorer plumbing with census pinned to the fold);
+    # ns_text_bigram_logprob changed (space-joined bigram key, w1
+    # carried); g_export_roundtrip's write path gained the GraphML
+    # size guard. Fill: the ENTIRE r6-era block (40 names — the
+    # least-recently-driver-checked cohort after r11 closed the
+    # board) plus the 2 oldest r7-era names to reach exactly 50.
+    # Entries not named here keep their relative order after the
+    # priority block; reordering never changes the query set. ----
+    "ns_knn_delete",  # r12 NEW: tombstone delete + re-knit census
+    "ns_corpus_shuffle_shards",  # r12: 60-bit sort_key
+    "ns_nn_descent",  # r12: hash_order init + scorer flag
+    "ns_knn_components",  # r12: downstream of hash_order init
+    "ns_graph_ann_search",  # r12: downstream + arrow pin
+    "ns_knn_insert",  # r12: downstream + arrow pin
+    "ns_text_bigram_logprob",  # r12: collision-free bigram key
+    "g_export_roundtrip",  # r12: GraphML size guard on write path
+    "g_next_role",  # r6-era fill
+    "g_random_walks",  # r6-era fill
+    "g_risk_report",  # r6-era fill
+    "g_role_by_id",  # r6-era fill
+    "g_stream_ingest_e2e",  # r6-era fill
+    "g_stress_sample",  # r6-era fill
+    "g_weighted_distances",  # r6-era fill
+    "ns_class_balance",  # r6-era fill
+    "ns_cms_heavy_hitters",  # r6-era fill
+    "rel_skyline_parts",  # r6-era fill
+    "rel_division",  # r6-era fill
+    "rel_nation_presence",  # r6-era fill
+    "ns_dedup_containment",  # r6-era fill
+    "ns_filtered_ann",  # r6-era fill
+    "ns_vec_matryoshka",  # r6-era fill
+    "ns_text_repetition",  # r6-era fill
+    "ns_text_pii",  # r6-era fill
+    "ns_text_normalize",  # r6-era fill
+    "ns_layout_zorder",  # r6-era fill
+    "ns_events_multires_rollup",  # r6-era fill
+    "ns_events_gapfill",  # r6-era fill
+    "ns_text_tfidf",  # r6-era fill
+    "ns_events_funnel",  # r6-era fill
+    "ns_vec_dim_stats",  # r6-era fill
+    "ns_vec_scalar_quant",  # r6-era fill
+    "ns_text_chunks",  # r6-era fill
+    "ns_events_trend",  # r6-era fill
+    "ns_events_cusum",  # r6-era fill
+    "ns_weighted_sample",  # r6-era fill
+    "ns_text_collocations",  # r6-era fill
+    "ns_events_assoc",  # r6-era fill
+    "ns_events_anomaly",  # r6-era fill
+    "ns_fuzzy_match",  # r6-era fill
+    "ns_incremental_agg",  # r6-era fill
+    "ns_table_audit",  # r6-era fill
+    "ns_dedup_substring",  # r6-era fill
+    "ns_text_winnowing",  # r6-era fill
+    "ns_text_dsir",  # r6-era fill
+    "ns_media_features",  # r6-era fill
+    "ns_events_stream_left_join",  # r6-era fill
+    "g_degree_assortativity",  # r7-era fill (oldest beyond r6 block)
+    "g_triangle_count",  # r7-era fill (oldest beyond r6 block)
 ]
 
 
