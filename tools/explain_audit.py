@@ -250,6 +250,13 @@ def main():
         # Zipf fit is TakeOrdered into a 256-row bounded window.
         "ns_text_bigram_logprob",
         "ns_text_zipf_fit",
+        # round-12: the delete census must show the tombstone
+        # anti/semi joins as broadcast (|D| is small), ONE bounded
+        # bridge join through the old adjacency, and the re-knit
+        # re-score as the same two equi-joins on id as every other
+        # _score_pairs consumer — no corpus scan anywhere after the
+        # graph build.
+        "ns_knn_delete",
     ]
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
