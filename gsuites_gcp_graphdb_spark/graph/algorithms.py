@@ -33,9 +33,47 @@ from .traversal import Graph
 DEFAULT_MAX_ITER = 50
 
 
+# Past any physically meaningful size (2^200 bytes), a plan's size
+# estimate is pure artifact and only exists to poison downstream
+# arithmetic — see _truncate.
+_STATS_SANE = 1 << 200
+
+
 def _truncate(df: DataFrame) -> DataFrame:
-    """Cut lineage so iterative plans don't grow exponentially."""
-    return df.localCheckpoint(eager=True)
+    """Cut lineage so iterative plans don't grow exponentially.
+
+    localCheckpoint alone is NOT enough: the LogicalRDD it returns
+    derives its size ESTIMATE from the origin plan, so a loop whose
+    round references the previous checkpoint twice (pointer halving's
+    comp[comp[v]] self-join, NN-Descent's neighbour-of-neighbour
+    expansion) SQUARES the estimate every round. The estimate's
+    bit-length then doubles per round: planning does arithmetic on
+    million-digit BigIntegers (measured on a 403k-edge x64 graph:
+    ~2.4x wall per round from round ~18, 472 s for a round whose
+    fresh-session twin runs in 2.6 s) and at ~2^31 bits Spark throws
+    'BigInteger would overflow supported range'. Driver-scale runs
+    never see this only because they converge before the regime.
+
+    Fix: when the checkpointed frame's estimate is past any physical
+    meaning, rebuild it from the SAME checkpointed rows so the next
+    round starts from clean default stats. No data moves — the RDD is
+    already materialized — and the lost estimate costs nothing at
+    execution time: AQE converts joins to broadcast from RUNTIME
+    shuffle sizes, not from these logical guesses. Frames with sane
+    estimates are returned unchanged so genuinely-small inputs keep
+    planning broadcasts up front."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    if (
+        int(jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        <= _STATS_SANE
+    ):
+        return ck
+    spark = df.sparkSession
+    njdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(njdf, spark)
 
 
 def reachable_from(
