@@ -290,6 +290,43 @@ def test_connected_components_and_degrees(spark, golden):
     assert deg.agg(F.sum("out_degree")).collect()[0][0] == 4
 
 
+def test_truncate_keeps_stats_bounded_across_rounds(spark):
+    """Regression for the r12 scale fix: a loop whose round
+    references the previous checkpoint TWICE squares the LogicalRDD
+    size estimate each round (localCheckpoint derives it from the
+    origin plan), so the estimate's digit count doubles per round —
+    exponential BigInteger planning cost and, past ~2^31 bits,
+    'BigInteger would overflow supported range'. _truncate must keep
+    the estimate's magnitude BOUNDED across 30 self-join rounds (the
+    unfixed digit count passes 10^9 by round ~24)."""
+    from gsuites_gcp_graphdb_spark.graph.algorithms import _truncate
+
+    comp = _truncate(
+        spark.range(100).select("id", F.col("id").alias("component"))
+    )
+    for _ in range(30):
+        par = comp.select(
+            F.col("id").alias("p"), F.col("component").alias("pc")
+        )
+        comp = _truncate(
+            comp.join(par, comp.component == par.p).select(
+                "id", F.col("pc").alias("component")
+            )
+        )
+        digits = len(
+            str(
+                int(
+                    comp._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        )
+        assert digits < 200, f"stats estimate escaped the bound: {digits}"
+    assert comp.count() == 100
+
+
 def test_connected_components_star_matches_hashmin(spark, golden):
     """The large-star/small-star variant is a second independent CC
     implementation; both must produce identical (id, component) maps
