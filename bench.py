@@ -262,6 +262,9 @@ HEADLINE = [
     # round-11: ns_nn_descent stays out (census harness — the ladder
     # carries its own brute-force truth stage; the
     # oracle-verification-query rule, same as ns_ivf_refresh).
+    # round-12: ns_knn_delete stays out for the same reason (its
+    # census re-runs the full build + survivor brute-force truth);
+    # the operator's scale receipt is the x64 row in SCALING.md.
 ]
 
 
