@@ -372,6 +372,17 @@ def anchor_probes(spark) -> dict[str, float]:
         .select(F.xxhash64("id").alias("h"))
         .agg(F.sum(F.pmod(F.col("h"), F.lit(1000))))
         .collect(),
+        # r13 (VERDICT r12 item 1): the three probes above are
+        # CPU/shuffle-only and proved BLIND to the dimension that
+        # moved in r12 (suite +20% raw, anchors flat — the regressed
+        # set was checkpoint/write/staging-heavy). anchor_io measures
+        # the DISK path the suite actually exercises: a fixed-size
+        # parquet write + full read-back + a localCheckpoint
+        # round-trip, zero repo-code dependence. Reported separately:
+        # anchor_total (the frozen common66_norm denominator) stays
+        # CPU-only for round-over-round comparability; the new
+        # common66_norm_io divides by (anchor_total + anchor_io).
+        "anchor_io": lambda: _io_probe(spark),
     }
     out = {}
     for name, action in probes.items():
@@ -382,6 +393,42 @@ def anchor_probes(spark) -> dict[str, float]:
             reps.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(reps[1:]), 3)
     return out
+
+
+def _io_probe(spark) -> None:
+    """Code-frozen disk probe body (do not edit shapes/sizes): 8M
+    rows × 3 columns → parquet (overwrite), read back with a full
+    column scan, then an eager localCheckpoint of a 4M-row frame —
+    the three disk touchpoints (sink write, source scan, checkpoint
+    store) the write/staging/iterative suite queries depend on."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spark_graft_anchor_io_")
+    try:
+        path = os.path.join(d, "t.parquet")
+        (
+            spark.range(8_000_000)
+            .select(
+                F.col("id"),
+                F.xxhash64("id").alias("h"),
+                (F.col("id") % 1000).cast("string").alias("s"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        spark.read.parquet(path).agg(
+            F.sum("id"), F.sum("h"), F.count("s")
+        ).collect()
+        ck = (
+            spark.range(4_000_000)
+            .select(F.col("id"), F.xxhash64("id").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        ck.agg(F.sum("h")).collect()
+        ck.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:
@@ -399,7 +446,13 @@ def main() -> None:
     # Box-speed anchors run FIRST (same process, before any suite
     # pressure) — their total is the denominator of common66_norm.
     anchors = anchor_probes(spark)
-    anchor_total = round(sum(anchors.values()), 3)
+    # anchor_total keeps its FROZEN definition (the three CPU probes)
+    # so common66_norm stays comparable across rounds; anchor_io is
+    # the r13 disk probe, folded only into the new common66_norm_io.
+    anchor_io = anchors.get("anchor_io", 0.0)
+    anchor_total = round(
+        sum(v for k, v in anchors.items() if k != "anchor_io"), 3
+    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -484,6 +537,11 @@ def main() -> None:
     common66_norm = (
         round(common66 / anchor_total, 3) if anchor_total else None
     )
+    common66_norm_io = (
+        round(common66 / (anchor_total + anchor_io), 3)
+        if anchor_total + anchor_io
+        else None
+    )
     # Full per-query detail (medians + [min,max] spread) goes to a repo
     # file — the driver only captures a 2000-char stdout tail, and the
     # round-5 full-detail line overflowed it (BENCH_r05 parsed: null).
@@ -492,6 +550,7 @@ def main() -> None:
         "value": total,
         "common66": common66,
         "common66_norm": common66_norm,
+        "common66_norm_io": common66_norm_io,
         "anchors": anchors,
         "anchor_total": anchor_total,
         "common66_missing": missing66,
@@ -514,6 +573,7 @@ def main() -> None:
         "value": total,
         "common66": common66,
         "common66_norm": common66_norm,
+        "common66_norm_io": common66_norm_io,
         "anchor_total": anchor_total,
         "unit": "sec",
         "queries": timings,

@@ -63,17 +63,26 @@ def _truncate(df: DataFrame) -> DataFrame:
     estimates are returned unchanged so genuinely-small inputs keep
     planning broadcasts up front."""
     ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
-    if (
-        int(jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        <= _STATS_SANE
-    ):
+    # The stats-reset path reaches through py4j internals
+    # (internalCreateDataFrame / queryExecution().toRdd()) —
+    # verified against Spark 4.1 classic mode; under Spark Connect
+    # _jdf does not exist. Any failure falls back to the plain
+    # checkpoint: correctness is unaffected, only deep-iteration
+    # planning cost regresses (the pre-fix behavior).
+    try:
+        jdf = ck._jdf
+        if (
+            int(jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            <= _STATS_SANE
+        ):
+            return ck
+        spark = df.sparkSession
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(njdf, spark)
+    except Exception:
         return ck
-    spark = df.sparkSession
-    njdf = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(njdf, spark)
 
 
 def reachable_from(

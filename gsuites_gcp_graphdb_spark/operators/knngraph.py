@@ -87,7 +87,13 @@ def _resolve_arrow(arrow: bool | None) -> bool:
     the two scorers to identical edge SETS on the driver fixture."""
     if arrow is not None:
         return arrow
-    return os.environ.get("SPARK_GRAFT_KNN_SCORER", "arrow") != "fold"
+    mode = os.environ.get("SPARK_GRAFT_KNN_SCORER", "arrow").strip().lower()
+    if mode not in ("arrow", "fold"):
+        raise ValueError(
+            "SPARK_GRAFT_KNN_SCORER must be 'arrow' or 'fold', got "
+            f"{mode!r}"
+        )
+    return mode != "fold"
 
 
 def _normalize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -304,11 +310,6 @@ def beam_search(
     One level of bridging only: a chain of ≥2 adjacent deletions can
     still cut a path — that's the signal to run delete_batch."""
     e = _normalize(emb, id_col, vec_col)
-    qe = (
-        e
-        if query_emb is None
-        else _normalize(query_emb, id_col, vec_col)
-    )
     if tombstones is not None:
         t = tombstones.select(F.col("id").cast("bigint").alias("id"))
         ge = graph.select("a", "b")
@@ -342,6 +343,17 @@ def beam_search(
         )
         # results/entries draw only from survivors
         e = e.join(t.select(F.col("id")), ["id"], "left_anti")
+    # qe binds AFTER the tombstone filter: with query_emb=None a
+    # tombstoned id passed as a query must not resolve — its rows
+    # vanish from the a side too, honoring the docstring guarantee
+    # on both sides. Explicit query_emb keeps its own (unfiltered)
+    # vectors: the insert path queries ids that are not corpus
+    # members at all.
+    qe = (
+        e
+        if query_emb is None
+        else _normalize(query_emb, id_col, vec_col)
+    )
     ent = (
         e.select("id", hash16(F.col("id"), "entry").alias("__h"))
         .orderBy("__h", "id")
@@ -555,7 +567,14 @@ def brute_force_topk(
     """Exact top-k ground truth for a SAMPLED query set (census use
     only — the O(|q|·N) scan is the measuring stick, not the scale
     path). `queries` holds one column `a` of query ids; `query_emb`
-    resolves their vectors when they are not corpus members."""
+    resolves their vectors when they are not corpus members.
+
+    The scorer is PINNED to the left-fold twin (arrow=False): this
+    function defines ground TRUTH for the recall censuses, and truth
+    must stay bit-identical to the DuckDB list_reduce oracle —
+    ulp-level near-ties at the rank-k cut would otherwise flip the
+    truth edge set under the Arrow einsum kernel and make census
+    results depend on SPARK_GRAFT_KNN_SCORER."""
     e = _normalize(emb, id_col, vec_col)
     qe = (
         e
@@ -567,4 +586,202 @@ def brute_force_topk(
         .join(e.select(F.col("id").alias("b")), F.col("a") != F.col("b"))
         .select("a", "b")
     )
-    return _topk(_score_pairs(pairs, qe, e), k)
+    return _topk(_score_pairs(pairs, qe, e, arrow=False), k)
+
+
+def knn_save(
+    graph: DataFrame,
+    emb: DataFrame,
+    path: str,
+    n_parts: int = 16,
+    max_entries: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the kNN graph as a WRITE-TIME LAYOUT — the graph-ANN
+    twin of similarity.ivf_save, closing the lifecycle asymmetry
+    (r12 VERDICT item: the IVF family had save/probe, this family
+    served only in-query). Three relations:
+
+    - ``adjacency/``: the (a, b) edge lists partitioned by
+      ``pa = pmod(xxhash64(a), n_parts)`` — a probe's hop expands a
+      bounded frontier, so it reads ONLY the frontier's partitions
+      via partition pruning, never the full graph;
+    - ``vectors/``: normalized (id, vec, nrm) partitioned by
+      ``pv = pmod(xxhash64(id), n_parts)`` — candidate re-scoring
+      reads only the candidate ids' partitions;
+    - ``entries/``: the top-``max_entries`` ids in the md5 entry
+      order beam_search uses (hash16(id,'entry'), id) — a probe
+      with n_entries <= max_entries picks the IDENTICAL entry set
+      without scanning any corpus-sized relation.
+
+    Size ``n_parts`` so each partition holds ~128MB-1GB at the
+    target scale (the export.save_bucketed rule); a serving batch
+    then touches |frontier-partitions|/n_parts of the index per hop
+    — the DiskANN disk-resident serving story expressed as parquet
+    partition pruning. The reference analog is the restartable
+    partitioned sink (main.go:124-187)."""
+    e = _normalize(emb, id_col, vec_col)
+    (
+        graph.select("a", "b")
+        .withColumn(
+            "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
+        )
+        .write.partitionBy("pa")
+        .parquet(f"{path}/adjacency", mode="overwrite")
+    )
+    (
+        e.withColumn(
+            "pv", F.pmod(F.xxhash64(F.col("id")), F.lit(n_parts))
+        )
+        .write.partitionBy("pv")
+        .parquet(f"{path}/vectors", mode="overwrite")
+    )
+    (
+        e.select("id", hash16(F.col("id"), "entry").alias("__h"))
+        .orderBy("__h", "id")
+        .limit(max_entries)
+        .write.parquet(f"{path}/entries", mode="overwrite")
+    )
+    spark = graph.sparkSession
+    spark.createDataFrame(
+        [(int(n_parts), int(max_entries))],
+        "n_parts int, max_entries int",
+    ).write.parquet(f"{path}/meta", mode="overwrite")
+
+
+def knn_load(spark, path: str) -> dict[str, DataFrame]:
+    """Load a knn_save index for IN-QUERY serving: returns
+    {"graph": (a, b), "vectors": normalized (id, vec, nrm),
+    "entries": (id, __h), "meta": (n_parts, max_entries)}. The
+    graph/vectors frames feed beam_search directly (vectors are
+    already _normalize-shaped); use knn_probe instead when the index
+    should stay disk-resident and reads partition-pruned."""
+    return {
+        "graph": spark.read.parquet(f"{path}/adjacency").select(
+            "a", "b"
+        ),
+        "vectors": spark.read.parquet(f"{path}/vectors").select(
+            "id", "vec", "nrm"
+        ),
+        "entries": spark.read.parquet(f"{path}/entries"),
+        "meta": spark.read.parquet(f"{path}/meta"),
+    }
+
+
+def _pruned_vectors(
+    spark, path: str, n_parts: int, ids: DataFrame, col: str
+) -> DataFrame:
+    """Partition-pruned vector fetch: collect the DISTINCT partition
+    values the id set hashes into (bounded by n_parts — the IVF
+    probe's bounded-collect discipline, never corpus-bounded), push
+    them as a partition filter, then left-semi to the exact ids."""
+    parts = sorted(
+        r.p
+        for r in ids.select(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(n_parts)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("pv").isin(parts))
+        .join(
+            ids.select(F.col(col).alias("id")).distinct(),
+            ["id"],
+            "left_semi",
+        )
+        .select("id", "vec", "nrm")
+    )
+
+
+def knn_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    beam: int = 16,
+    hops: int = 6,
+    n_entries: int = 4,
+    checkpoint: bool = True,
+    query_emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool | None = None,
+) -> DataFrame:
+    """Beam search served from a knn_save index with PARTITION-PRUNED
+    reads — result-identical to beam_search on the loaded graph
+    (pinned by test_knn_probe_equals_beam_search and the
+    ns_knn_probe census): same entry pick (top-n_entries of the
+    saved md5 order; requires n_entries <= max_entries), same hop
+    expansion, same (s DESC, b ASC) cuts. Per hop it reads only
+
+    - the adjacency partitions the current beam's nodes hash into
+      (``pa IN (...)`` pushed into the scan), and
+    - the vector partitions of the candidate ids (via
+      _pruned_vectors),
+
+    so I/O per hop ~ |touched partitions| / n_parts of the index —
+    never a full scan. The per-hop collects fetch DISTINCT partition
+    VALUES only (each bounded by n_parts); candidate frames stay
+    distributed. `queries` holds one column `a` of corpus-member
+    ids; `query_emb` supplies external query vectors (then `a` need
+    not exist in the index)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_parts = meta.n_parts
+    if n_entries > meta.max_entries:
+        raise ValueError(
+            f"n_entries={n_entries} exceeds the saved index's "
+            f"max_entries={meta.max_entries}"
+        )
+    ent = (
+        spark.read.parquet(f"{path}/entries")
+        .orderBy("__h", "id")
+        .limit(n_entries)
+        .select(F.col("id").alias("b"))
+    )
+    qe = (
+        _pruned_vectors(spark, path, n_parts, queries, "a")
+        if query_emb is None
+        else _normalize(query_emb, id_col, vec_col)
+    )
+    f0 = queries.select("a").crossJoin(ent).where(
+        F.col("a") != F.col("b")
+    )
+    cand = _pruned_vectors(spark, path, n_parts, f0.select("b"), "b")
+    g = _topk(_score_pairs(f0, qe, cand, arrow=arrow), beam)
+    if checkpoint:
+        g = g.localCheckpoint()
+    adj = spark.read.parquet(f"{path}/adjacency")
+    for _ in range(hops):
+        parts = sorted(
+            r.p
+            for r in g.select(
+                F.pmod(F.xxhash64(F.col("b")), F.lit(n_parts)).alias(
+                    "p"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        nbrs = adj.where(F.col("pa").isin(parts)).select(
+            F.col("a").alias("v"), F.col("b").alias("nb")
+        )
+        hopp = (
+            g.select("a", F.col("b").alias("v"))
+            .join(nbrs, ["v"])
+            .select("a", F.col("nb").alias("b"))
+        )
+        pairs = (
+            g.select("a", "b")
+            .union(hopp)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        cand = _pruned_vectors(
+            spark, path, n_parts, pairs.select("b"), "b"
+        )
+        g = _topk(_score_pairs(pairs, qe, cand, arrow=arrow), beam)
+        if checkpoint:
+            g = g.localCheckpoint()
+    return g

@@ -5557,6 +5557,167 @@ def _sql_knn_delete(k: int = 10) -> str:
         """
 
 
+def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved kNN-graph index lifecycle census (r12 VERDICT item 2:
+    knngraph.knn_save / knn_probe — the graph-ANN twin of the IVF
+    family's save/probe symmetry, similarity.ivf_save/ivf_probe):
+    build the navigable graph (NN-Descent + permutation-init long
+    links, the ns_graph_ann_search recipe), PERSIST it as the
+    partitioned layout (adjacency by pmod(xxhash64(a)), vectors by
+    pmod(xxhash64(id)), the top-16 md5-ordered entry ids), then
+    serve the same query set from DISK with partition-pruned reads
+    and compare against the in-query beam_search row for row.
+
+    One row of earned invariants:
+
+    - ``probe_rows``: the probe's result count (replayed exactly by
+      the oracle's beam pipeline — the layout changes I/O, never
+      semantics);
+    - ``probe_matches_beam``: the probe result set equals the
+      in-query beam_search result set EXACTLY on (a, b, rk) —
+      computed on the Spark side from both actual result sets
+      (symmetric exceptAll), pinned by the oracle as an earned TRUE;
+      any entry-pick, hop-expansion, or pruning divergence flips it;
+    - ``recall``: the probe's recall@10 vs brute-force truth —
+      value-matched cross-engine against the oracle's replay.
+
+    Scale: per hop the probe reads ONLY the adjacency partitions the
+    beam's nodes hash into and the vector partitions of the
+    candidate ids (PartitionFilters receipts in PLANS.md); the
+    per-hop collects fetch distinct partition VALUES, bounded by
+    n_parts, never corpus rows. The temp index is removed after the
+    counts; the returned relation is a literal row."""
+    import shutil
+    import tempfile
+
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_nodes bigint, n_queries bigint, probe_rows bigint,"
+        " probe_matches_beam boolean, recall double"
+    )
+    n_nodes = emb.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], schema)
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    search_graph = (
+        ladder[-1].select("a", "b").union(kg.permutation_init(e, 10))
+    )
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    beam = kg._topk(
+        kg.beam_search(
+            search_graph, emb, q, beam=16, hops=6, n_entries=4,
+            arrow=False,
+        ).select("a", "b", "s"),
+        10,
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_knn_probe_")
+    try:
+        kg.knn_save(search_graph, emb, path, n_parts=8, max_entries=16)
+        probe = kg._topk(
+            kg.knn_probe(
+                spark, path, q, beam=16, hops=6, n_entries=4,
+                arrow=False,
+            ).select("a", "b", "s"),
+            10,
+        )
+        p = probe.select("a", "b", "rk")
+        bm = beam.select("a", "b", "rk")
+        n_probe = p.count()
+        n_beam = bm.count()
+        n_diff = p.exceptAll(bm).count() + bm.exceptAll(p).count()
+        truth = kg.brute_force_topk(emb, q, k=10).select("a", "b")
+        n_truth = truth.count()
+        mt = (
+            p.select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .count()
+        )
+        n_queries = truth.select("a").distinct().count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_nodes,
+        n_queries,
+        n_probe,
+        n_diff == 0 and n_probe == n_beam,
+        round(mt / float(n_truth), 6) if n_truth else None,
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _sql_knn_probe(
+    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+) -> str:
+    """SQL replay of knn_probe_census: the saved-index probe is
+    result-identical to in-query beam_search BY CONSTRUCTION (the
+    partitioned layout changes which files a hop READS, never which
+    rows it produces), so the oracle replays the beam pipeline once
+    — the _sql_graph_ann_search skeleton — and pins
+    probe_matches_beam as an earned TRUE; the Spark side computes
+    that boolean from the two actual result sets, so any divergence
+    flips it (or the counts/recall) and fails the hash."""
+    ent_h = _sql_hex16("CAST(id AS VARCHAR) || ':entry'")
+    steps = [
+        f"""
+        f0 AS (
+          SELECT q.a, e.b FROM qt q, ent e WHERE e.b <> q.a),
+        {_sql_nnd_stage("f0", "h0", beam, materialized=True)}"""
+    ]
+    for h in range(hops):
+        steps.append(
+            f"""
+        c{h + 1}p AS (
+          SELECT a, b FROM (
+            SELECT a, b FROM gh{h}
+            UNION
+            SELECT g.a, e.b FROM gh{h} g JOIN gm e ON e.a = g.b)
+          WHERE a <> b),
+        {_sql_nnd_stage(f"c{h + 1}p", f"h{h + 1}", beam,
+                        materialized=True)}"""
+        )
+    hop_sql = "".join(steps)
+    return f"""
+        {_sql_nnd_prefix(k)}
+        gm AS MATERIALIZED (
+          SELECT a, b FROM g3 UNION SELECT a, b FROM init),
+        ent AS MATERIALIZED (
+          SELECT id AS b FROM (
+            SELECT id, ({ent_h}) AS h FROM emb
+            ORDER BY h, id LIMIT {n_entries})),
+        qt AS MATERIALIZED (
+          SELECT id AS a FROM emb WHERE id % 20 = 0),
+        {hop_sql}
+        res AS (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS r2
+            FROM gh{hops}) WHERE r2 <= {k}),
+        tp AS (
+          SELECT q.a, e.id AS b FROM qt q JOIN emb e ON e.id <> q.a),
+        {_sql_nnd_stage("tp", "t", k)}
+        m AS (
+          SELECT
+            (SELECT count(*) FROM emb) AS n_nodes,
+            (SELECT count(DISTINCT a) FROM gt) AS n_queries,
+            (SELECT count(*) FROM res) AS probe_rows,
+            (SELECT count(*) FROM gt) AS n_truth,
+            (SELECT count(*) FROM res JOIN gt USING (a, b)) AS mt)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_queries AS BIGINT) AS n_queries,
+               CAST(probe_rows AS BIGINT) AS probe_rows,
+               TRUE AS probe_matches_beam,
+               CASE WHEN n_truth > 0
+                 THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
+                 AS recall
+        FROM m WHERE n_nodes > 0
+        """
+
+
 def events_watermark_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6358,6 +6519,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_delete": QueryDef(
         knn_delete_census,
         _sql_knn_delete(),
+    ),
+    "ns_knn_probe": QueryDef(
+        knn_probe_census,
+        _sql_knn_probe(),
     ),
     "ns_events_watermark_census": QueryDef(
         events_watermark_census,

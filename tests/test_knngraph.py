@@ -320,6 +320,33 @@ def test_knn_scorer_env_default(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_KNN_SCORER", "arrow")
     assert kg._resolve_arrow(None) is True
     assert kg._resolve_arrow(False) is False
+    # case/space-insensitive, and anything else is a loud error —
+    # a typo must not silently select a scorer
+    monkeypatch.setenv("SPARK_GRAFT_KNN_SCORER", " FOLD ")
+    assert kg._resolve_arrow(None) is False
+    monkeypatch.setenv("SPARK_GRAFT_KNN_SCORER", "flod")
+    with pytest.raises(ValueError):
+        kg._resolve_arrow(None)
+
+
+def test_beam_search_tombstoned_query_excluded(spark):
+    """With query_emb=None, a tombstoned id passed as a QUERY must
+    not resolve: its rows vanish from the result's `a` side too (the
+    qe binding happens after the survivor filter), so the docstring
+    guarantee — tombstoned ids never enter the results — holds on
+    both columns."""
+    emb = _clustered_df(spark, n_clusters=4, per=10)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    graph = kg.permutation_init(e, 6)
+    tomb = spark.createDataFrame([(0,), (13,)], "id long")
+    q = spark.createDataFrame([(0,), (13,), (25,)], "a long")
+    res = kg.beam_search(
+        graph, emb, q, beam=8, hops=2, n_entries=4, tombstones=tomb
+    )
+    rows = [(r.a, r.b) for r in res.collect()]
+    assert rows, "surviving query must still return rows"
+    assert all(a == 25 for a, _ in rows)
+    assert all(b not in (0, 13) for _, b in rows)
 
 
 def test_insert_batch_links_and_untouched_lists(spark):
@@ -367,3 +394,47 @@ def test_permutation_init_deterministic_and_bounded(spark):
 
     deg = Counter(a for a, _ in g1)
     assert max(deg.values()) <= 4
+
+
+def test_knn_probe_equals_beam_search(spark, tmp_path):
+    """The saved-index probe (knn_save → knn_probe, partition-pruned
+    reads) must be RESULT-IDENTICAL to in-query beam_search on the
+    same graph — the graph-ANN twin of test_ivf_saved_index_probe:
+    same entry pick, same hop expansion, same (s DESC, b ASC) cuts.
+    Also pins the entry-set contract (n_entries > max_entries is a
+    loud error, not a silently-smaller entry pool)."""
+    emb = _clustered_df(spark)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    graph = kg.nn_descent(emb, k=6, rounds=2, arrow=False)[-1].select(
+        "a", "b"
+    ).union(kg.permutation_init(e, 6))
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(graph, emb, path, n_parts=8, max_entries=16)
+    q = emb.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    beam = kg.beam_search(
+        graph, emb, q, beam=8, hops=3, n_entries=4, arrow=False
+    )
+    probe = kg.knn_probe(
+        spark, path, q, beam=8, hops=3, n_entries=4, arrow=False
+    )
+    b_rows = {(r.a, r.b, r.rk) for r in beam.collect()}
+    p_rows = {(r.a, r.b, r.rk) for r in probe.collect()}
+    assert b_rows and p_rows == b_rows
+    # loaded frames feed in-query beam_search identically
+    idx = kg.knn_load(spark, path)
+    loaded = kg.beam_search(
+        idx["graph"],
+        idx["vectors"].select(
+            F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+        ),
+        q,
+        beam=8,
+        hops=3,
+        n_entries=4,
+        arrow=False,
+    )
+    assert {(r.a, r.b, r.rk) for r in loaded.collect()} == b_rows
+    with pytest.raises(ValueError):
+        kg.knn_probe(spark, path, q, n_entries=17)

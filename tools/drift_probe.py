@@ -53,6 +53,24 @@ def main() -> None:
     for name in names:
         if name in fast:
             action = fast[name]
+        elif name == "g_bucketed_layout_write":
+            # Bench-inline write-heavy entry (r13 drift controls):
+            # each rep rewrites the bucketed store as bench.py's
+            # preamble does, then reloads the store-backed graph so
+            # the NEXT rep again writes from a cached graph. The rep
+            # therefore times write+reload (bench times write only) —
+            # fine: the probe compares ITSELF across sessions/commits,
+            # not against the bench number.
+            from gsuites_gcp_graphdb_spark.plans import (
+                graph_queries as gq,
+            )
+
+            gq._graph(spark, SF_DIR).counts()
+
+            def action(gq=gq):
+                gq.materialize_graph_store(spark, SF_DIR)
+                gq._graph(spark, SF_DIR).counts()
+
         elif name == "g_flagship_bucketed":
             # Bench-inline entry: flagship traversal over the
             # materialized bucketed store (bench.py's preamble builds
