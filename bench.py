@@ -417,15 +417,19 @@ def _io_probe(spark) -> None:
             .write.mode("overwrite")
             .parquet(path)
         )
+        # pmod-reduce before summing: a raw sum of 8M 64-bit hashes
+        # overflows BIGINT under ANSI mode
         spark.read.parquet(path).agg(
-            F.sum("id"), F.sum("h"), F.count("s")
+            F.sum("id"),
+            F.sum(F.pmod(F.col("h"), F.lit(1000))),
+            F.count("s"),
         ).collect()
         ck = (
             spark.range(4_000_000)
             .select(F.col("id"), F.xxhash64("id").alias("h"))
             .localCheckpoint(eager=True)
         )
-        ck.agg(F.sum("h")).collect()
+        ck.agg(F.sum(F.pmod(F.col("h"), F.lit(1000)))).collect()
         ck.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -1927,68 +1927,69 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-12 window: changed/new first (driver checks the
-    # first 50 catalog names). ns_knn_delete is NEW (tombstone
-    # deletion census, never driver-checked); the graph-ANN family +
-    # shard shuffle changed (60-bit hash_order keys + Arrow-default
-    # scorer plumbing with census pinned to the fold);
-    # ns_text_bigram_logprob changed (space-joined bigram key, w1
-    # carried); g_export_roundtrip's write path gained the GraphML
-    # size guard. Fill: the ENTIRE r6-era block (40 names — the
-    # least-recently-driver-checked cohort after r11 closed the
-    # board) plus the 2 oldest r7-era names to reach exactly 50.
-    # Entries not named here keep their relative order after the
-    # priority block; reordering never changes the query set. ----
-    "ns_knn_delete",  # r12 NEW: tombstone delete + re-knit census
-    "ns_corpus_shuffle_shards",  # r12: 60-bit sort_key
-    "ns_nn_descent",  # r12: hash_order init + scorer flag
-    "ns_knn_components",  # r12: downstream of hash_order init
-    "ns_graph_ann_search",  # r12: downstream + arrow pin
-    "ns_knn_insert",  # r12: downstream + arrow pin
-    "ns_text_bigram_logprob",  # r12: collision-free bigram key
-    "g_export_roundtrip",  # r12: GraphML size guard on write path
-    "g_next_role",  # r6-era fill
-    "g_random_walks",  # r6-era fill
-    "g_risk_report",  # r6-era fill
-    "g_role_by_id",  # r6-era fill
-    "g_stream_ingest_e2e",  # r6-era fill
-    "g_stress_sample",  # r6-era fill
-    "g_weighted_distances",  # r6-era fill
-    "ns_class_balance",  # r6-era fill
-    "ns_cms_heavy_hitters",  # r6-era fill
-    "rel_skyline_parts",  # r6-era fill
-    "rel_division",  # r6-era fill
-    "rel_nation_presence",  # r6-era fill
-    "ns_dedup_containment",  # r6-era fill
-    "ns_filtered_ann",  # r6-era fill
-    "ns_vec_matryoshka",  # r6-era fill
-    "ns_text_repetition",  # r6-era fill
-    "ns_text_pii",  # r6-era fill
-    "ns_text_normalize",  # r6-era fill
-    "ns_layout_zorder",  # r6-era fill
-    "ns_events_multires_rollup",  # r6-era fill
-    "ns_events_gapfill",  # r6-era fill
-    "ns_text_tfidf",  # r6-era fill
-    "ns_events_funnel",  # r6-era fill
-    "ns_vec_dim_stats",  # r6-era fill
-    "ns_vec_scalar_quant",  # r6-era fill
-    "ns_text_chunks",  # r6-era fill
-    "ns_events_trend",  # r6-era fill
-    "ns_events_cusum",  # r6-era fill
-    "ns_weighted_sample",  # r6-era fill
-    "ns_text_collocations",  # r6-era fill
-    "ns_events_assoc",  # r6-era fill
-    "ns_events_anomaly",  # r6-era fill
-    "ns_fuzzy_match",  # r6-era fill
-    "ns_incremental_agg",  # r6-era fill
-    "ns_table_audit",  # r6-era fill
-    "ns_dedup_substring",  # r6-era fill
-    "ns_text_winnowing",  # r6-era fill
-    "ns_text_dsir",  # r6-era fill
-    "ns_media_features",  # r6-era fill
-    "ns_events_stream_left_join",  # r6-era fill
-    "g_degree_assortativity",  # r7-era fill (oldest beyond r6 block)
-    "g_triangle_count",  # r7-era fill (oldest beyond r6 block)
+    # ---- round-13 window: changed/new first (driver checks the
+    # first 50 catalog names). ns_knn_probe is NEW (saved-index
+    # lifecycle census, never driver-checked); the four graph-ANN
+    # censuses changed (brute_force_topk now PINS the fold scorer
+    # for the truth stage, so census outputs no longer depend on
+    # SPARK_GRAFT_KNN_SCORER); ns_split_leakage_safe and
+    # ns_text_bpe_train are this round's drift-probe subjects
+    # (proved box-drift, re-checked anyway). Fill: the ENTIRE
+    # r7-era block (42 names — the least-recently-driver-checked
+    # cohort, computed from the union of CORRECTNESS_r1..r12) plus
+    # the oldest r8-era name to reach exactly 50. Entries not named
+    # here keep their relative order after the priority block;
+    # reordering never changes the query set. ----
+    "ns_knn_probe",  # r13 NEW: saved kNN-graph index probe census
+    "ns_knn_delete",  # r13: truth stage pinned to fold scorer
+    "ns_nn_descent",  # r13: truth stage pinned to fold scorer
+    "ns_graph_ann_search",  # r13: truth stage pinned to fold scorer
+    "ns_knn_insert",  # r13: truth stage pinned to fold scorer
+    "ns_split_leakage_safe",  # r13 drift-probe subject
+    "ns_text_bpe_train",  # r13 drift-probe subject
+    "etl_filter_open_orders",  # r7-era fill
+    "etl_member_parse",  # r7-era fill
+    "etl_nested_collect_explode",  # r7-era fill
+    "etl_role_permission_inversion",  # r7-era fill
+    "g_degree_histogram",  # r7-era fill
+    "g_offboard_user",  # r7-era fill
+    "g_top_roles",  # r7-era fill
+    "g_upsert_merge",  # r7-era fill
+    "ns_decontaminate",  # r7-era fill
+    "ns_dedup_exact",  # r7-era fill
+    "ns_dedup_minhash_verified",  # r7-era fill
+    "ns_dedup_simhash_md5",  # r7-era fill
+    "ns_events_hll_rollup",  # r7-era fill
+    "ns_events_scd2",  # r7-era fill
+    "ns_events_span_overlap",  # r7-era fill
+    "ns_events_transitions",  # r7-era fill
+    "ns_events_type_quartiles",  # r7-era fill
+    "ns_events_value_deciles",  # r7-era fill
+    "ns_hamming_recall",  # r7-era fill
+    "ns_knn_join",  # r7-era fill
+    "ns_text_langid",  # r7-era fill
+    "ns_text_vocab_stats",  # r7-era fill
+    "ns_topk_cosine",  # r7-era fill
+    "ns_vec_class_centroids",  # r7-era fill
+    "rel_bloom_prejoin",  # r7-era fill
+    "rel_cube_returns",  # r7-era fill
+    "rel_customers_in_both_statuses",  # r7-era fill
+    "rel_customers_without_orders",  # r7-era fill
+    "rel_event_props_json",  # r7-era fill
+    "rel_forecast_revenue",  # r7-era fill
+    "rel_market_share",  # r7-era fill
+    "rel_orders_per_month",  # r7-era fill
+    "rel_part_name_tokens",  # r7-era fill
+    "rel_pricing_summary",  # r7-era fill
+    "rel_priority_returns",  # r7-era fill
+    "rel_revenue_by_nation",  # r7-era fill
+    "rel_rollup_returns",  # r7-era fill
+    "rel_shipping_priority",  # r7-era fill
+    "rel_supplier_part_classes",  # r7-era fill
+    "rel_top_customers",  # r7-era fill
+    "rel_top_order_per_customer",  # r7-era fill
+    "rel_trade_volume",  # r7-era fill
+    "g_clustering_coefficient",  # r8-era fill (oldest beyond r7)
 ]
 
 

@@ -55,22 +55,33 @@ def main() -> None:
             action = fast[name]
         elif name == "g_bucketed_layout_write":
             # Bench-inline write-heavy entry (r13 drift controls):
-            # each rep rewrites the bucketed store as bench.py's
-            # preamble does, then reloads the store-backed graph so
-            # the NEXT rep again writes from a cached graph. The rep
-            # therefore times write+reload (bench times write only) —
-            # fine: the probe compares ITSELF across sessions/commits,
-            # not against the bench number.
+            # replicate bench.py's exact state — a FIXTURE-built
+            # cached graph, store absent — then time only the
+            # materialize (the write). The reset must drop the store
+            # tables and the cache BEFORE rebuilding: a store-backed
+            # cached graph would otherwise overwrite the very files
+            # it reads from (FAILED_READ_FILE).
             from gsuites_gcp_graphdb_spark.plans import (
                 graph_queries as gq,
             )
 
-            gq._graph(spark, SF_DIR).counts()
-
-            def action(gq=gq):
-                gq.materialize_graph_store(spark, SF_DIR)
+            def setup(gq=gq):
+                prefix = gq.graph_store_prefix(SF_DIR)
+                for sfx in ("vertices", "edges", "edges_by_dst"):
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {prefix}_{sfx}"
+                    )
+                gq._GRAPH_CACHE.pop(
+                    (id(spark.sparkContext), SF_DIR), None
+                )
                 gq._graph(spark, SF_DIR).counts()
 
+            action = (
+                setup,
+                lambda gq=gq: gq.materialize_graph_store(
+                    spark, SF_DIR
+                ),
+            )
         elif name == "g_flagship_bucketed":
             # Bench-inline entry: flagship traversal over the
             # materialized bucketed store (bench.py's preamble builds
@@ -87,11 +98,16 @@ def main() -> None:
         else:
             fn = CATALOG[name].fn
             action = lambda fn=fn: fn(spark, SF_DIR).collect()
+        setup_fn, timed_fn = (
+            action if isinstance(action, tuple) else (None, action)
+        )
         reps = []
         for _ in range(REPS):
             dd.release_scratch()
+            if setup_fn is not None:
+                setup_fn()
             t0 = time.perf_counter()
-            action()
+            timed_fn()
             reps.append(round(time.perf_counter() - t0, 3))
         out[name] = {
             "median": round(statistics.median(reps), 3),

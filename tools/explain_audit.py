@@ -277,8 +277,7 @@ def main():
         "dimension tables, codegen coverage, no stray shuffles.",
         "",
     ]
-    for name in audit:
-        df = CATALOG[name].fn(spark, sf_dir)
+    def audit_df(name: str, df) -> None:
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         formatted = qe.explainString(
@@ -295,11 +294,33 @@ def main():
             ),
             "PushedFilters": formatted.count("PushedFilters: ["),
         }
+        # r13 (VERDICT r12 item 5): a PushedFilters=0 summary is only
+        # a red flag when the plan SCANS FILES — queries over
+        # in-memory built graphs / checkpointed frames read
+        # ExistingRDD/LogicalRDD, where pushdown does not exist as a
+        # concept. Annotate the distinction so zero rows stop needing
+        # manual adjudication.
+        n_file = plan.count("Scan parquet") + plan.count("FileScan")
+        n_rdd = plan.count("Scan ExistingRDD") + plan.count(
+            "LocalTableScan"
+        )
+        counts["FileScans"] = n_file
+        counts["MemScans"] = n_rdd
+        note = ""
+        if counts["PushedFilters"] == 0:
+            note = (
+                " [pushdown-n/a: no file scans — ExistingRDD/"
+                "checkpoint/local relations only]"
+                if n_file == 0
+                else " [pushdown-expected: file scans present "
+                "without pushed filters — review]"
+            )
         out.append(f"## {name}")
         out.append("")
         out.append(
             "summary: "
             + ", ".join(f"{k}={v}" for k, v in counts.items())
+            + note
         )
         out.append("")
         out.append("```")
@@ -309,7 +330,9 @@ def main():
         scans = [
             seg
             for seg in formatted.split("\n\n")
-            if "PushedFilters" in seg or "ReadSchema" in seg
+            if "PushedFilters" in seg
+            or "PartitionFilters" in seg
+            or "ReadSchema" in seg
         ]
         for s in scans[:4]:
             out.append("")
@@ -317,6 +340,46 @@ def main():
         out.append("```")
         out.append("")
         print(name, counts)
+
+    for name in audit:
+        audit_df(name, CATALOG[name].fn(spark, sf_dir))
+
+    # r13: the saved kNN-graph probe's partition-pruned read receipt
+    # (VERDICT r12 item 2). The ns_knn_probe CATALOG entry returns a
+    # literal census row (counts collected inside the function), so
+    # audit the PROBE DATAFRAME itself: build+save a small index,
+    # then explain knn_probe with checkpoint=False so the full hop
+    # lineage — including the pa/pv partition filters pushed into
+    # the adjacency and vector scans — is visible in one plan.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gsuites_gcp_graphdb_spark.operators import knngraph as kg
+    from gsuites_gcp_graphdb_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = kg._normalize(emb, "vec_id", "embedding")
+    sg = (
+        kg.nn_descent(emb, k=10, rounds=1, arrow=False)[-1]
+        .select("a", "b")
+        .union(kg.permutation_init(e, 10))
+    )
+    knn_path = tempfile.mkdtemp(prefix="spark_graft_plan_knn_")
+    try:
+        kg.knn_save(sg, emb, knn_path, n_parts=8, max_entries=16)
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").cast("bigint").alias("a")
+        )
+        probe = kg.knn_probe(
+            spark, knn_path, q, beam=8, hops=2, n_entries=4,
+            arrow=False, checkpoint=False,
+        )
+        audit_df("ns_knn_probe (probe dataflow)", probe)
+    finally:
+        shutil.rmtree(knn_path, ignore_errors=True)
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
