@@ -1149,10 +1149,16 @@ def label_propagation(
             )
             .select(F.col("nv").alias("v"), F.col("__best.l").alias("__new"))
         )
-        lbl = (
-            lbl.join(best, ["v"], "left_outer")
-            .select("v", F.coalesce("__new", "lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
+        # _truncate, not bare localCheckpoint: each round references
+        # `lbl` twice (neighbor counts + the left_outer merge), the
+        # estimate-squaring shape the r12 x64 components probe
+        # exposed. The r13 24-round x64 A/B: 47.1s bare → 40.0s with
+        # the stats reset (identical labels) — mild at 24 rounds,
+        # and deeper runs inherit the blowup guard.
+        lbl = _truncate(
+            lbl.join(best, ["v"], "left_outer").select(
+                "v", F.coalesce("__new", "lbl").alias("lbl")
+            )
         )
     return lbl
 
