@@ -597,6 +597,7 @@ def knn_save(
     max_entries: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    long_links: DataFrame | None = None,
 ) -> None:
     """Persist the kNN graph as a WRITE-TIME LAYOUT — the graph-ANN
     twin of similarity.ivf_save, closing the lifecycle asymmetry
@@ -620,15 +621,41 @@ def knn_save(
     then touches |frontier-partitions|/n_parts of the index per hop
     — the DiskANN disk-resident serving story expressed as parquet
     partition pruning. The reference analog is the restartable
-    partitioned sink (main.go:124-187)."""
+    partitioned sink (main.go:124-187).
+
+    ``long_links`` (optional, (a, b)): the NSW navigability links
+    (permutation_init) saved as their OWN relation — knn_probe
+    searches over adjacency ∪ links, while knn_refresh re-cuts only
+    the SCORED adjacency lists (links carry no scores and are never
+    re-cut, the FreshDiskANN split). Scores/ranks are persisted with
+    the adjacency when the graph carries them (nn_descent output) —
+    required by knn_refresh; a bare (a, b) graph saves null s/rk
+    and still serves probes."""
     e = _normalize(emb, id_col, vec_col)
+    g = graph
+    if "s" not in g.columns:
+        g = g.withColumn("s", F.lit(None).cast("double"))
+    if "rk" not in g.columns:
+        g = g.withColumn("rk", F.lit(None).cast("int"))
     (
-        graph.select("a", "b")
+        g.select("a", "b", "s", "rk")
         .withColumn(
             "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
         )
         .write.partitionBy("pa")
         .parquet(f"{path}/adjacency", mode="overwrite")
+    )
+    links = (
+        long_links.select("a", "b")
+        if long_links is not None
+        else graph.select("a", "b").limit(0)
+    )
+    (
+        links.withColumn(
+            "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
+        )
+        .write.partitionBy("pa")
+        .parquet(f"{path}/links", mode="overwrite")
     )
     (
         e.withColumn(
@@ -652,15 +679,17 @@ def knn_save(
 
 def knn_load(spark, path: str) -> dict[str, DataFrame]:
     """Load a knn_save index for IN-QUERY serving: returns
-    {"graph": (a, b), "vectors": normalized (id, vec, nrm),
-    "entries": (id, __h), "meta": (n_parts, max_entries)}. The
-    graph/vectors frames feed beam_search directly (vectors are
-    already _normalize-shaped); use knn_probe instead when the index
-    should stay disk-resident and reads partition-pruned."""
+    {"graph": scored adjacency (a, b, s, rk), "links": long links
+    (a, b), "vectors": normalized (id, vec, nrm), "entries":
+    (id, __h), "meta": (n_parts, max_entries)}. graph∪links +
+    vectors feed beam_search directly (vectors are already
+    _normalize-shaped); use knn_probe instead when the index should
+    stay disk-resident and reads partition-pruned."""
     return {
         "graph": spark.read.parquet(f"{path}/adjacency").select(
-            "a", "b"
+            "a", "b", "s", "rk"
         ),
+        "links": spark.read.parquet(f"{path}/links").select("a", "b"),
         "vectors": spark.read.parquet(f"{path}/vectors").select(
             "id", "vec", "nrm"
         ),
@@ -752,7 +781,15 @@ def knn_probe(
     g = _topk(_score_pairs(f0, qe, cand, arrow=arrow), beam)
     if checkpoint:
         g = g.localCheckpoint()
-    adj = spark.read.parquet(f"{path}/adjacency")
+    adj = spark.read.parquet(f"{path}/adjacency").select(
+        "a", "b", "pa"
+    )
+    try:
+        adj = adj.unionByName(
+            spark.read.parquet(f"{path}/links").select("a", "b", "pa")
+        )
+    except Exception:
+        pass  # pre-links index layout: adjacency only
     for _ in range(hops):
         parts = sorted(
             r.p
@@ -785,3 +822,150 @@ def knn_probe(
         if checkpoint:
             g = g.localCheckpoint()
     return g
+
+
+def knn_refresh(
+    spark,
+    path: str,
+    batch_emb: DataFrame,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 6,
+    n_entries: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new: bool = False,
+    arrow: bool | None = None,
+) -> dict[str, int]:
+    """Incremental refresh of a saved kNN-graph index — the
+    disk-resident twin of insert_batch, completing the graph-ANN
+    family's save/probe/refresh symmetry with the IVF family
+    (similarity.ivf_refresh). Each new vector beam-searches the
+    SAVED index (knn_probe — partition-pruned reads) for its
+    neighbourhood, links to its top-k, and back-links re-cut the
+    touched base lists (score DESC, id ASC — cosine is symmetric
+    under the fold, so the reverse edge reuses the forward score).
+    The refreshed adjacency is EXACTLY insert_batch's "updated" edge
+    set (pinned by test_knn_refresh_matches_insert_batch and the
+    ns_knn_refresh census).
+
+    Write surface (the scale property): dynamic partition overwrite
+    rewrites ONLY the adjacency partitions holding a touched or new
+    list — I/O ~ |touched partitions|/n_parts of the index, never a
+    full rewrite; vectors are APPENDED to the batch's pv partitions
+    (existing files untouched); the entry table (max_entries rows)
+    is re-cut against the batch's hashes so future probes keep the
+    exact global md5 entry order. Long links are NOT refreshed (new
+    nodes are reachable via their back-links; regenerate links at
+    the next full rebuild — the FreshDiskANN split).
+
+    Idempotency (the ivf_refresh discipline): unless ``assume_new``,
+    the batch is anti-joined against ids already present in its own
+    vector partitions (partition-pruned read), so a RETRIED batch
+    inserts nothing and rewrites nothing. Returns
+    {"inserted": n_new_ids, "touched": n_recut_lists}."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_parts = meta.n_parts
+    nb = _normalize(batch_emb, id_col, vec_col)
+    if not assume_new:
+        existing = _pruned_vectors(
+            spark, path, n_parts, nb.select(F.col("id").alias("a")),
+            "a",
+        ).select("id")
+        nb = nb.join(existing, ["id"], "left_anti")
+    nb = nb.localCheckpoint()
+    n_new = nb.count()
+    if n_new == 0:
+        return {"inserted": 0, "touched": 0}
+    found = knn_probe(
+        spark,
+        path,
+        nb.select(F.col("id").alias("a")),
+        beam=beam,
+        hops=hops,
+        n_entries=n_entries,
+        query_emb=nb.select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+        arrow=arrow,
+    )
+    new_edges = _topk(found.select("a", "b", "s"), k).localCheckpoint()
+    rev = new_edges.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), "s"
+    )
+    touched_ids = rev.select("a").distinct()
+    # adjacency partitions to rewrite: touched lists' + new lists'
+    parts = sorted(
+        r.p
+        for r in touched_ids.select(F.col("a").alias("i"))
+        .union(nb.select(F.col("id").alias("i")))
+        .select(
+            F.pmod(F.xxhash64(F.col("i")), F.lit(n_parts)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    old = spark.read.parquet(f"{path}/adjacency").where(
+        F.col("pa").isin(parts)
+    )
+    old_touched = old.join(touched_ids, ["a"], "left_semi")
+    recut = _topk(
+        old_touched.select("a", "b", "s").union(rev), k
+    )
+    n_touched = (
+        recut.join(rev.select("a", "b"), ["a", "b"], "left_semi")
+        .select("a")
+        .distinct()
+        .count()
+    )
+    keep = old.join(touched_ids, ["a"], "left_anti").select(
+        "a", "b", "s", "rk"
+    )
+    merged = (
+        keep.union(recut.select("a", "b", "s", "rk"))
+        .union(new_edges.select("a", "b", "s", "rk"))
+        .withColumn(
+            "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
+        )
+        # materialize BEFORE the overwrite: the plan reads the very
+        # partition files the write replaces
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        merged.write.partitionBy("pa").parquet(
+            f"{path}/adjacency", mode="overwrite"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # vectors: pure append into the batch's pv partitions
+    (
+        nb.select("id", "vec", "nrm")
+        .withColumn(
+            "pv", F.pmod(F.xxhash64(F.col("id")), F.lit(n_parts))
+        )
+        .write.partitionBy("pv")
+        .parquet(f"{path}/vectors", mode="append")
+    )
+    # entries: re-cut the global md5 order against the batch (tiny —
+    # max_entries + |batch| rows), materialized before overwrite
+    ents = (
+        spark.read.parquet(f"{path}/entries")
+        .unionByName(
+            nb.select("id", hash16(F.col("id"), "entry").alias("__h"))
+        )
+        .orderBy("__h", "id")
+        .limit(int(meta.max_entries))
+        .localCheckpoint()
+    )
+    ents.write.parquet(f"{path}/entries", mode="overwrite")
+    return {"inserted": n_new, "touched": n_touched}

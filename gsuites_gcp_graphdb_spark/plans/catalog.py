@@ -1936,11 +1936,12 @@ _PRIORITY = [
     # ns_text_bpe_train are this round's drift-probe subjects
     # (proved box-drift, re-checked anyway). Fill: the ENTIRE
     # r7-era block (42 names — the least-recently-driver-checked
-    # cohort, computed from the union of CORRECTNESS_r1..r12) plus
-    # the oldest r8-era name to reach exactly 50. Entries not named
-    # here keep their relative order after the priority block;
-    # reordering never changes the query set. ----
+    # cohort, computed from the union of CORRECTNESS_r1..r12) to
+    # reach exactly 50. Entries not named here keep their relative
+    # order after the priority block; reordering never changes the
+    # query set. ----
     "ns_knn_probe",  # r13 NEW: saved kNN-graph index probe census
+    "ns_knn_refresh",  # r13 NEW: saved-index incremental refresh
     "ns_knn_delete",  # r13: truth stage pinned to fold scorer
     "ns_nn_descent",  # r13: truth stage pinned to fold scorer
     "ns_graph_ann_search",  # r13: truth stage pinned to fold scorer
@@ -1989,7 +1990,6 @@ _PRIORITY = [
     "rel_top_customers",  # r7-era fill
     "rel_top_order_per_customer",  # r7-era fill
     "rel_trade_volume",  # r7-era fill
-    "g_clustering_coefficient",  # r8-era fill (oldest beyond r7)
 ]
 
 

@@ -5617,7 +5617,10 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="spark_graft_knn_probe_")
     try:
-        kg.knn_save(search_graph, emb, path, n_parts=8, max_entries=16)
+        kg.knn_save(
+            ladder[-1], emb, path, n_parts=8, max_entries=16,
+            long_links=kg.permutation_init(e, 10),
+        )
         probe = kg._topk(
             kg.knn_probe(
                 spark, path, q, beam=16, hops=6, n_entries=4,
@@ -5715,6 +5718,131 @@ def _sql_knn_probe(
                  THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
                  AS recall
         FROM m WHERE n_nodes > 0
+        """
+
+
+def knn_refresh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved kNN-graph index REFRESH census (r13 — the last leg of
+    the disk lifecycle: knngraph.knn_refresh, the disk-resident twin
+    of insert_batch and the graph-ANN analogue of ns_ivf_refresh,
+    same vec_id % 3 base/batch split): build + save on the base 2/3
+    (scored adjacency, long links, entry table), then refresh the
+    held-out 1/3 — each new vector beam-searches the SAVED index
+    with partition-pruned reads, links to its top-10, back-links
+    re-cut only the touched base lists via dynamic partition
+    overwrite of exactly the touched/new `pa` partitions.
+
+    One row of earned invariants:
+
+    - ``recall_new`` / ``n_touched`` / ``new_deg_full``: computed
+      from the SAVED post-refresh adjacency (not the in-memory
+      result) and exact-matched by the oracle's insert replay — the
+      disk round-trip changes nothing;
+    - ``adj_matches_insert``: the refreshed saved adjacency equals
+      insert_batch's "updated" edge set EXACTLY on (a, b, rk)
+      (symmetric exceptAll on the Spark side; oracle pins the
+      earned TRUE) — the disk/in-query twin contract;
+    - ``retry_noop``: re-refreshing the SAME batch inserts nothing
+      and touches nothing (the partition-pruned anti-join guard, the
+      ivf_refresh idempotency discipline).
+
+    Scale: refresh cost is O(|batch|·beam·k·hops) scoring +
+    rewrite of |touched ∪ new| partitions — index-size-independent;
+    nothing scans the corpus. Temp index removed after the counts."""
+    import shutil
+    import tempfile
+
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_base bigint, n_new bigint, recall_new double,"
+        " n_touched bigint, new_deg_full boolean,"
+        " adj_matches_insert boolean, retry_noop boolean"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    n_base = base.count()
+    if n_base == 0:
+        return spark.createDataFrame([], schema)
+    ladder = kg.nn_descent(base, k=10, rounds=3, arrow=False)
+    e_base = kg._normalize(base, "vec_id", "embedding")
+    links = kg.permutation_init(e_base, 10)
+    path = tempfile.mkdtemp(prefix="spark_graft_knn_refresh_")
+    try:
+        kg.knn_save(
+            ladder[-1], base, path, n_parts=8, max_entries=16,
+            long_links=links,
+        )
+        kg.knn_refresh(
+            spark, path, batch, k=10, beam=16, hops=6, n_entries=4,
+            arrow=False,
+        )
+        retry = kg.knn_refresh(
+            spark, path, batch, k=10, beam=16, hops=6, n_entries=4,
+            arrow=False,
+        )
+        adj = spark.read.parquet(f"{path}/adjacency").select(
+            "a", "b", "rk"
+        )
+        n_new = batch.count()
+        q = batch.select(F.col("vec_id").cast("bigint").alias("a"))
+        truth = kg.brute_force_topk(
+            base, q, k=10, query_emb=batch
+        ).select("a", "b")
+        n_truth = truth.count()
+        new_lists = adj.join(q, ["a"], "left_semi")
+        mt = (
+            new_lists.select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .count()
+        )
+        ne_rows = new_lists.count()
+        n_touched = (
+            adj.join(q.select(F.col("a").alias("b")), ["b"], "left_semi")
+            .join(q, ["a"], "left_anti")
+            .select("a")
+            .distinct()
+            .count()
+        )
+        sg = ladder[-1].select("a", "b").union(links.select("a", "b"))
+        ins = kg.insert_batch(
+            ladder[-1], base, batch, k=10, beam=16, hops=6,
+            n_entries=4, search_graph=sg, arrow=False,
+        )["updated"].select("a", "b", "rk")
+        n_diff = (
+            adj.exceptAll(ins).count() + ins.exceptAll(adj).count()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_base,
+        n_new,
+        round(mt / float(n_truth), 6) if n_truth else None,
+        n_touched,
+        ne_rows == n_new * 10,
+        n_diff == 0,
+        retry == {"inserted": 0, "touched": 0},
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _sql_knn_refresh(
+    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+) -> str:
+    """SQL replay of knn_refresh_census: the refreshed SAVED
+    adjacency equals insert_batch's updated edge set BY CONSTRUCTION
+    (the partitioned layout changes which files are rewritten, never
+    which rows result), so the oracle replays the insert pipeline
+    (_sql_knn_insert) and pins the two disk-contract booleans as
+    earned TRUEs — the Spark side computes both from the actual
+    saved state, so any divergence (a lost partition, a double
+    insert on retry, an entry-order drift) flips a column and fails
+    the hash."""
+    return f"""
+        SELECT n_base, n_new, recall_new, n_touched, new_deg_full,
+               TRUE AS adj_matches_insert, TRUE AS retry_noop
+        FROM ({_sql_knn_insert(k, beam, hops, n_entries)})
         """
 
 
@@ -6523,6 +6651,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_probe": QueryDef(
         knn_probe_census,
         _sql_knn_probe(),
+    ),
+    "ns_knn_refresh": QueryDef(
+        knn_refresh_census,
+        _sql_knn_refresh(),
     ),
     "ns_events_watermark_census": QueryDef(
         events_watermark_census,

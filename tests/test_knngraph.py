@@ -405,11 +405,12 @@ def test_knn_probe_equals_beam_search(spark, tmp_path):
     loud error, not a silently-smaller entry pool)."""
     emb = _clustered_df(spark)
     e = kg._normalize(emb, "vec_id", "embedding")
-    graph = kg.nn_descent(emb, k=6, rounds=2, arrow=False)[-1].select(
-        "a", "b"
-    ).union(kg.permutation_init(e, 6))
+    knn = kg.nn_descent(emb, k=6, rounds=2, arrow=False)[-1]
+    links = kg.permutation_init(e, 6)
+    graph = knn.select("a", "b").union(links.select("a", "b"))
     path = str(tmp_path / "knn_idx")
-    kg.knn_save(graph, emb, path, n_parts=8, max_entries=16)
+    kg.knn_save(knn, emb, path, n_parts=8, max_entries=16,
+                long_links=links)
     q = emb.where(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").cast("bigint").alias("a")
     )
@@ -425,7 +426,7 @@ def test_knn_probe_equals_beam_search(spark, tmp_path):
     # loaded frames feed in-query beam_search identically
     idx = kg.knn_load(spark, path)
     loaded = kg.beam_search(
-        idx["graph"],
+        idx["graph"].select("a", "b").union(idx["links"]),
         idx["vectors"].select(
             F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
         ),
@@ -494,3 +495,65 @@ def test_delete_cycles_keep_recall(spark):
     # neighbourhoods intact across deletions, so the bound's slack
     # covers only re-knit/entry-pick noise
     assert all(r >= 0.85 for r in recalls), recalls
+
+
+def test_knn_refresh_matches_insert_batch(spark, tmp_path):
+    """Refreshing the SAVED index must produce exactly
+    insert_batch's "updated" edge set (same search graph, same
+    back-link re-cut) — the disk/in-query twin contract the IVF
+    family pins with test_ivf_saved_index_probe. Also pins the
+    retry guard: re-refreshing the same batch inserts nothing,
+    touches nothing, and leaves the adjacency byte-identical."""
+    emb = _clustered_df(spark)
+    base = emb.where(F.col("vec_id") % 3 != 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    knn = kg.nn_descent(base, k=6, rounds=2, arrow=False)[-1]
+    e = kg._normalize(base, "vec_id", "embedding")
+    links = kg.permutation_init(e, 6)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, base, path, n_parts=8, max_entries=16,
+                long_links=links)
+    out = kg.knn_refresh(
+        spark, path, batch, k=6, beam=8, hops=3, n_entries=4,
+        arrow=False,
+    )
+    assert out["inserted"] == batch.count()
+    sg = knn.select("a", "b").union(links.select("a", "b"))
+    ins = kg.insert_batch(
+        knn, base, batch, k=6, beam=8, hops=3, n_entries=4,
+        search_graph=sg, arrow=False,
+    )
+    want = {(r.a, r.b, r.rk) for r in ins["updated"].collect()}
+    got = {
+        (r.a, r.b, r.rk)
+        for r in spark.read.parquet(f"{path}/adjacency")
+        .select("a", "b", "rk")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # vectors: every id exactly once
+    v = spark.read.parquet(f"{path}/vectors")
+    assert v.count() == emb.count()
+    assert v.select("id").distinct().count() == emb.count()
+    # retry: idempotent no-op
+    out2 = kg.knn_refresh(
+        spark, path, batch, k=6, beam=8, hops=3, n_entries=4,
+        arrow=False,
+    )
+    assert out2 == {"inserted": 0, "touched": 0}
+    got2 = {
+        (r.a, r.b, r.rk)
+        for r in spark.read.parquet(f"{path}/adjacency")
+        .select("a", "b", "rk")
+        .collect()
+    }
+    assert got2 == want
+    assert v.count() == emb.count()
+    # refreshed entries keep the global md5 order: probing with the
+    # full corpus graph finds new ids as results
+    probe = kg.knn_probe(
+        spark, path,
+        batch.limit(3).select(F.col("vec_id").cast("bigint").alias("a")),
+        beam=8, hops=3, n_entries=4, arrow=False,
+    )
+    assert probe.count() > 0
