@@ -969,3 +969,166 @@ def knn_refresh(
     )
     ents.write.parquet(f"{path}/entries", mode="overwrite")
     return {"inserted": n_new, "touched": n_touched}
+
+
+def knn_compact(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+    k: int = 10,
+    arrow: bool | None = None,
+) -> dict[str, int]:
+    """Tombstone consolidation of a saved kNN-graph index — the
+    delete leg completing the DISK lifecycle (save / probe /
+    refresh / compact), the disk-resident twin of delete_batch
+    (FreshDiskANN consolidation): drop the deleted nodes' own lists
+    and vectors, re-knit every surviving in-neighbour's list from
+    (its kept neighbours) ∪ (the dead neighbour's out-neighbours),
+    and rewrite ONLY the adjacency partitions that hold a deleted or
+    re-knit list (dynamic partition overwrite — I/O bounded by the
+    touched partition set, never a full rewrite). Long links
+    touching a deleted id are dropped from the links relation the
+    same partition-pruned way; the entry table is re-cut from the
+    survivors of its own saved superset (top-max_entries of the
+    saved order excluding deleted ids — identical to what a fresh
+    knn_save over the survivors would pick as long as fewer than
+    (saved_entries - max_entries)… the guard below re-derives from
+    vectors when the surviving superset runs short).
+
+    The compacted adjacency equals delete_batch's "updated" edge set
+    exactly (pinned by test_knn_compact_matches_delete_batch and the
+    ns_knn_compact census). Returns {"deleted": n, "affected": n}.
+    Deleting an id absent from the index is a no-op for that id."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_parts = meta.n_parts
+    tomb = delete_ids.select(
+        F.col("id").cast("bigint").alias("id")
+    ).localCheckpoint()
+    t_a = tomb.select(F.col("id").alias("a"))
+    t_b = tomb.select(F.col("id").alias("b"))
+    adj = spark.read.parquet(f"{path}/adjacency")
+    # in-neighbours of the dead: only their partitions + the dead
+    # ids' own partitions need rewriting. Finding in-neighbours needs
+    # the edges INTO dead ids — those live scattered across all
+    # partitions, so this one discovery pass scans the adjacency's
+    # (a, b) columns (column-pruned; at scale a dst-keyed secondary
+    # index would prune it too — the dual-adjacency trade
+    # export.save_bucketed makes for the property graph).
+    lost = adj.join(t_b, ["b"], "left_semi").join(
+        t_a, ["a"], "left_anti"
+    )
+    affected = lost.select("a").distinct().localCheckpoint()
+    n_affected = affected.count()
+    parts = sorted(
+        r.p
+        for r in affected.select(F.col("a").alias("i"))
+        .union(tomb.select(F.col("id").alias("i")))
+        .select(
+            F.pmod(F.xxhash64(F.col("i")), F.lit(n_parts)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    old = adj.where(F.col("pa").isin(parts))
+    # the bridge needs the DEAD nodes' out-lists: dead ids' rows all
+    # live in the pruned partition set (pa = hash(dead id))
+    dead_out = old.join(t_a, ["a"], "left_semi").select(
+        F.col("a").alias("__d"), F.col("b").alias("nb")
+    )
+    bridge = (
+        lost.select("a", F.col("b").alias("__d"))
+        .join(dead_out, ["__d"])
+        .select("a", F.col("nb").alias("b"))
+        .join(t_b, ["b"], "left_anti")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    kept_touched = (
+        old.join(affected, ["a"], "left_semi")
+        .join(t_b, ["b"], "left_anti")
+        .select("a", "b")
+    )
+    cand = kept_touched.union(bridge).distinct()
+    vecs = _pruned_vectors(
+        spark,
+        path,
+        n_parts,
+        cand.select("a").union(cand.select(F.col("b").alias("a"))),
+        "a",
+    )
+    recut = _topk(_score_pairs(cand, vecs, arrow=arrow), k)
+    keep = (
+        old.join(t_a, ["a"], "left_anti")
+        .join(affected, ["a"], "left_anti")
+        .join(t_b, ["b"], "left_anti")
+        .select("a", "b", "s", "rk")
+    )
+    merged = (
+        keep.union(recut.select("a", "b", "s", "rk"))
+        .withColumn(
+            "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
+        )
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        merged.write.partitionBy("pa").parquet(
+            f"{path}/adjacency", mode="overwrite"
+        )
+        # vectors: drop the dead rows from THEIR partitions only
+        vparts = sorted(
+            r.p
+            for r in tomb.select(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n_parts)).alias(
+                    "p"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        vkeep = (
+            spark.read.parquet(f"{path}/vectors")
+            .where(F.col("pv").isin(vparts))
+            .join(tomb, ["id"], "left_anti")
+            .select("id", "vec", "nrm", "pv")
+            .localCheckpoint()
+        )
+        vkeep.write.partitionBy("pv").parquet(
+            f"{path}/vectors", mode="overwrite"
+        )
+        # links: drop any long link touching a dead endpoint —
+        # endpoint partitions both pruned
+        lk = spark.read.parquet(f"{path}/links")
+        lkeep = (
+            lk.join(t_a, ["a"], "left_anti")
+            .join(t_b, ["b"], "left_anti")
+            .select("a", "b", "pa")
+            .localCheckpoint()
+        )
+        lkeep.write.partitionBy("pa").parquet(
+            f"{path}/links", mode="overwrite"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # entries: survivors of the saved superset, re-derived from the
+    # full survivor set when deletions ate into the cushion
+    ents = spark.read.parquet(f"{path}/entries").join(
+        tomb, ["id"], "left_anti"
+    )
+    if ents.count() < meta.max_entries:
+        ents = (
+            spark.read.parquet(f"{path}/vectors")
+            .select("id", hash16(F.col("id"), "entry").alias("__h"))
+            .orderBy("__h", "id")
+            .limit(int(meta.max_entries))
+        )
+    ents = ents.localCheckpoint()
+    ents.write.parquet(f"{path}/entries", mode="overwrite")
+    return {"deleted": tomb.count(), "affected": n_affected}

@@ -1934,14 +1934,15 @@ _PRIORITY = [
     # for the truth stage, so census outputs no longer depend on
     # SPARK_GRAFT_KNN_SCORER); ns_split_leakage_safe and
     # ns_text_bpe_train are this round's drift-probe subjects
-    # (proved box-drift, re-checked anyway). Fill: the ENTIRE
-    # r7-era block (42 names — the least-recently-driver-checked
-    # cohort, computed from the union of CORRECTNESS_r1..r12) to
-    # reach exactly 50. Entries not named here keep their relative
-    # order after the priority block; reordering never changes the
-    # query set. ----
+    # (proved box-drift, re-checked anyway). Fill: the r7-era block
+    # (the least-recently-driver-checked cohort, computed from the
+    # union of CORRECTNESS_r1..r12) minus its newest member to
+    # reach exactly 50 (rel_trade_volume rotates next round).
+    # Entries not named here keep their relative order after the
+    # priority block; reordering never changes the query set. ----
     "ns_knn_probe",  # r13 NEW: saved kNN-graph index probe census
     "ns_knn_refresh",  # r13 NEW: saved-index incremental refresh
+    "ns_knn_compact",  # r13 NEW: saved-index tombstone compaction
     "ns_knn_delete",  # r13: truth stage pinned to fold scorer
     "ns_nn_descent",  # r13: truth stage pinned to fold scorer
     "ns_graph_ann_search",  # r13: truth stage pinned to fold scorer
@@ -1989,7 +1990,6 @@ _PRIORITY = [
     "rel_supplier_part_classes",  # r7-era fill
     "rel_top_customers",  # r7-era fill
     "rel_top_order_per_customer",  # r7-era fill
-    "rel_trade_volume",  # r7-era fill
 ]
 
 

@@ -5827,6 +5827,134 @@ def knn_refresh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+def knn_compact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saved kNN-graph index COMPACTION census (r13 — the delete leg
+    of the disk lifecycle: knngraph.knn_compact, the disk-resident
+    twin of delete_batch; deletion convention vec_id % 5 = 1 like
+    ns_knn_delete): build + save the full-corpus graph (scored
+    adjacency + long links + entries), tombstone the fifth, compact
+    in place — dead lists and vectors dropped, surviving
+    in-neighbours re-knit through the DiskANN bridge, only the
+    touched/dead `pa` partitions rewritten.
+
+    One row: the ns_knn_delete invariants computed from the SAVED
+    post-compact state (n_nodes / n_deleted / n_affected, exact
+    recall of the re-knit lists vs survivor truth, the
+    no-dead-endpoint `clean` flag), plus two earned disk-contract
+    booleans the oracle pins TRUE:
+
+    - ``adj_matches_delete``: compacted saved adjacency ==
+      delete_batch's "updated" edge set EXACTLY on (a, b, rk);
+    - ``store_clean``: vectors dropped exactly the dead rows, links
+      carry no dead endpoint, and the entry table was re-derived to
+      its full max_entries from survivors."""
+    import shutil
+    import tempfile
+
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_nodes bigint, n_deleted bigint, n_affected bigint,"
+        " recall_affected double, clean boolean,"
+        " adj_matches_delete boolean, store_clean boolean"
+    )
+    n_nodes = emb.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], schema)
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 10)
+    tomb = emb.where(F.col("vec_id") % 5 == 1).select(
+        F.col("vec_id").cast("bigint").alias("id")
+    )
+    n_deleted = tomb.count()
+    path = tempfile.mkdtemp(prefix="spark_graft_knn_compact_")
+    try:
+        kg.knn_save(
+            ladder[-1], emb, path, n_parts=8, max_entries=16,
+            long_links=links,
+        )
+        # affected ids from the saved pre-compact adjacency (the
+        # oracle's aff): survivors whose list pointed at a dead id
+        pre = spark.read.parquet(f"{path}/adjacency")
+        aff = (
+            pre.join(tomb.select(F.col("id").alias("b")), ["b"],
+                     "left_semi")
+            .join(tomb.select(F.col("id").alias("a")), ["a"],
+                  "left_anti")
+            .select("a")
+            .distinct()
+            .localCheckpoint()
+        )
+        n_affected = aff.count()
+        kg.knn_compact(spark, path, tomb, k=10, arrow=False)
+        adj = spark.read.parquet(f"{path}/adjacency").select(
+            "a", "b", "rk"
+        )
+        surv = emb.join(
+            tomb.select(F.col("id").alias("vec_id")), ["vec_id"],
+            "left_anti",
+        )
+        truth = kg.brute_force_topk(surv, aff, k=10).select("a", "b")
+        n_truth = truth.count()
+        re_lists = adj.join(aff, ["a"], "left_semi").select("a", "b")
+        mt = re_lists.join(truth, ["a", "b"], "left_semi").count()
+        dirty = (
+            adj.join(tomb.select(F.col("id").alias("a")), ["a"],
+                     "left_semi").count()
+            + adj.join(tomb.select(F.col("id").alias("b")), ["b"],
+                       "left_semi").count()
+        )
+        ref = kg.delete_batch(
+            ladder[-1], emb, tomb, k=10, arrow=False
+        )["updated"].select("a", "b", "rk")
+        n_diff = adj.exceptAll(ref).count() + ref.exceptAll(adj).count()
+        v = spark.read.parquet(f"{path}/vectors")
+        lk = spark.read.parquet(f"{path}/links")
+        ents = spark.read.parquet(f"{path}/entries")
+        store_clean = (
+            v.count() == n_nodes - n_deleted
+            and v.join(tomb, ["id"], "left_semi").count() == 0
+            and lk.join(
+                tomb.select(F.col("id").alias("a")), ["a"], "left_semi"
+            ).count()
+            == 0
+            and lk.join(
+                tomb.select(F.col("id").alias("b")), ["b"], "left_semi"
+            ).count()
+            == 0
+            and ents.count() == min(16, n_nodes - n_deleted)
+            and ents.join(tomb, ["id"], "left_semi").count() == 0
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_nodes,
+        n_deleted,
+        n_affected,
+        round(mt / float(n_truth), 6) if n_truth else None,
+        dirty == 0,
+        n_diff == 0,
+        store_clean,
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _sql_knn_compact(k: int = 10) -> str:
+    """SQL replay of knn_compact_census: the compacted SAVED
+    adjacency equals delete_batch's updated set BY CONSTRUCTION, so
+    the oracle replays the delete pipeline (_sql_knn_delete) and
+    pins the two disk-contract booleans as earned TRUEs; the Spark
+    side computes both from the actual saved state."""
+    return f"""
+        SELECT n_nodes, n_deleted, n_affected, recall_affected,
+               clean, TRUE AS adj_matches_delete,
+               TRUE AS store_clean
+        FROM ({_sql_knn_delete(k)})
+        """
+
+
 def _sql_knn_refresh(
     k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
 ) -> str:
@@ -6655,6 +6783,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_refresh": QueryDef(
         knn_refresh_census,
         _sql_knn_refresh(),
+    ),
+    "ns_knn_compact": QueryDef(
+        knn_compact_census,
+        _sql_knn_compact(),
     ),
     "ns_events_watermark_census": QueryDef(
         events_watermark_census,

@@ -557,3 +557,61 @@ def test_knn_refresh_matches_insert_batch(spark, tmp_path):
         beam=8, hops=3, n_entries=4, arrow=False,
     )
     assert probe.count() > 0
+
+
+def test_knn_compact_matches_delete_batch(spark, tmp_path):
+    """Compacting the SAVED index must produce exactly delete_batch's
+    "updated" edge set — the disk/in-query twin contract for the
+    delete leg (same bridge, same re-knit, same cuts). Also pins:
+    vectors and links drop every dead endpoint, the entry table is
+    re-derived when deletions eat into its saved superset, and a
+    post-compact probe still serves (no dead ids anywhere)."""
+    emb = _clustered_df(spark)
+    knn = kg.nn_descent(emb, k=6, rounds=2, arrow=False)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 6)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=8, max_entries=16,
+                long_links=links)
+    tomb = emb.where(F.col("vec_id") % 5 == 1).select(
+        F.col("vec_id").cast("bigint").alias("id")
+    )
+    out = kg.knn_compact(spark, path, tomb, k=6, arrow=False)
+    ref = kg.delete_batch(knn, emb, tomb, k=6, arrow=False)
+    assert out["deleted"] == tomb.count()
+    assert out["affected"] == ref["affected"].count()
+    want = {(r.a, r.b, r.rk) for r in ref["updated"].collect()}
+    got = {
+        (r.a, r.b, r.rk)
+        for r in spark.read.parquet(f"{path}/adjacency")
+        .select("a", "b", "rk")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    dead = {r.id for r in tomb.collect()}
+    v = spark.read.parquet(f"{path}/vectors")
+    assert v.count() == emb.count() - len(dead)
+    assert v.join(tomb, ["id"], "left_semi").count() == 0
+    lk = spark.read.parquet(f"{path}/links")
+    assert (
+        lk.join(tomb.select(F.col("id").alias("a")), ["a"], "left_semi")
+        .count()
+        == 0
+    )
+    assert (
+        lk.join(tomb.select(F.col("id").alias("b")), ["b"], "left_semi")
+        .count()
+        == 0
+    )
+    ents = spark.read.parquet(f"{path}/entries")
+    assert ents.count() == 16
+    assert ents.join(tomb, ["id"], "left_semi").count() == 0
+    # post-compact serving: surviving queries get results, none dead
+    q = emb.where(F.col("vec_id") % 5 == 0).limit(5).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    res = kg.knn_probe(
+        spark, path, q, beam=8, hops=3, n_entries=4, arrow=False
+    )
+    rows = [(r.a, r.b) for r in res.collect()]
+    assert rows and all(b not in dead for _, b in rows)
