@@ -531,6 +531,44 @@ def main() -> None:
         "g_flagship_bucketed",
         lambda: gq.principals_with_access_g(gb).collect(),
     )
+    # r13: the saved graph-ANN index's serving path — build the
+    # NN-Descent graph once OFF the timed path (production Arrow
+    # scorer; its build cost is ns_nn_descent_fast's job), then time
+    # the layout write (knn_save) and the disk-resident probe
+    # (knn_probe, partition-pruned reads) as separate entries, the
+    # g_bucketed_layout_write / flagship split applied to the ANN
+    # store.
+    import shutil
+    import tempfile
+
+    from gsuites_gcp_graphdb_spark.operators import knngraph as kg
+
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    knn_g = kg.nn_descent(emb_t, k=10, rounds=3, arrow=True)[-1]
+    knn_g = knn_g.localCheckpoint()
+    knn_links = kg.permutation_init(
+        kg._normalize(emb_t, "vec_id", "embedding"), 10
+    ).localCheckpoint()
+    knn_dir = tempfile.mkdtemp(prefix="spark_graft_bench_knn_")
+
+    def knn_save_action():
+        kg.knn_save(
+            knn_g, emb_t, f"{knn_dir}/idx", n_parts=16,
+            max_entries=64, long_links=knn_links,
+        )
+
+    median_timed("ns_knn_index_save", knn_save_action)
+    knn_q = emb_t.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    ).localCheckpoint()
+    median_timed(
+        "ns_knn_probe_serve",
+        lambda: kg.knn_probe(
+            spark, f"{knn_dir}/idx", knn_q, beam=16, hops=6,
+            n_entries=4, arrow=True,
+        ).collect(),
+    )
+    shutil.rmtree(knn_dir, ignore_errors=True)
     dd.release_scratch()
 
     total = round(sum(timings.values()), 3)
