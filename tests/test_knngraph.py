@@ -615,3 +615,26 @@ def test_knn_compact_matches_delete_batch(spark, tmp_path):
     )
     rows = [(r.a, r.b) for r in res.collect()]
     assert rows and all(b not in dead for _, b in rows)
+
+
+def test_knn_probe_without_links(spark, tmp_path):
+    """An index saved WITHOUT long links (long_links=None writes an
+    empty relation) must still probe — the reader falls back to
+    adjacency-only — and equal beam_search over the bare graph."""
+    emb = _clustered_df(spark, n_clusters=4, per=10)
+    knn = kg.nn_descent(emb, k=5, rounds=2, arrow=False)[-1]
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=4, max_entries=8)
+    q = emb.where(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    beam = kg.beam_search(
+        knn.select("a", "b"), emb, q, beam=6, hops=2, n_entries=3,
+        arrow=False,
+    )
+    probe = kg.knn_probe(
+        spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+    )
+    assert {(r.a, r.b, r.rk) for r in probe.collect()} == {
+        (r.a, r.b, r.rk) for r in beam.collect()
+    }
