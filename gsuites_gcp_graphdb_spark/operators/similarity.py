@@ -752,6 +752,87 @@ def _sub_assign(rows: DataFrame, sub_cent: DataFrame) -> DataFrame:
     )
 
 
+def ivf_delete(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> dict[str, int]:
+    """Delete vectors from a saved IVF index — the delete leg
+    completing the IVF disk lifecycle (save / probe / refresh /
+    rebalance / delete), the list-layout twin of
+    knngraph.knn_compact. ``delete_ids`` is one column ``id``.
+
+    Locate-by-scan, not locate-by-assignment: a vector's stored cid
+    is found with ONE column-pruned pass over the lists' (id, cid)
+    columns rather than replaying the centroid argmax — robust to
+    any lifecycle history (ivf_rebalance moves vectors between
+    lists, so the CURRENT assignment rule need not match the stored
+    placement). The hit cid set is collected (bounded by the
+    centroid count), and dynamic partition overwrite rewrites ONLY
+    those ``cid=NN/`` partitions with the dead rows anti-joined out
+    — I/O ~ |hit lists|/num_centroids of the index, never a full
+    rewrite. The centroid table is untouched (quantizer unchanged;
+    probe behavior for survivors is bit-identical). Deleting an id
+    absent from the index is a no-op, so a retried batch is
+    naturally idempotent. Returns {"deleted": n, "lists_touched":
+    n}."""
+    ids = delete_ids.select(
+        F.col("id").cast("bigint").alias("__del")
+    ).localCheckpoint()
+    lists = spark.read.parquet(f"{path}/lists")
+    hit = lists.join(
+        ids.select(F.col("__del").alias(id_col)), [id_col], "left_semi"
+    )
+    cids = sorted(
+        r.cid for r in hit.select("cid").distinct().collect()
+    )
+    n_hit = hit.count()
+    if not cids:
+        return {"deleted": 0, "lists_touched": 0}
+    keep = (
+        lists.where(F.col("cid").isin(cids))
+        .join(
+            ids.select(F.col("__del").alias(id_col)),
+            [id_col],
+            "left_anti",
+        )
+        # materialize BEFORE the overwrite: the plan reads the very
+        # partition files the write replaces
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        keep.write.partitionBy("cid").parquet(
+            f"{path}/lists", mode="overwrite"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # dynamic overwrite replaces only partitions PRESENT in the
+    # written data — a list whose every member was deleted has no
+    # surviving rows, so its directory must be dropped explicitly or
+    # the dead files would survive the rewrite
+    emptied = set(cids) - {
+        r.cid for r in keep.select("cid").distinct().collect()
+    }
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in sorted(emptied):
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/lists/cid={c}"
+            )
+            p.getFileSystem(conf).delete(p, True)
+    return {"deleted": n_hit, "lists_touched": len(cids)}
+
+
 def ivf_rebalance(
     spark,
     path: str,

@@ -1567,3 +1567,74 @@ def test_bigram_logprob_hand_computed(spark):
     d1 = round((math.log(2 / (3 + v)) + math.log(3 / (2 + v))) / 2, 6)
     d2 = round(math.log(3 / (2 + v)), 6)
     assert got == {1: (2, d1), 2: (1, d2)}
+
+
+def test_ivf_delete_prunes_and_handles_emptied_list(spark, sf_dir, tmp_path):
+    """ivf_delete must (a) remove exactly the requested ids by
+    rewriting ONLY the hit cid partitions, (b) leave the centroid
+    table and untouched list files alone, (c) be a retry no-op, and
+    (d) clear a list whose EVERY member was deleted — the dynamic-
+    overwrite blind spot (partitions absent from the written data
+    keep their old files) handled via the explicit directory drop."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    path = str(tmp_path / "ivf_index")
+    sim.ivf_save(emb, path, num_centroids=4, iterations=2)
+    lists = spark.read.parquet(f"{path}/lists")
+    n0 = lists.count()
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+    )
+    dele = emb.filter(F.col("vec_id") % 5 == 1).select(
+        F.col("vec_id").alias("id")
+    )
+    n_del = dele.count()
+    out = sim.ivf_delete(spark, path, dele)
+    assert out["deleted"] == n_del
+    after = spark.read.parquet(f"{path}/lists")
+    assert after.count() == n0 - n_del
+    assert (
+        after.join(
+            dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+            "left_semi",
+        ).count()
+        == 0
+    )
+    assert (
+        sorted(
+            map(tuple, spark.read.parquet(f"{path}/centroids").collect())
+        )
+        == cent_before
+    )
+    # retry: naturally idempotent
+    out2 = sim.ivf_delete(spark, path, dele)
+    assert out2 == {"deleted": 0, "lists_touched": 0}
+    assert spark.read.parquet(f"{path}/lists").count() == n0 - n_del
+    # probe still serves survivors, none deleted
+    q = emb.filter(F.col("vec_id") % 50 == 0).join(
+        dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+        "left_anti",
+    ).select(F.col("vec_id").alias("q_id"), "embedding")
+    probed = sim.ivf_probe(spark, path, q, k=3, nprobe=4)
+    assert probed.count() > 0
+    assert (
+        probed.join(
+            dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+            "left_semi",
+        ).count()
+        == 0
+    )
+    # emptied-list case: delete EVERYTHING in one cid
+    victim = spark.read.parquet(f"{path}/lists").limit(1).collect()[0].cid
+    members = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("cid") == victim)
+        .select(F.col("vec_id").alias("id"))
+    )
+    n_members = members.count()
+    out3 = sim.ivf_delete(spark, path, members)
+    assert out3["deleted"] == n_members and out3["lists_touched"] == 1
+    final = spark.read.parquet(f"{path}/lists")
+    assert final.where(F.col("cid") == victim).count() == 0
+    assert final.count() == n0 - n_del - n_members
