@@ -757,6 +757,7 @@ def ivf_delete(
     path: str,
     delete_ids: DataFrame,
     id_col: str = "vec_id",
+    relation: str = "lists",
 ) -> dict[str, int]:
     """Delete vectors from a saved IVF index — the delete leg
     completing the IVF disk lifecycle (save / probe / refresh /
@@ -776,11 +777,17 @@ def ivf_delete(
     probe behavior for survivors is bit-identical). Deleting an id
     absent from the index is a no-op, so a retried batch is
     naturally idempotent. Returns {"deleted": n, "lists_touched":
-    n}."""
+    n}.
+
+    ``relation`` selects the stored relation: "lists" (ivf_save's
+    raw vectors) or "codes" (ivfpq_save's PQ codes) — both are
+    cid-partitioned with the same id column, so one delete serves
+    the whole IVF family; the PQ codebook/centroid tables are
+    untouched either way."""
     ids = delete_ids.select(
         F.col("id").cast("bigint").alias("__del")
     ).localCheckpoint()
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = spark.read.parquet(f"{path}/{relation}")
     hit = lists.join(
         ids.select(F.col("__del").alias(id_col)), [id_col], "left_semi"
     )
@@ -809,7 +816,7 @@ def ivf_delete(
     )
     try:
         keep.write.partitionBy("cid").parquet(
-            f"{path}/lists", mode="overwrite"
+            f"{path}/{relation}", mode="overwrite"
         )
     finally:
         spark.conf.set(
@@ -827,7 +834,7 @@ def ivf_delete(
         conf = spark._jsc.hadoopConfiguration()
         for c in sorted(emptied):
             p = jvm.org.apache.hadoop.fs.Path(
-                f"{path}/lists/cid={c}"
+                f"{path}/{relation}/cid={c}"
             )
             p.getFileSystem(conf).delete(p, True)
     return {"deleted": n_hit, "lists_touched": len(cids)}

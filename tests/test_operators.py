@@ -1638,3 +1638,58 @@ def test_ivf_delete_prunes_and_handles_emptied_list(spark, sf_dir, tmp_path):
     final = spark.read.parquet(f"{path}/lists")
     assert final.where(F.col("cid") == victim).count() == 0
     assert final.count() == n0 - n_del - n_members
+
+
+def test_ivf_delete_on_pq_codes_layout(spark, sf_dir, tmp_path):
+    """The same delete serves the IVF-PQ codes layout
+    (relation="codes"): dead ids leave the cid partitions, the
+    codebook/centroids stay byte-identical, and the probe over the
+    compacted codes returns only survivors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_save(emb, path, num_centroids=4, m=4, iterations=2)
+    n0 = spark.read.parquet(f"{path}/codes").count()
+    book_before = sorted(
+        map(
+            lambda r: (r[0], r[1], tuple(r[2])),
+            spark.read.parquet(f"{path}/codebook").collect(),
+        )
+    )
+    dele = emb.filter(F.col("vec_id") % 4 == 1).select(
+        F.col("vec_id").alias("id")
+    )
+    out = sim.ivf_delete(spark, path, dele, relation="codes")
+    assert out["deleted"] == dele.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n0 - dele.count()
+    assert (
+        codes.join(
+            dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+            "left_semi",
+        ).count()
+        == 0
+    )
+    assert (
+        sorted(
+            map(
+                lambda r: (r[0], r[1], tuple(r[2])),
+                spark.read.parquet(f"{path}/codebook").collect(),
+            )
+        )
+        == book_before
+    )
+    q = emb.filter(F.col("vec_id") % 40 == 0).join(
+        dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+        "left_anti",
+    ).select(F.col("vec_id").alias("q_id"), "embedding")
+    probed = sim.ivfpq_probe(spark, path, q, k=3, nprobe=2)
+    assert probed.count() > 0
+    assert (
+        probed.join(
+            dele.select(F.col("id").alias("vec_id")), ["vec_id"],
+            "left_semi",
+        ).count()
+        == 0
+    )
