@@ -1132,3 +1132,51 @@ def knn_compact(
     ents = ents.localCheckpoint()
     ents.write.parquet(f"{path}/entries", mode="overwrite")
     return {"deleted": tomb.count(), "affected": n_affected}
+
+
+def knn_repartition(
+    spark, path: str, n_parts: int
+) -> dict[str, int]:
+    """Resize a knn_save index's partition layout — the maintenance
+    step a GROWING index needs after many knn_refresh batches (the
+    128MB-1GB-per-partition sizing rule stops holding once the
+    corpus has multiplied; ivf_rebalance is the IVF family's
+    analogue of this health step). Rehashes every relation keyed by
+    the partition hash (adjacency, links, vectors) under the new
+    modulus and rewrites them; entries and the trained order are
+    untouched except meta's n_parts. A modulus change moves ~every
+    row by construction, so this IS a full rewrite — the one
+    lifecycle step that costs O(index); run it at the cadence of
+    full rebuilds, not refreshes. Probe results are identical
+    before/after (pinned by test_knn_repartition_preserves_probe):
+    the layout changes which FILES hold a row, never which rows
+    exist."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_moved = 0
+    for rel, key, cols in (
+        ("adjacency", "a", ["a", "b", "s", "rk"]),
+        ("links", "a", ["a", "b"]),
+        ("vectors", "id", ["id", "vec", "nrm"]),
+    ):
+        try:
+            src = spark.read.parquet(f"{path}/{rel}")
+        except Exception:
+            continue  # no-links index: empty relation has no files
+        df = (
+            src.select(*cols)
+            .withColumn(
+                "__p",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)),
+            )
+            .localCheckpoint()
+        )
+        n_moved += df.count()
+        part_col = "pa" if key == "a" else "pv"
+        df.withColumnRenamed("__p", part_col).write.partitionBy(
+            part_col
+        ).parquet(f"{path}/{rel}", mode="overwrite")
+    spark.createDataFrame(
+        [(int(n_parts), int(meta.max_entries))],
+        "n_parts int, max_entries int",
+    ).write.parquet(f"{path}/meta", mode="overwrite")
+    return {"n_parts": n_parts, "rows_rewritten": n_moved}

@@ -1944,6 +1944,7 @@ _PRIORITY = [
     "ns_knn_refresh",  # r13 NEW: saved-index incremental refresh
     "ns_knn_compact",  # r13 NEW: saved-index tombstone compaction
     "ns_ivf_delete",  # r13 NEW: IVF saved-index delete leg
+    "ns_knn_repartition",  # r13 NEW: saved-index layout resize
     "ns_knn_delete",  # r13: truth stage pinned to fold scorer
     "ns_nn_descent",  # r13: truth stage pinned to fold scorer
     "ns_graph_ann_search",  # r13: truth stage pinned to fold scorer
@@ -1989,7 +1990,6 @@ _PRIORITY = [
     "rel_rollup_returns",  # r7-era fill
     "rel_shipping_priority",  # r7-era fill
     "rel_supplier_part_classes",  # r7-era fill
-    "rel_top_customers",  # r7-era fill
 ]
 
 

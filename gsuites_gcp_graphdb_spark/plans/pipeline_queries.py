@@ -5827,6 +5827,100 @@ def knn_refresh_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([row], schema)
 
 
+def knn_repartition_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Saved kNN-graph index LAYOUT-RESIZE census (r13 —
+    knngraph.knn_repartition, the maintenance step a grown index
+    needs; the graph family's analogue of ns_ivf_rebalance's
+    health check): build + save at n_parts=4, probe, rehash the
+    whole layout to n_parts=8, probe again with the same query set.
+
+    Output mirrors ns_knn_probe (n_nodes / n_queries / probe_rows /
+    recall, oracle = the beam replay — the resize changes which
+    FILES hold a row, never which rows exist) plus one earned
+    boolean the oracle pins TRUE:
+
+    - ``same_after_resize``: the post-resize probe result set
+      equals the pre-resize set EXACTLY on (a, b, rk) — a lost
+      partition, a mis-hashed row, or a stale meta modulus flips
+      it."""
+    import shutil
+    import tempfile
+
+    from ..operators import knngraph as kg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    schema = (
+        "n_nodes bigint, n_queries bigint, probe_rows bigint,"
+        " same_after_resize boolean, recall double"
+    )
+    n_nodes = emb.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], schema)
+    ladder = kg.nn_descent(emb, k=10, rounds=3, arrow=False)
+    e = kg._normalize(emb, "vec_id", "embedding")
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_knn_resize_")
+    try:
+        kg.knn_save(
+            ladder[-1], emb, path, n_parts=4, max_entries=16,
+            long_links=kg.permutation_init(e, 10),
+        )
+        p1 = kg._topk(
+            kg.knn_probe(
+                spark, path, q, beam=16, hops=6, n_entries=4,
+                arrow=False,
+            ).select("a", "b", "s"),
+            10,
+        ).select("a", "b", "rk").localCheckpoint()
+        kg.knn_repartition(spark, path, 8)
+        p2 = kg._topk(
+            kg.knn_probe(
+                spark, path, q, beam=16, hops=6, n_entries=4,
+                arrow=False,
+            ).select("a", "b", "s"),
+            10,
+        ).select("a", "b", "rk")
+        n1 = p1.count()
+        n2 = p2.count()
+        n_diff = p1.exceptAll(p2).count() + p2.exceptAll(p1).count()
+        truth = kg.brute_force_topk(emb, q, k=10).select("a", "b")
+        n_truth = truth.count()
+        mt = (
+            p2.select("a", "b")
+            .join(truth, ["a", "b"], "left_semi")
+            .count()
+        )
+        n_queries = truth.select("a").distinct().count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = (
+        n_nodes,
+        n_queries,
+        n2,
+        n_diff == 0 and n1 == n2,
+        round(mt / float(n_truth), 6) if n_truth else None,
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def _sql_knn_repartition(
+    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+) -> str:
+    """SQL replay of knn_repartition_census: both probes replay the
+    same beam pipeline (the resize is pure layout), so the oracle
+    runs _sql_knn_probe's skeleton once and pins same_after_resize
+    as an earned TRUE."""
+    return f"""
+        SELECT n_nodes, n_queries, probe_rows,
+               TRUE AS same_after_resize, recall
+        FROM ({_sql_knn_probe(k, beam, hops, n_entries)})
+        """
+
+
 def ivf_delete_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF saved-index DELETE census (r13 — the delete leg
     completing the IVF disk lifecycle save/probe/refresh/rebalance/
@@ -6874,6 +6968,10 @@ ENTRIES: dict[str, QueryDef] = {
     "ns_knn_compact": QueryDef(
         knn_compact_census,
         _sql_knn_compact(),
+    ),
+    "ns_knn_repartition": QueryDef(
+        knn_repartition_census,
+        _sql_knn_repartition(),
     ),
     "ns_ivf_delete": QueryDef(
         ivf_delete_census,

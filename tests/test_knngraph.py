@@ -638,3 +638,51 @@ def test_knn_probe_without_links(spark, tmp_path):
     assert {(r.a, r.b, r.rk) for r in probe.collect()} == {
         (r.a, r.b, r.rk) for r in beam.collect()
     }
+
+
+def test_knn_repartition_preserves_probe(spark, tmp_path):
+    """Resizing the layout (n_parts 4 -> 8) moves rows between
+    partition files but must not change ANY probe result, and must
+    survive a subsequent refresh under the new modulus."""
+    emb = _clustered_df(spark, n_clusters=6, per=15)
+    base = emb.where(F.col("vec_id") % 7 != 3)
+    batch = emb.where(F.col("vec_id") % 7 == 3)
+    knn = kg.nn_descent(base, k=5, rounds=2, arrow=False)[-1]
+    e = kg._normalize(base, "vec_id", "embedding")
+    links = kg.permutation_init(e, 5)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, base, path, n_parts=4, max_entries=8,
+                long_links=links)
+    q = base.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    before = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+        ).collect()
+    }
+    out = kg.knn_repartition(spark, path, 8)
+    assert out["n_parts"] == 8 and out["rows_rewritten"] > 0
+    after = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+        ).collect()
+    }
+    assert after == before and before
+    # layout actually changed modulus: pa values reach past old range
+    pas = {
+        r.pa
+        for r in spark.read.parquet(f"{path}/adjacency")
+        .select("pa")
+        .distinct()
+        .collect()
+    }
+    assert max(pas) >= 4
+    # refresh still works under the new modulus
+    r2 = kg.knn_refresh(
+        spark, path, batch, k=5, beam=6, hops=2, n_entries=3,
+        arrow=False,
+    )
+    assert r2["inserted"] == batch.count()
