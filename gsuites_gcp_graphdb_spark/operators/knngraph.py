@@ -69,10 +69,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import logging
 import os
 
 from ..functions.vectors import dot, l2_norm
 from .corpus import hash16, hash_order
+
+_log = logging.getLogger(__name__)
 
 
 def _resolve_arrow(arrow: bool | None) -> bool:
@@ -704,7 +707,13 @@ def _pruned_vectors(
     """Partition-pruned vector fetch: collect the DISTINCT partition
     values the id set hashes into (bounded by n_parts — the IVF
     probe's bounded-collect discipline, never corpus-bounded), push
-    them as a partition filter, then left-semi to the exact ids."""
+    them as a partition filter, then left-semi to the exact ids.
+
+    The id column is cast to bigint BEFORE hashing: xxhash64 is
+    type-sensitive in Spark (hash of int 5 != hash of bigint 5) and
+    the index is written with bigint keys, so an int-typed caller id
+    would compute wrong partition values and silently fetch nothing."""
+    ids = ids.select(F.col(col).cast("bigint").alias(col))
     parts = sorted(
         r.p
         for r in ids.select(
@@ -723,6 +732,56 @@ def _pruned_vectors(
         )
         .select("id", "vec", "nrm")
     )
+
+
+def _drop_emptied_partitions(
+    spark, base: str, part_col: str, candidates, written: DataFrame
+) -> int:
+    """Dynamic partition overwrite replaces only partitions PRESENT
+    in the written data — a partition whose every row was deleted
+    produces no output rows, so its old files would survive the
+    rewrite and deleted rows could resurface. Drop those directories
+    explicitly via the Hadoop FS (the ivf_delete emptied-list rule,
+    similarity.py:829). `candidates` is the partition-value set the
+    rewrite read (bounded by n_parts / num_centroids); `written` is
+    the frame that was written. Returns how many dirs were dropped."""
+    emptied = set(candidates) - {
+        getattr(r, part_col)
+        for r in written.select(part_col).distinct().collect()
+    }
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in sorted(emptied):
+            p = jvm.org.apache.hadoop.fs.Path(f"{base}/{part_col}={c}")
+            p.getFileSystem(conf).delete(p, True)
+    return len(emptied)
+
+
+def _read_links(spark, path: str) -> DataFrame | None:
+    """Read a saved index's ``links/`` relation, tolerating ONLY the
+    two legitimate absent-links layouts — a pre-links index (the
+    directory does not exist) or a links directory holding no data
+    files (schema inference fails with AnalysisException). Any other
+    read failure (corrupt footers, permission errors, transient FS
+    faults) PROPAGATES: silently serving probes without long links
+    would be a result-changing divergence from beam_search with no
+    signal to the caller (r13 ADVICE item on the bare except)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/links")
+    if not hp.getFileSystem(conf).exists(hp):
+        _log.info("knn index at %s has no links/ relation; serving "
+                  "from adjacency only (pre-links layout)", path)
+        return None
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/links")
+    except AnalysisException:
+        _log.info("knn index links/ at %s holds no data files; "
+                  "serving from adjacency only", path)
+        return None
 
 
 def knn_probe(
@@ -763,6 +822,10 @@ def knn_probe(
             f"n_entries={n_entries} exceeds the saved index's "
             f"max_entries={meta.max_entries}"
         )
+    # bigint pin BEFORE any hashing: the index keys are bigint and
+    # xxhash64 is type-sensitive, so an int-typed caller id would
+    # prune to the wrong partitions and silently return empty
+    queries = queries.select(F.col("a").cast("bigint").alias("a"))
     ent = (
         spark.read.parquet(f"{path}/entries")
         .orderBy("__h", "id")
@@ -784,12 +847,9 @@ def knn_probe(
     adj = spark.read.parquet(f"{path}/adjacency").select(
         "a", "b", "pa"
     )
-    try:
-        adj = adj.unionByName(
-            spark.read.parquet(f"{path}/links").select("a", "b", "pa")
-        )
-    except Exception:
-        pass  # pre-links index layout: adjacency only
+    links = _read_links(spark, path)
+    if links is not None:
+        adj = adj.unionByName(links.select("a", "b", "pa"))
     for _ in range(hops):
         parts = sorted(
             r.p
@@ -997,13 +1057,24 @@ def knn_compact(
 
     The compacted adjacency equals delete_batch's "updated" edge set
     exactly (pinned by test_knn_compact_matches_delete_batch and the
-    ns_knn_compact census). Returns {"deleted": n, "affected": n}.
-    Deleting an id absent from the index is a no-op for that id."""
+    ns_knn_compact census). Returns {"deleted": n, "affected": n};
+    "deleted" counts tombstone ids actually PRESENT in the index
+    (partition-pruned semi-join against vectors — the ivf_delete
+    semantics), so deleting an absent id is a no-op for that id and
+    is not counted. A partition whose every row died is dropped
+    explicitly after each dynamic overwrite (dynamic mode only
+    replaces partitions present in the written data — without the
+    drop, dead adjacency/vector/link files would resurface)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_parts = meta.n_parts
     tomb = delete_ids.select(
         F.col("id").cast("bigint").alias("id")
     ).localCheckpoint()
+    # honest delete count: tombstone ids actually present in the
+    # index (pruned read of the tombstones' own vector partitions)
+    n_deleted = _pruned_vectors(
+        spark, path, n_parts, tomb.select(F.col("id").alias("a")), "a"
+    ).count()
     t_a = tomb.select(F.col("id").alias("a"))
     t_b = tomb.select(F.col("id").alias("b"))
     adj = spark.read.parquet(f"{path}/adjacency")
@@ -1080,6 +1151,9 @@ def knn_compact(
         merged.write.partitionBy("pa").parquet(
             f"{path}/adjacency", mode="overwrite"
         )
+        _drop_emptied_partitions(
+            spark, f"{path}/adjacency", "pa", parts, merged
+        )
         # vectors: drop the dead rows from THEIR partitions only
         vparts = sorted(
             r.p
@@ -1101,9 +1175,16 @@ def knn_compact(
         vkeep.write.partitionBy("pv").parquet(
             f"{path}/vectors", mode="overwrite"
         )
+        _drop_emptied_partitions(
+            spark, f"{path}/vectors", "pv", vparts, vkeep
+        )
         # links: drop any long link touching a dead endpoint —
-        # endpoint partitions both pruned
+        # endpoint partitions both pruned. The source partition set
+        # is collected BEFORE the overwrite replaces its files.
         lk = spark.read.parquet(f"{path}/links")
+        lparts = sorted(
+            r.pa for r in lk.select("pa").distinct().collect()
+        )
         lkeep = (
             lk.join(t_a, ["a"], "left_anti")
             .join(t_b, ["b"], "left_anti")
@@ -1112,6 +1193,9 @@ def knn_compact(
         )
         lkeep.write.partitionBy("pa").parquet(
             f"{path}/links", mode="overwrite"
+        )
+        _drop_emptied_partitions(
+            spark, f"{path}/links", "pa", lparts, lkeep
         )
     finally:
         spark.conf.set(
@@ -1131,7 +1215,7 @@ def knn_compact(
         )
     ents = ents.localCheckpoint()
     ents.write.parquet(f"{path}/entries", mode="overwrite")
-    return {"deleted": tomb.count(), "affected": n_affected}
+    return {"deleted": n_deleted, "affected": n_affected}
 
 
 def knn_repartition(
@@ -1150,31 +1234,45 @@ def knn_repartition(
     full rebuilds, not refreshes. Probe results are identical
     before/after (pinned by test_knn_repartition_preserves_probe):
     the layout changes which FILES hold a row, never which rows
-    exist."""
+    exist. The rewrites PIN partitionOverwriteMode=static (restored
+    after): a session-global dynamic mode would, on a shrink (e.g.
+    8→4), leave the old >=n_parts directories in place and duplicate
+    every surviving row (r13 ADVICE item)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_moved = 0
-    for rel, key, cols in (
-        ("adjacency", "a", ["a", "b", "s", "rk"]),
-        ("links", "a", ["a", "b"]),
-        ("vectors", "id", ["id", "vec", "nrm"]),
-    ):
-        try:
-            src = spark.read.parquet(f"{path}/{rel}")
-        except Exception:
-            continue  # no-links index: empty relation has no files
-        df = (
-            src.select(*cols)
-            .withColumn(
-                "__p",
-                F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)),
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        for rel, key, cols in (
+            ("adjacency", "a", ["a", "b", "s", "rk"]),
+            ("links", "a", ["a", "b"]),
+            ("vectors", "id", ["id", "vec", "nrm"]),
+        ):
+            try:
+                src = spark.read.parquet(f"{path}/{rel}")
+            except Exception:
+                continue  # no-links index: empty relation, no files
+            df = (
+                src.select(*cols)
+                .withColumn(
+                    "__p",
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
+            n_moved += df.count()
+            part_col = "pa" if key == "a" else "pv"
+            df.withColumnRenamed("__p", part_col).write.partitionBy(
+                part_col
+            ).parquet(f"{path}/{rel}", mode="overwrite")
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
-        n_moved += df.count()
-        part_col = "pa" if key == "a" else "pv"
-        df.withColumnRenamed("__p", part_col).write.partitionBy(
-            part_col
-        ).parquet(f"{path}/{rel}", mode="overwrite")
     spark.createDataFrame(
         [(int(n_parts), int(meta.max_entries))],
         "n_parts int, max_entries int",

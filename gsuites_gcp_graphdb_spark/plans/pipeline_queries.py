@@ -5579,7 +5579,17 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       (symmetric exceptAll), pinned by the oracle as an earned TRUE;
       any entry-pick, hop-expansion, or pruning divergence flips it;
     - ``recall``: the probe's recall@10 vs brute-force truth —
-      value-matched cross-engine against the oracle's replay.
+      value-matched cross-engine against the oracle's replay;
+    - ``ext_rows`` / ``ext_matches_beam`` / ``ext_recall`` (r14,
+      VERDICT item 1): the EXTERNAL-query serving leg — queries
+      whose ids are NOT corpus members and whose vectors arrive via
+      ``query_emb`` (the real ANN-serving shape; every prior receipt
+      probed only corpus members). External id = 1000000 + member
+      id (vec_id % 37 sample), vector = that member's vector under
+      the fresh id, so the oracle replays it exactly and the donor
+      member itself is a legal result (no a != b self-exclusion
+      binds across distinct ids). Same probe==beam exceptAll pin and
+      brute-force recall as the member leg.
 
     Scale: per hop the probe reads ONLY the adjacency partitions the
     beam's nodes hash into and the vector partitions of the
@@ -5595,7 +5605,8 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     schema = (
         "n_nodes bigint, n_queries bigint, probe_rows bigint,"
-        " probe_matches_beam boolean, recall double"
+        " probe_matches_beam boolean, recall double,"
+        " ext_rows bigint, ext_matches_beam boolean, ext_recall double"
     )
     n_nodes = emb.count()
     if n_nodes == 0:
@@ -5608,10 +5619,24 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").cast("bigint").alias("a")
     )
+    qx = emb.where(F.col("vec_id") % 37 == 0).select(
+        (F.col("vec_id").cast("bigint") + F.lit(1000000)).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    qx_ids = qx.select(F.col("vec_id").alias("a"))
     beam = kg._topk(
         kg.beam_search(
             search_graph, emb, q, beam=16, hops=6, n_entries=4,
             arrow=False,
+        ).select("a", "b", "s"),
+        10,
+    )
+    ext_beam = kg._topk(
+        kg.beam_search(
+            search_graph, emb, qx_ids, beam=16, hops=6, n_entries=4,
+            query_emb=qx, arrow=False,
         ).select("a", "b", "s"),
         10,
     )
@@ -5641,6 +5666,26 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         n_queries = truth.select("a").distinct().count()
+        xp = kg._topk(
+            kg.knn_probe(
+                spark, path, qx_ids, beam=16, hops=6, n_entries=4,
+                query_emb=qx, arrow=False,
+            ).select("a", "b", "s"),
+            10,
+        ).select("a", "b", "rk")
+        xb = ext_beam.select("a", "b", "rk")
+        n_xp = xp.count()
+        n_xb = xb.count()
+        n_xdiff = xp.exceptAll(xb).count() + xb.exceptAll(xp).count()
+        xtruth = kg.brute_force_topk(
+            emb, qx_ids, k=10, query_emb=qx
+        ).select("a", "b")
+        n_xtruth = xtruth.count()
+        xmt = (
+            xp.select("a", "b")
+            .join(xtruth, ["a", "b"], "left_semi")
+            .count()
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
     row = (
@@ -5649,12 +5694,19 @@ def knn_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe,
         n_diff == 0 and n_probe == n_beam,
         round(mt / float(n_truth), 6) if n_truth else None,
+        n_xp,
+        n_xdiff == 0 and n_xp == n_xb,
+        round(xmt / float(n_xtruth), 6) if n_xtruth else None,
     )
     return spark.createDataFrame([row], schema)
 
 
 def _sql_knn_probe(
-    k: int = 10, beam: int = 16, hops: int = 6, n_entries: int = 4
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 6,
+    n_entries: int = 4,
+    ext: bool = True,
 ) -> str:
     """SQL replay of knn_probe_census: the saved-index probe is
     result-identical to in-query beam_search BY CONSTRUCTION (the
@@ -5663,7 +5715,14 @@ def _sql_knn_probe(
     — the _sql_graph_ann_search skeleton — and pins
     probe_matches_beam as an earned TRUE; the Spark side computes
     that boolean from the two actual result sets, so any divergence
-    flips it (or the counts/recall) and fails the hash."""
+    flips it (or the counts/recall) and fails the hash. The r14
+    external-query leg replays the same beam pipeline with side a's
+    vectors resolved against the external query table (left_emb —
+    external id = 1000000 + member id, vector = the donor member's,
+    the exact frame the Spark side passes as query_emb).
+    ``ext=False`` omits the external leg and its columns — the
+    repartition oracle wraps this query and only consumes the
+    member-leg columns, so it should not pay for the ext replay."""
     ent_h = _sql_hex16("CAST(id AS VARCHAR) || ':entry'")
     steps = [
         f"""
@@ -5684,6 +5743,53 @@ def _sql_knn_probe(
                         materialized=True)}"""
         )
     hop_sql = "".join(steps)
+    if ext:
+        xsteps = [
+            f"""
+        xf0 AS (
+          SELECT q.a, e.b FROM qx q, ent e WHERE e.b <> q.a),
+        {_sql_nnd_stage("xf0", "x0", beam, materialized=True,
+                        left_emb="qxe")}"""
+        ]
+        for h in range(hops):
+            xsteps.append(
+                f"""
+        xc{h + 1}p AS (
+          SELECT a, b FROM (
+            SELECT a, b FROM gx{h}
+            UNION
+            SELECT g.a, e.b FROM gx{h} g JOIN gm e ON e.a = g.b)
+          WHERE a <> b),
+        {_sql_nnd_stage(f"xc{h + 1}p", f"x{h + 1}", beam,
+                        materialized=True, left_emb="qxe")}"""
+            )
+        qx_cte = """
+        qxe AS MATERIALIZED (
+          SELECT 1000000 + id AS id, embedding, nrm
+          FROM emb WHERE id % 37 = 0),
+        qx AS (SELECT id AS a FROM qxe),"""
+        xres_sql = f"""
+        {"".join(xsteps)}
+        xres AS (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (
+              PARTITION BY a ORDER BY s DESC, b) AS r2
+            FROM gx{hops}) WHERE r2 <= {k}),
+        xtp AS (
+          SELECT q.a, e.id AS b FROM qx q JOIN emb e ON e.id <> q.a),
+        {_sql_nnd_stage("xtp", "xt", k, left_emb="qxe")}"""
+        m_ext = """,
+            (SELECT count(*) FROM xres) AS ext_rows,
+            (SELECT count(*) FROM gxt) AS xn_truth,
+            (SELECT count(*) FROM xres JOIN gxt USING (a, b)) AS xmt"""
+        sel_ext = """,
+               CAST(ext_rows AS BIGINT) AS ext_rows,
+               TRUE AS ext_matches_beam,
+               CASE WHEN xn_truth > 0
+                 THEN round(xmt / CAST(xn_truth AS DOUBLE), 6) END
+                 AS ext_recall"""
+    else:
+        qx_cte = xres_sql = m_ext = sel_ext = ""
     return f"""
         {_sql_nnd_prefix(k)}
         gm AS MATERIALIZED (
@@ -5693,7 +5799,7 @@ def _sql_knn_probe(
             SELECT id, ({ent_h}) AS h FROM emb
             ORDER BY h, id LIMIT {n_entries})),
         qt AS MATERIALIZED (
-          SELECT id AS a FROM emb WHERE id % 20 = 0),
+          SELECT id AS a FROM emb WHERE id % 20 = 0),{qx_cte}
         {hop_sql}
         res AS (
           SELECT a, b FROM (
@@ -5703,20 +5809,21 @@ def _sql_knn_probe(
         tp AS (
           SELECT q.a, e.id AS b FROM qt q JOIN emb e ON e.id <> q.a),
         {_sql_nnd_stage("tp", "t", k)}
+        {xres_sql}
         m AS (
           SELECT
             (SELECT count(*) FROM emb) AS n_nodes,
             (SELECT count(DISTINCT a) FROM gt) AS n_queries,
             (SELECT count(*) FROM res) AS probe_rows,
             (SELECT count(*) FROM gt) AS n_truth,
-            (SELECT count(*) FROM res JOIN gt USING (a, b)) AS mt)
+            (SELECT count(*) FROM res JOIN gt USING (a, b)) AS mt{m_ext})
         SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
                CAST(n_queries AS BIGINT) AS n_queries,
                CAST(probe_rows AS BIGINT) AS probe_rows,
                TRUE AS probe_matches_beam,
                CASE WHEN n_truth > 0
                  THEN round(mt / CAST(n_truth AS DOUBLE), 6) END
-                 AS recall
+                 AS recall{sel_ext}
         FROM m WHERE n_nodes > 0
         """
 
@@ -5917,7 +6024,7 @@ def _sql_knn_repartition(
     return f"""
         SELECT n_nodes, n_queries, probe_rows,
                TRUE AS same_after_resize, recall
-        FROM ({_sql_knn_probe(k, beam, hops, n_entries)})
+        FROM ({_sql_knn_probe(k, beam, hops, n_entries, ext=False)})
         """
 
 

@@ -686,3 +686,238 @@ def test_knn_repartition_preserves_probe(spark, tmp_path):
         arrow=False,
     )
     assert r2["inserted"] == batch.count()
+
+
+def test_knn_compact_drops_emptied_partitions(spark, tmp_path):
+    """r13 ADVICE (medium): dynamic partition overwrite replaces only
+    partitions PRESENT in the written data, so a pa/pv partition whose
+    EVERY row died writes nothing and its old files would survive —
+    deleted adjacency lists, vectors, and links resurfacing after
+    compaction. knn_compact must drop those emptied directories
+    explicitly (the ivf_delete rule). This deletes every id hashing
+    into one partition of a 4-part index and asserts no dead row
+    survives any relation, the emptied dirs are gone from disk, and
+    the honest "deleted" count excludes absent ids."""
+    import os
+
+    emb = _clustered_df(spark, n_clusters=6, per=15)
+    knn = kg.nn_descent(emb, k=5, rounds=2, arrow=False)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 5)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=4, max_entries=8,
+                long_links=links)
+    part = (
+        emb.select(
+            F.pmod(
+                F.xxhash64(F.col("vec_id").cast("bigint")), F.lit(4)
+            ).alias("p")
+        )
+        .groupBy("p").count().orderBy("count", "p").first().p
+    )
+    tomb = emb.where(
+        F.pmod(F.xxhash64(F.col("vec_id").cast("bigint")), F.lit(4))
+        == part
+    ).select(F.col("vec_id").cast("bigint").alias("id"))
+    n_present = tomb.count()
+    assert n_present > 0
+    # absent ids must be no-ops AND not counted as deletions
+    ghost = spark.createDataFrame(
+        [(900001,), (900002,)], "id long"
+    )
+    out = kg.knn_compact(
+        spark, path, tomb.union(ghost), k=5, arrow=False
+    )
+    assert out["deleted"] == n_present
+    dead = {r.id for r in tomb.collect()}
+    adj = spark.read.parquet(f"{path}/adjacency")
+    assert adj.where(F.col("a").isin(dead)).count() == 0
+    assert adj.where(F.col("b").isin(dead)).count() == 0
+    v = spark.read.parquet(f"{path}/vectors")
+    assert v.where(F.col("id").isin(dead)).count() == 0
+    lk = spark.read.parquet(f"{path}/links")
+    assert lk.where(F.col("a").isin(dead)).count() == 0
+    assert lk.where(F.col("b").isin(dead)).count() == 0
+    # the emptied directories are physically gone — the old files
+    # cannot resurface on any future read or repartition
+    assert not os.path.exists(f"{path}/adjacency/pa={part}")
+    assert not os.path.exists(f"{path}/vectors/pv={part}")
+    assert not os.path.exists(f"{path}/links/pa={part}")
+    # surviving queries still serve with zero dead endpoints
+    q = emb.where(~F.col("vec_id").isin(dead)).limit(5).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    res = kg.knn_probe(
+        spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+    )
+    rows = [(r.a, r.b) for r in res.collect()]
+    assert rows and all(b not in dead for _, b in rows)
+
+
+def test_knn_repartition_static_under_dynamic_session(spark, tmp_path):
+    """r13 ADVICE: a session that globally sets
+    partitionOverwriteMode=dynamic must not corrupt a SHRINKING
+    repartition (8 -> 4): without the explicit static pin, the old
+    pa/pv >= 4 directories would survive the overwrite and duplicate
+    every surviving row. Pins row-count and probe invariance under
+    the hostile session config, and that the pin restores the
+    caller's mode."""
+    emb = _clustered_df(spark, n_clusters=6, per=15)
+    knn = kg.nn_descent(emb, k=5, rounds=2, arrow=False)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 5)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=8, max_entries=8,
+                long_links=links)
+    counts = {
+        rel: spark.read.parquet(f"{path}/{rel}").count()
+        for rel in ("adjacency", "links", "vectors")
+    }
+    q = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").cast("bigint").alias("a")
+    )
+    before = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+        ).collect()
+    }
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        kg.knn_repartition(spark, path, 4)
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "dynamic"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    for rel, n in counts.items():
+        assert spark.read.parquet(f"{path}/{rel}").count() == n, rel
+    after = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+        ).collect()
+    }
+    assert after == before and before
+
+
+def test_knn_probe_corrupt_links_fails_loudly(spark, tmp_path):
+    """r13 ADVICE: the links fallback exists for ABSENT links (old
+    layout / no data files), not for broken ones — a corrupted links
+    relation must fail the probe loudly instead of silently serving
+    degraded results without long links."""
+    import glob
+    import os
+
+    emb = _clustered_df(spark, n_clusters=4, per=10)
+    knn = kg.nn_descent(emb, k=5, rounds=2, arrow=False)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 5)
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=4, max_entries=8,
+                long_links=links)
+    for f in glob.glob(f"{path}/links/pa=*/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"this is not a parquet file")
+    q = emb.limit(3).select(F.col("vec_id").cast("bigint").alias("a"))
+    with pytest.raises(Exception):
+        kg.knn_probe(
+            spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+        ).collect()
+    # the absent-links fallback still works: remove links entirely
+    import shutil
+
+    shutil.rmtree(f"{path}/links")
+    res = kg.knn_probe(
+        spark, path, q, beam=6, hops=2, n_entries=3, arrow=False
+    )
+    assert res.count() > 0
+
+
+def test_knn_probe_external_query_equals_beam_search(spark, tmp_path):
+    """r13 VERDICT item 1: external-query serving — knn_probe with
+    query_emb (vectors NOT in the index, the real ANN-serving shape)
+    must equal beam_search with the same query_emb over the loaded
+    graph: same entry pick, same hops, same cuts."""
+    emb = _clustered_df(spark)
+    knn = kg.nn_descent(emb, k=6, rounds=2, arrow=False)[-1]
+    e = kg._normalize(emb, "vec_id", "embedding")
+    links = kg.permutation_init(e, 6)
+    graph = knn.select("a", "b").union(links.select("a", "b"))
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=8, max_entries=16,
+                long_links=links)
+    # external queries: ids far outside the corpus, vectors = wobbled
+    # cluster centres (near but not equal to any member)
+    ext = spark.createDataFrame(
+        [
+            (
+                100000 + c,
+                [
+                    float(
+                        (10.0 if d == c else 0.0)
+                        + 0.5 * math.sin(0.9 * (c + 1) * (d + 1))
+                        + 0.1 * math.cos(0.7 * (c + 2) * (d + 1))
+                    )
+                    for d in range(16)
+                ],
+            )
+            for c in range(5)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = ext.select(F.col("vec_id").cast("bigint").alias("a"))
+    beam = kg.beam_search(
+        graph, emb, q, beam=8, hops=3, n_entries=4,
+        query_emb=ext, arrow=False,
+    )
+    probe = kg.knn_probe(
+        spark, path, q, beam=8, hops=3, n_entries=4,
+        query_emb=ext, arrow=False,
+    )
+    b_rows = {(r.a, r.b, r.rk) for r in beam.collect()}
+    p_rows = {(r.a, r.b, r.rk) for r in probe.collect()}
+    assert b_rows and p_rows == b_rows
+    # every external query resolved (none silently dropped)
+    assert {r.a for r in probe.select("a").distinct().collect()} == {
+        100000 + c for c in range(5)
+    }
+
+
+def test_knn_probe_int_typed_query_ids(spark, tmp_path):
+    """r13 ADVICE: xxhash64 is type-sensitive (hash(int 5) !=
+    hash(bigint 5)) and the index keys are bigint — an int-typed
+    query column must still prune to the RIGHT partitions and return
+    identical results, not silently empty ones."""
+    emb = _clustered_df(spark, n_clusters=4, per=10)
+    knn = kg.nn_descent(emb, k=5, rounds=2, arrow=False)[-1]
+    path = str(tmp_path / "knn_idx")
+    kg.knn_save(knn, emb, path, n_parts=4, max_entries=8)
+    ids = [r.vec_id for r in emb.where(
+        F.col("vec_id") % 9 == 0
+    ).select("vec_id").collect()]
+    q_big = spark.createDataFrame([(int(i),) for i in ids], "a long")
+    q_int = spark.createDataFrame([(int(i),) for i in ids], "a int")
+    got_big = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q_big, beam=6, hops=2, n_entries=3,
+            arrow=False,
+        ).collect()
+    }
+    got_int = {
+        (r.a, r.b, r.rk)
+        for r in kg.knn_probe(
+            spark, path, q_int, beam=6, hops=2, n_entries=3,
+            arrow=False,
+        ).collect()
+    }
+    assert got_big and got_int == got_big
