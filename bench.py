@@ -453,7 +453,15 @@ def main() -> None:
     # anchor_total keeps its FROZEN definition (the three CPU probes)
     # so common66_norm stays comparable across rounds; anchor_io is
     # the r13 disk probe, folded only into the new common66_norm_io.
-    anchor_io = anchors.get("anchor_io", 0.0)
+    #
+    # r14 (VERDICT r13 item 6): the r13 sessions measured anchor_io
+    # ONCE per run and saw 1.69 → 3.99 → 1.74s across same-code runs
+    # — one positional sample cannot denominate a 200s suite on a box
+    # whose disk drifts WITHIN a run. The probe now also fires
+    # mid-suite (after the headline loop) and at the end; anchor_io
+    # becomes the median of the three positional samples, with the
+    # samples themselves reported in BENCH_DETAIL.
+    anchor_io_start = anchors.get("anchor_io", 0.0)
     anchor_total = round(
         sum(v for k, v in anchors.items() if k != "anchor_io"), 3
     )
@@ -511,6 +519,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = CATALOG[name].fn
         median_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # mid-suite IO sample (r14, untimed entry — disk drift probe)
+    t0 = time.perf_counter()
+    _io_probe(spark)
+    anchor_io_mid = round(time.perf_counter() - t0, 3)
 
     # Scale-path variants (xxhash64 instead of portable md5/strings;
     # SemDeDup banded-LSH production path; IVF raw ANN). Shared with
@@ -571,6 +584,15 @@ def main() -> None:
     shutil.rmtree(knn_dir, ignore_errors=True)
     dd.release_scratch()
 
+    # end-of-suite IO sample (r14): median-of-3 positional samples is
+    # the denominated anchor_io; the spread is the drift receipt.
+    t0 = time.perf_counter()
+    _io_probe(spark)
+    anchor_io_end = round(time.perf_counter() - t0, 3)
+    io_samples = [anchor_io_start, anchor_io_mid, anchor_io_end]
+    anchor_io = round(statistics.median(io_samples), 3)
+    anchors["anchor_io"] = anchor_io
+
     total = round(sum(timings.values()), 3)
     missing66 = [n for n in COMMON66 if n not in timings]
     common66 = round(
@@ -594,6 +616,7 @@ def main() -> None:
         "common66_norm": common66_norm,
         "common66_norm_io": common66_norm_io,
         "anchors": anchors,
+        "anchor_io_samples": io_samples,
         "anchor_total": anchor_total,
         "common66_missing": missing66,
         "unit": "sec",

@@ -1348,12 +1348,20 @@ def ivf_pq_topk(
 
 
 def _ivfpq_probes(
-    qs: DataFrame, cent: DataFrame, nprobe: int
+    qs: DataFrame, cent: DataFrame, nprobe: int, ecent: DataFrame | None = None
 ) -> DataFrame:
     """(__qid, __qv) x centroids -> the nprobe most cosine-similar
     lists per query, carrying the EXACT dot(q, centroid) term:
     (__qid, __qv, cid, __qc_dot). Shared by the in-query and
-    saved-index IVF-PQ paths so their probe sets are identical."""
+    saved-index IVF-PQ paths so their probe sets are identical.
+
+    ``ecent`` (cid, ecvec) separates the two roles a centroid plays
+    after an ivfpq_rebalance: PROBE SELECTION ranks against the
+    refined ``cent`` (sub-means — finer cells where the data
+    crowded), while the ADC coarse term dot(q, c) must use the
+    centroid each list's residuals were ENCODED against — frozen at
+    encode time, so stored codes stay valid verbatim. Absent (every
+    un-rebalanced index), the two roles coincide."""
     qcent = qs.crossJoin(F.broadcast(cent)).select(
         "__qid",
         "__qv",
@@ -1370,10 +1378,24 @@ def _ivfpq_probes(
     wq = Window.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col("cid")
     )
-    return (
+    probes = (
         qcent.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
         .select("__qid", "__qv", "cid", "__qc_dot")
+    )
+    if ecent is None:
+        return probes
+    return probes.drop("__qc_dot").join(F.broadcast(ecent), ["cid"]).select(
+        "__qid",
+        "__qv",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                "__qv", "ecvec", lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("__qc_dot"),
     )
 
 
@@ -1456,6 +1478,7 @@ def ivfpq_save(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_raw: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index as a WRITE-TIME LAYOUT — the
     100 TB operating point ivf_pq_topk's docstring promises, made
@@ -1467,11 +1490,31 @@ def ivfpq_save(
     an already ~32x-compressed relation — both I/O factors compound,
     and the raw vectors never need to exist at query time at all.
     Training follows ivf_pq_topk exactly (frozen recipe: cosine
-    coarse assignment, residual encode via the fused Arrow kernel)."""
+    coarse assignment, residual encode via the fused Arrow kernel).
+
+    ``store_raw=True`` co-saves the raw vectors as a ``lists/``
+    relation in ivf_save's exact layout (cid-partitioned (id, vec,
+    cid)) alongside the codes. Queries never touch it — ivfpq_probe
+    reads codes only — but it is what makes ivfpq_rebalance EXACT:
+    splitting a hot list changes its members' coarse centroid, which
+    changes their residuals, and residuals can only be re-encoded
+    from raw vectors (decode-then-re-encode would compound two
+    quantization errors). The storage trade is deliberate: raw lists
+    cost what the corpus costs anywhere else, and an operator that
+    cannot afford them runs ``store_raw=False`` and treats retrain
+    (ivfpq_save again) as the rebalance, scheduled by ns_vec_drift's
+    threshold — the two documented maintenance modes."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cent = ivf_train(corpus, num_centroids, iterations, id_col, vec_col)
+    inv = _ivf_assign(c, cent).localCheckpoint(eager=True)
+    if store_raw:
+        inv.select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col), "cid"
+        ).write.partitionBy("cid").parquet(
+            f"{path}/lists", mode="overwrite"
+        )
     resid = (
-        _ivf_assign(c, cent)
+        inv
         .join(F.broadcast(cent), ["cid"])
         .select(
             "id",
@@ -1523,7 +1566,16 @@ def ivfpq_refresh(
     partitions — and here the guard is even cheaper, because the
     scanned relation is codes-only (~32x smaller than vectors).
     ``assume_new=True`` keeps the pure append for exactly-once
-    upstreams."""
+    upstreams.
+
+    If the index was saved with ``store_raw=True`` (a ``lists/``
+    relation exists), the surviving batch rows are ALSO appended
+    there — the raw co-store must track the codes exactly or a later
+    ivfpq_rebalance would split from a stale corpus. After a
+    rebalance, ASSIGNMENT uses the refined centroids (placement =
+    probe routing) while the residual subtracts the list's ``ecent``
+    entry (the origin its stored codes use) — mixing the two would
+    interleave incompatible residual spaces inside one list."""
     cent = spark.read.parquet(f"{path}/centroids")
     book = spark.read.parquet(f"{path}/codebook")
     m_max = book.agg(F.max("sub")).collect()[0][0]
@@ -1533,8 +1585,15 @@ def ivfpq_refresh(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ),
         cent,
+    ).localCheckpoint(eager=True)
+    origin = (
+        spark.read.parquet(f"{path}/ecent").select(
+            "cid", F.col("ecvec").alias("cvec")
+        )
+        if _parquet_relation_exists(spark, f"{path}/ecent")
+        else cent
     )
-    resid = inv.join(F.broadcast(cent), ["cid"]).select(
+    resid = inv.join(F.broadcast(origin), ["cid"]).select(
         "id",
         "cid",
         F.zip_with("v", "cvec", lambda x, y: x.cast("double") - y).alias(
@@ -1556,9 +1615,177 @@ def ivfpq_refresh(
             .select(F.col(id_col).alias("id"))
         )
         codes = codes.join(existing, ["id"], "left_anti")
+        codes = codes.localCheckpoint(eager=True)
     codes.select(
         F.col("id").alias(id_col), "codes", "cid"
     ).write.partitionBy("cid").parquet(f"{path}/codes", mode="append")
+    if _parquet_relation_exists(spark, f"{path}/lists"):
+        # raw co-store (ivfpq_save store_raw=True): append the SAME
+        # surviving rows — semi-join the assigned batch against the
+        # ids that made it past the idempotency guard
+        inv.join(
+            codes.select("id"), ["id"], "left_semi"
+        ).select(
+            F.col("id").alias(id_col),
+            F.col("v").cast(
+                spark.read.parquet(f"{path}/lists")
+                .schema[vec_col]
+                .dataType
+            ).alias(vec_col),
+            "cid",
+        ).write.partitionBy("cid").parquet(f"{path}/lists", mode="append")
+
+
+def _parquet_relation_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on the session's Hadoop filesystem —
+    the saved-index relations are optional (e.g. ivfpq_save's raw
+    ``lists/`` co-store), and probing with spark.read would turn
+    'absent by design' into an AnalysisException."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(conf).exists(hp)
+
+
+def ivfpq_rebalance(
+    spark,
+    path: str,
+    max_skew: float = 2.0,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Bounded list maintenance for a saved IVF-PQ index (r13 VERDICT
+    item 3) — the compressed twin of ivf_rebalance, closing the PQ
+    lifecycle (save / probe / refresh / rebalance / delete). Requires
+    the raw ``lists/`` co-store (``ivfpq_save(store_raw=True)``): the
+    split's local 2-means needs raw vectors (reconstructions collapse
+    onto the codebook lattice). Without the co-store the documented
+    maintenance mode is retrain-as-rebalance — run ivfpq_save again
+    when ns_vec_drift's monitor trips — and this function raises with
+    that guidance rather than guessing.
+
+    Design: SCORE-PRESERVING REFINEMENT. A centroid plays two roles
+    in IVF-PQ and a rebalance must split them apart: (1) probe
+    selection (which lists a query reads) and (2) the residual origin
+    codes were encoded against (r = v - c). The first implementation
+    re-encoded hot rows against the new sub-means and recall COLLAPSED
+    (drift-cohort recall@5 went 3/15 -> 0/15 at sf0.01): the frozen
+    codebook was trained on save-time residuals, and the post-split
+    residuals (tiny — each row now sits next to its own sub-mean) are
+    outside its lattice, so re-encoded ADC scores were noise. The fix
+    is to freeze role (2) per row forever: the split refines ONLY the
+    probe quantizer (``centroids`` gets the sub-means, via
+    ivf_rebalance on the co-saved lists), rows MOVE between ``cid=``
+    code partitions with their code arrays byte-unchanged, and a tiny
+    ``ecent`` relation (cid -> encode-centroid) records the residual
+    origin for each list — split children inherit their parent's
+    ecvec. ivfpq_probe ranks probes against the refined centroids but
+    computes the ADC coarse term dot(q, c) against ecent, so EVERY
+    (query, candidate) ADC score is bit-identical before and after a
+    rebalance — recall changes only through probe selection, which is
+    exactly the dial a rebalance is supposed to turn (finer cells
+    where data crowded), never through code corruption. ivfpq_refresh
+    likewise encodes new rows against their list's ecent.
+
+    I/O: raw hot ``cid=`` partitions rewritten by the inner
+    ivf_rebalance; code partitions rewritten only for {split cids}
+    ∪ {their new siblings} (moved rows, codes verbatim); cold lists
+    keep raw and code files byte-verbatim; centroids/ecent are
+    centroid-count-bounded. Cost is O(sum of hot list sizes), never a
+    full index pass. Returns the cids that split (empty = no-op,
+    index untouched)."""
+    if not _parquet_relation_exists(spark, f"{path}/lists"):
+        raise ValueError(
+            "ivfpq_rebalance needs the raw lists/ co-store "
+            "(ivfpq_save(store_raw=True)): the split's 2-means needs "
+            "raw vectors. For a codes-only index, rebalance by "
+            "retraining (ivfpq_save) when ns_vec_drift's threshold "
+            "trips."
+        )
+    cent_before = spark.read.parquet(f"{path}/centroids").collect()
+    before_ids = {r["cid"] for r in cent_before}
+    split = ivf_rebalance(
+        spark, path, max_skew=max_skew, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if not split:
+        return []
+    cent = spark.read.parquet(f"{path}/centroids")
+    new_cids = sorted(
+        {r["cid"] for r in cent.select("cid").collect()} - before_ids
+    )
+    touched = sorted(set(split) | set(new_cids))
+    # Move the affected code rows to their post-split lists, codes
+    # verbatim: new placement comes from the rewritten raw lists (the
+    # split's output), old codes from the still-unwritten codes
+    # relation — an equi-join on id over only the touched partitions
+    # of each side ({split} on the codes side, {split}∪{new} on the
+    # lists side; a row can move only between a split cid and its
+    # sibling).
+    placed = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cid").isin(touched))
+        .select(F.col(id_col).alias("id"), "cid")
+    )
+    old_codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cid").isin(sorted(split)))
+        .select(
+            F.col(id_col).alias("id"), "codes",
+            F.col("cid").alias("old_cid"),
+        )
+    )
+    moved = (
+        placed.join(old_codes, ["id"])
+        # materialize BEFORE the overwrite: the plan reads the very
+        # code partition files the write replaces (and old_cid is
+        # unreadable after it)
+        .localCheckpoint(eager=True)
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        moved.select(
+            F.col("id").alias(id_col), "codes", "cid"
+        ).write.partitionBy("cid").parquet(f"{path}/codes", mode="overwrite")
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # ecent: the residual origin per list. Unsplit lists keep their
+    # prior ecvec (or their save-time centroid for a first rebalance);
+    # split children — BOTH halves — inherit the parent's, because
+    # their rows' codes still encode residuals against it. Parentage
+    # of each sibling cid comes from its members' pre-split placement
+    # (old_cid, captured in `moved` before the overwrite); a sibling
+    # drains exactly one split cid, so the distinct set is one pair
+    # per sibling.
+    if _parquet_relation_exists(spark, f"{path}/ecent"):
+        prior = {
+            r["cid"]: list(r["ecvec"])
+            for r in spark.read.parquet(f"{path}/ecent").collect()
+        }
+    else:
+        prior = {r["cid"]: list(r["cvec"]) for r in cent_before}
+    parent = {
+        r["cid"]: r["old_cid"]
+        for r in moved.filter(F.col("cid").isin(new_cids))
+        .select("cid", "old_cid")
+        .distinct()
+        .collect()
+    }
+    ecent_rows = []
+    for r in cent.select("cid").collect():
+        c = r["cid"]
+        src = c if c in prior else parent.get(c)
+        ecent_rows.append((c, prior[src]))
+    spark.createDataFrame(
+        ecent_rows, "cid int, ecvec array<double>"
+    ).write.parquet(f"{path}/ecent", mode="overwrite")
+    return split
 
 
 def ivfpq_probe(
@@ -1579,15 +1806,24 @@ def ivfpq_probe(
     the scan touches codes, never vectors. Probe selection and ADC
     ranking are the SAME helpers ivf_pq_topk uses, so this returns
     exactly what the in-query operator returns for equal trained
-    state — the identity test_ivfpq_saved_index_probe pins."""
+    state — the identity test_ivfpq_saved_index_probe pins. After an
+    ivfpq_rebalance, probe SELECTION ranks against the refined
+    centroids while the ADC coarse term uses the ``ecent`` relation
+    (the residual origin each list's codes were encoded against), so
+    every candidate's score is unchanged by the rebalance."""
     cent = spark.read.parquet(f"{path}/centroids")
     book = spark.read.parquet(f"{path}/codebook")
+    ecent = (
+        spark.read.parquet(f"{path}/ecent")
+        if _parquet_relation_exists(spark, f"{path}/ecent")
+        else None
+    )
     m = book.agg(F.max("sub")).collect()[0][0]
     m = int(m) + 1 if m is not None else 0
     qs = queries.select(
         F.col(q_id).alias("__qid"), F.col(vec_col).alias("__qv")
     )
-    probes = _ivfpq_probes(qs, cent, nprobe)
+    probes = _ivfpq_probes(qs, cent, nprobe, ecent=ecent)
     probed_cids = sorted(
         r.cid for r in probes.select("cid").distinct().collect()
     )

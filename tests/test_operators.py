@@ -487,6 +487,147 @@ def test_ivf_rebalance_splits_hot_list(spark, sf_dir, tmp_path):
             assert after[vid] == cid or after[vid] not in counts_before
 
 
+def test_ivfpq_rebalance_splits_score_preserving(spark, sf_dir, tmp_path):
+    """ivfpq_rebalance (r13 VERDICT item 3) must split the hot list
+    exactly like the raw rebalance while leaving EVERY code array
+    byte-unchanged (score-preserving refinement: only the probe
+    quantizer refines; the residual origin is frozen per row in the
+    ecent relation, split children inheriting their parent's entry).
+    Pins: codebook frozen; every id kept exactly once with its exact
+    codes; cold rows keep their placement; moved rows move only
+    between a split cid and its sibling; raw co-store and codes agree
+    row-for-row on placement; ecent maps split children to the
+    parent's pre-split centroid and unsplit lists to their own; and
+    the ADC score of every (query, candidate) pair served both before
+    and after the rebalance is IDENTICAL — the invariant that makes
+    rebalance affect probe routing only, never scoring."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") < 150)
+    anchor = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("__anchor"))
+    )
+    batch = (
+        emb.filter(F.col("vec_id") >= 150)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "__anchor",
+                "embedding",
+                lambda a, b: a.cast("double")
+                + F.lit(0.1) * b.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_save(
+        base, path, num_centroids=8, m=4, pq_centroids=8,
+        iterations=2, store_raw=True,
+    )
+    sim.ivfpq_refresh(spark, path, batch)
+    sim.ivfpq_refresh(spark, path, batch)  # retry: no-op both relations
+    n_all = emb.count()
+    assert spark.read.parquet(f"{path}/codes").count() == n_all
+    assert spark.read.parquet(f"{path}/lists").count() == n_all
+    book_before = sorted(
+        map(tuple, spark.read.parquet(f"{path}/codebook").collect())
+    )
+    cent_before = {
+        r.cid: tuple(r.cvec)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    before = {
+        r.vec_id: (r.cid, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    pre = sim.ivfpq_probe(
+        spark, path, queries, k=5, nprobe=2
+    ).localCheckpoint(eager=True)
+    split = sim.ivfpq_rebalance(spark, path, max_skew=2.0, iterations=2)
+    assert split, "constructed hot list must trigger a split"
+    assert book_before == sorted(
+        map(tuple, spark.read.parquet(f"{path}/codebook").collect())
+    )  # frozen codebook
+    codes_after = spark.read.parquet(f"{path}/codes")
+    after = {
+        r.vec_id: (r.cid, tuple(r.codes)) for r in codes_after.collect()
+    }
+    assert set(after) == set(before)  # every id kept exactly once
+    for vid, (_, codes) in before.items():
+        assert after[vid][1] == codes  # EVERY code array byte-equal
+    new_cids = {c for c, _ in after.values()} - {
+        c for c, _ in before.values()
+    }
+    for vid, (cid, _) in before.items():
+        if cid not in split:
+            assert after[vid][0] == cid  # cold placement untouched
+        else:
+            assert after[vid][0] == cid or after[vid][0] in new_cids
+    # raw co-store tracks the codes through the rebalance
+    lists_after = spark.read.parquet(f"{path}/lists")
+    assert (
+        lists_after.select("vec_id", "cid")
+        .exceptAll(codes_after.select("vec_id", "cid"))
+        .count()
+        == 0
+    )
+    # ecent: split children carry the parent's PRE-SPLIT centroid;
+    # unsplit lists carry their own (unchanged) centroid
+    ecent = {
+        r.cid: tuple(r.ecvec)
+        for r in spark.read.parquet(f"{path}/ecent").collect()
+    }
+    assert set(ecent) == set(
+        r.cid
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    moved_parent = {}
+    for vid, (cid, _) in before.items():
+        if cid in split and after[vid][0] in new_cids:
+            moved_parent[after[vid][0]] = cid
+    for c, e in ecent.items():
+        if c in new_cids:
+            assert e == cent_before[moved_parent[c]]
+        elif c in split:
+            assert e == cent_before[c]
+        else:
+            assert e == cent_before[c]
+    # score preservation: every (q, candidate) pair served both
+    # before and after carries the IDENTICAL adc_score
+    post = sim.ivfpq_probe(spark, path, queries, k=5, nprobe=2)
+    both = pre.select(
+        "q_id", "vec_id", F.col("adc_score").alias("pre_score")
+    ).join(post.select("q_id", "vec_id", "adc_score"), ["q_id", "vec_id"])
+    rows = both.collect()
+    assert rows, "probe overlap expected on a one-split index"
+    for r in rows:
+        assert r.pre_score == r.adc_score
+
+
+def test_ivfpq_rebalance_requires_raw_costore(spark, sf_dir, tmp_path):
+    """A codes-only index (store_raw=False) cannot re-encode residuals
+    exactly — rebalance must refuse with the retrain-as-rebalance
+    guidance, never silently decode-and-re-encode."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    path = str(tmp_path / "ivfpq_codes_only")
+    sim.ivfpq_save(
+        emb, path, num_centroids=4, m=4, pq_centroids=8, iterations=1
+    )
+    with pytest.raises(ValueError, match="store_raw"):
+        sim.ivfpq_rebalance(spark, path)
+
+
 def test_minhash_incremental(spark):
     corpus = spark.createDataFrame(
         [

@@ -300,21 +300,65 @@ def main():
         # ExistingRDD/LogicalRDD, where pushdown does not exist as a
         # concept. Annotate the distinction so zero rows stop needing
         # manual adjudication.
+        #
+        # r14 (VERDICT r13 item 2): predicate-aware review flag. The
+        # r13 rule fired "review" on 54/105 rows, most of which had
+        # nothing reviewable: cache-backed plans (InMemoryTableScan —
+        # the filter correctly runs above the cache, pushdown into the
+        # cached relation is not a concept), plans with no Filter
+        # operator at all (nothing to push), and plans whose predicate
+        # DID reach the scan as a PartitionFilter (partition pruning is
+        # pushdown). The flag now fires only when a Filter operator
+        # sits in a plan that reads UNCACHED files and NO scan carries
+        # a pushed predicate (data or partition) — i.e., a pushable
+        # predicate may genuinely have been left above the scan.
         n_file = plan.count("Scan parquet") + plan.count("FileScan")
         n_rdd = plan.count("Scan ExistingRDD") + plan.count(
             "LocalTableScan"
         )
+        n_cache = plan.count("InMemoryTableScan")
+        # physical Filter operators ("*(n) Filter (" / "+- Filter (");
+        # the substring " Filter (" cannot match "PushedFilters: ["
+        # or "PartitionFilters: [".
+        n_filter = plan.count(" Filter (")
+        pushed_empty = formatted.count("PushedFilters: []")
+        pushed_data = counts["PushedFilters"] - pushed_empty
+        part_push = len(
+            re.findall(r"PartitionFilters: \[[^\]]", formatted)
+        )
         counts["FileScans"] = n_file
         counts["MemScans"] = n_rdd
+        counts["CacheScans"] = n_cache
+        counts["Filters"] = n_filter
+        counts["PartitionPushed"] = part_push
         note = ""
-        if counts["PushedFilters"] == 0:
-            note = (
-                " [pushdown-n/a: no file scans — ExistingRDD/"
-                "checkpoint/local relations only]"
-                if n_file == 0
-                else " [pushdown-expected: file scans present "
-                "without pushed filters — review]"
-            )
+        if pushed_data == 0:
+            if n_file == 0:
+                note = (
+                    " [pushdown-n/a: no file scans — ExistingRDD/"
+                    "checkpoint/local relations only]"
+                )
+            elif n_filter == 0:
+                note = (
+                    " [pushdown-n/a: no Filter operator in the plan "
+                    "— nothing to push]"
+                )
+            elif part_push > 0:
+                note = (
+                    " [pushdown-ok: predicate reached the scan as a "
+                    "PartitionFilter (partition pruning)]"
+                )
+            elif n_cache > 0:
+                note = (
+                    " [pushdown-n/a: cache-backed — Filter runs "
+                    "above InMemoryTableScan, file scans feed the "
+                    "cache unfiltered by design]"
+                )
+            else:
+                note = (
+                    " [pushdown-REVIEW: Filter above uncached file "
+                    "scan with no pushed predicate]"
+                )
         out.append(f"## {name}")
         out.append("")
         out.append(
