@@ -1927,69 +1927,71 @@ _merge_modules()
 # keep their relative order after the priority block. Reordering never
 # changes the set of queries — only dict iteration order.
 _PRIORITY = [
-    # ---- round-13 window: changed/new first (driver checks the
-    # first 50 catalog names). ns_knn_probe is NEW (saved-index
-    # lifecycle census, never driver-checked); the four graph-ANN
-    # censuses changed (brute_force_topk now PINS the fold scorer
-    # for the truth stage, so census outputs no longer depend on
-    # SPARK_GRAFT_KNN_SCORER); ns_split_leakage_safe and
-    # ns_text_bpe_train are this round's drift-probe subjects
-    # (proved box-drift, re-checked anyway). Fill: the r7-era block
-    # (the least-recently-driver-checked cohort, computed from the
-    # union of CORRECTNESS_r1..r12) minus its newest member to
-    # reach exactly 50 (rel_trade_volume rotates next round).
-    # Entries not named here keep their relative order after the
-    # priority block; reordering never changes the query set. ----
-    "ns_knn_probe",  # r13 NEW: saved kNN-graph index probe census
-    "ns_knn_refresh",  # r13 NEW: saved-index incremental refresh
-    "ns_knn_compact",  # r13 NEW: saved-index tombstone compaction
-    "ns_ivf_delete",  # r13 NEW: IVF saved-index delete leg
-    "ns_knn_repartition",  # r13 NEW: saved-index layout resize
-    "ns_knn_delete",  # r13: truth stage pinned to fold scorer
-    "ns_nn_descent",  # r13: truth stage pinned to fold scorer
-    "ns_graph_ann_search",  # r13: truth stage pinned to fold scorer
-    "ns_knn_insert",  # r13: truth stage pinned to fold scorer
-    "ns_split_leakage_safe",  # r13 drift-probe subject
-    "ns_text_bpe_train",  # r13 drift-probe subject
-    "etl_filter_open_orders",  # r7-era fill
-    "etl_member_parse",  # r7-era fill
-    "etl_nested_collect_explode",  # r7-era fill
-    "etl_role_permission_inversion",  # r7-era fill
-    "g_degree_histogram",  # r7-era fill
-    "g_offboard_user",  # r7-era fill
-    "g_top_roles",  # r7-era fill
-    "g_upsert_merge",  # r7-era fill
-    "ns_decontaminate",  # r7-era fill
-    "ns_dedup_exact",  # r7-era fill
-    "ns_dedup_minhash_verified",  # r7-era fill
-    "ns_dedup_simhash_md5",  # r7-era fill
-    "ns_events_hll_rollup",  # r7-era fill
-    "ns_events_scd2",  # r7-era fill
-    "ns_events_span_overlap",  # r7-era fill
-    "ns_events_transitions",  # r7-era fill
-    "ns_events_type_quartiles",  # r7-era fill
-    "ns_events_value_deciles",  # r7-era fill
-    "ns_hamming_recall",  # r7-era fill
-    "ns_knn_join",  # r7-era fill
-    "ns_text_langid",  # r7-era fill
-    "ns_text_vocab_stats",  # r7-era fill
-    "ns_topk_cosine",  # r7-era fill
-    "ns_vec_class_centroids",  # r7-era fill
-    "rel_bloom_prejoin",  # r7-era fill
-    "rel_cube_returns",  # r7-era fill
-    "rel_customers_in_both_statuses",  # r7-era fill
-    "rel_customers_without_orders",  # r7-era fill
-    "rel_event_props_json",  # r7-era fill
-    "rel_forecast_revenue",  # r7-era fill
-    "rel_market_share",  # r7-era fill
-    "rel_orders_per_month",  # r7-era fill
-    "rel_part_name_tokens",  # r7-era fill
-    "rel_pricing_summary",  # r7-era fill
-    "rel_priority_returns",  # r7-era fill
-    "rel_revenue_by_nation",  # r7-era fill
-    "rel_rollup_returns",  # r7-era fill
-    "rel_shipping_priority",  # r7-era fill
-    "rel_supplier_part_classes",  # r7-era fill
+    # ---- round-14 window: changed/new first (driver checks the
+    # first 50 catalog names). ns_ivfpq_rebalance is NEW (the
+    # score-preserving PQ list split + ecent relation, never
+    # driver-checked); ns_ivfpq_probe/refresh changed (ecent-aware
+    # coarse term / residual origin + raw co-store sync); the four
+    # saved-kNN-index censuses changed AFTER their r13 driver check
+    # (commit 7c6ecb2: external-query serving leg in ns_knn_probe,
+    # emptied-partition drop + present-ids delete count in
+    # ns_knn_compact, static-pin in ns_knn_repartition, bigint key
+    # casts in the probe path all four exercise). Fill: the entire
+    # remaining r7/r8-era cohort (the least-recently-driver-checked
+    # block, computed from the union of CORRECTNESS_r1..r13) plus
+    # the four oldest r9 greens to reach exactly 50. Entries not
+    # named here keep their relative order after the priority
+    # block; reordering never changes the query set. ----
+    "ns_ivfpq_rebalance",  # r14 NEW: PQ rebalance census
+    "ns_ivfpq_probe",  # r14: ecent-aware ADC coarse term
+    "ns_ivfpq_refresh",  # r14: ecent residual origin + co-store sync
+    "ns_knn_probe",  # changed post-r13-check (7c6ecb2 ext leg)
+    "ns_knn_refresh",  # changed post-r13-check (7c6ecb2)
+    "ns_knn_compact",  # changed post-r13-check (7c6ecb2)
+    "ns_knn_repartition",  # changed post-r13-check (7c6ecb2)
+    "rel_top_customers",  # r7-era fill (oldest cohort)
+    "rel_top_order_per_customer",  # r7-era fill
+    "rel_trade_volume",  # r7-era fill
+    "g_clustering_coefficient",  # r8-era fill
+    "g_connected_components",  # r8-era fill
+    "g_connected_components_star",  # r8-era fill
+    "g_cycle_census",  # r8-era fill
+    "g_dag_depth",  # r8-era fill
+    "g_degree_heterogeneity",  # r8-era fill
+    "g_grant_path_census",  # r8-era fill
+    "g_ktruss",  # r8-era fill
+    "g_label_assortativity",  # r8-era fill
+    "g_metapath_census",  # r8-era fill
+    "g_offboard_blast",  # r8-era fill
+    "g_reach_anf",  # r8-era fill
+    "g_reciprocity",  # r8-era fill
+    "g_role_similarity",  # r8-era fill
+    "g_scc",  # r8-era fill
+    "g_shortest_path_bidi",  # r8-era fill
+    "ns_corpus_budget_select",  # r8-era fill
+    "ns_events_attribution",  # r8-era fill
+    "ns_events_engagement",  # r8-era fill
+    "ns_events_pit_lookup",  # r8-era fill
+    "ns_events_quantile_hist",  # r8-era fill
+    "ns_events_seq_ngrams",  # r8-era fill
+    "ns_events_span_coverage",  # r8-era fill
+    "ns_events_theil_sen",  # r8-era fill
+    "ns_events_type_gini",  # r8-era fill
+    "ns_ivf_nprobe_sweep",  # r8-era fill
+    "ns_media_phash_dedup",  # r8-era fill
+    "ns_mixture_temperature",  # r8-era fill
+    "ns_text_bpe_apply",  # r8-era fill
+    "ns_text_bpe_pairs",  # r8-era fill
+    "ns_text_langid_confusion",  # r8-era fill
+    "ns_text_ngram_novelty",  # r8-era fill
+    "ns_text_source_overlap",  # r8-era fill
+    "rel_cdc_diff",  # r8-era fill
+    "rel_rank_distribution",  # r8-era fill
+    "rel_trailing_window",  # r8-era fill
+    "g_community_quality",  # r9-era fill (oldest four)
+    "ns_corpus_pps_sample",  # r9-era fill
+    "ns_dedup_clusters",  # r9-era fill
+    "ns_dedup_ngram_jaccard",  # r9-era fill
 ]
 
 
