@@ -236,19 +236,30 @@ def weighted_shortest_paths(
         .withColumn("dist", F.lit(0.0).cast("double"))
     )
     ids = g.vertices.select("id")
-    edges = g.edges
+    edges = g.edges.select("src", "dst", F.col(weight_col).alias("__w"))
+    # r14 (guide §2.3 — shuffle fewer bytes): DELTA relaxation. Under
+    # monotone min-combining, a vertex whose dist did not improve last
+    # round re-sends exactly the messages it already sent, and those
+    # were already min-merged — so only the FRONTIER (last round's
+    # improved set) needs to send. Per-round join input shrinks from
+    # O(|reached| ⋈ E) to O(|frontier| ⋈ E); final dist is identical
+    # (each round's improved set is unchanged, pinned by the
+    # BFS-equivalence property test). Both endpoint semi-joins against
+    # the vertex relation preserve the original triplet view's
+    # inner-join semantics for ids that are not graph vertices.
+    frontier = dist
     for _ in range(max_iter):
-        # One Pregel superstep: candidate = src.dist + edge.weight,
-        # min-combined per receiving vertex. The triplet view inner-
-        # joins both endpoints, so the vertex relation must cover every
-        # vertex — unreached ones ride along with a NULL dist (their
-        # outgoing messages are NULL and ignored by min).
-        verts = ids.join(dist, ["id"], "left_outer")
-        cand = aggregate_messages(
-            Graph(verts, edges),
-            F.min,
-            msg_to_dst=F.col("src.dist") + F.col(f"edge.{weight_col}"),
-        ).withColumnRenamed("agg", "cand")
+        cand = (
+            frontier.join(ids, ["id"], "left_semi")
+            .join(edges, F.col("id") == edges.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("__w")).alias("__msg"),
+            )
+            .join(ids, ["id"], "left_semi")
+            .groupBy("id")
+            .agg(F.min("__msg").alias("cand"))
+        )
         improved = (
             cand.filter(F.col("cand").isNotNull())
             .join(dist, ["id"], "left_outer")
@@ -261,6 +272,7 @@ def weighted_shortest_paths(
         dist = _truncate(
             dist.join(improved, ["id"], "left_anti").unionByName(improved)
         )
+        frontier = improved
     return dist
 
 
@@ -873,15 +885,14 @@ def clustering_coefficient(g: Graph) -> DataFrame:
     before the ONE shared double division); triangle counting reuses
     :func:`triangle_count`'s degree-ordered orientation (the O(sqrt m)
     out-degree guard). nullif on wedge-free graphs."""
-    tri = triangle_count(g)
-    und = (
-        g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(
-            g.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-        )
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates()
-    )
+    # r14 (guide §2.4/§5): the deduped undirected edge set is needed
+    # by BOTH the triangle count and the wedge scalar, and each lazy
+    # reference re-ran the symmetrize+distinct exchange (the before
+    # plan stitched 8 copies of the cached-graph scan,
+    # plans/r14/g_clustering_coefficient_before.txt). Materialize it
+    # once and share it with triangle_count.
+    und = _truncate(_undirected_simple(g))
+    tri = triangle_count(g, _und=und)
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -904,7 +915,20 @@ def clustering_coefficient(g: Graph) -> DataFrame:
     )
 
 
-def triangle_count(g: Graph) -> DataFrame:
+def _undirected_simple(g: Graph) -> DataFrame:
+    """Deduped undirected simple edge set (a < b), lazily — the
+    shared input of triangle_count / clustering_coefficient."""
+    return (
+        g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            g.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def triangle_count(g: Graph, _und: DataFrame | None = None) -> DataFrame:
     """Global undirected triangle count — one row (n_triangles) — by
     DEGREE-ordered orientation (the compact-forward algorithm): every
     undirected edge points from its lower-(degree, id) endpoint to the
@@ -916,15 +940,14 @@ def triangle_count(g: Graph) -> DataFrame:
     IAM graph's role hubs), while degree-ordering bounds out-degree by
     O(√m), making wedge volume O(m^1.5) worst-case and linear-ish on
     skewed graphs — the same join pipeline dropped to seconds.
+
+    ``_und`` (r14): an already-materialized undirected simple edge
+    set (from _undirected_simple) to share with a caller that needs
+    it too (clustering_coefficient) — und feeds sym, deg, and the
+    oriented join, and each lazy reference re-ran its
+    symmetrize+distinct exchange.
     """
-    und = (
-        g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(
-            g.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-        )
-        .filter(F.col("a") < F.col("b"))
-        .dropDuplicates()
-    )
+    und = _truncate(_undirected_simple(g)) if _und is None else _und
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -1129,6 +1152,12 @@ def label_propagation(
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+    # r14 (guide §2.4/§5): und joins into EVERY round's neighbor scan
+    # and itself references `edges` twice, so a lazy und re-executes
+    # the caller's edge derivation 2x per round (6x at rounds=3 — the
+    # g_community_quality edge subtree is a 2-join over the graph).
+    # One truncation bounds it to a single execution.
+    und = _truncate(und)
     lbl = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
     )
@@ -1535,33 +1564,48 @@ def hits(
 
     hub = _truncate(v.select("id", F.lit(1.0).alias("hub")))
     auth = v.select("id", F.lit(1.0).alias("auth"))
+    # r14 (guide §2.4/§5): each half-round's un-normalized scores
+    # feed BOTH the normalizing total and the normalized frame; as a
+    # lazy plan the O(E) message join+agg executed twice per
+    # half-round (once under the broadcast scalar, once in the main
+    # frame). Materializing raw_a/raw_h (bounded by |V| rows) bounds
+    # the E-join to one execution; the total sums the identical term
+    # multiset (the dropped left-outer zeros are exact +0.0 no-ops).
     for _ in range(iterations):
-        raw_a = (
+        raw_a = _truncate(
             hub.join(edges, hub.id == edges.src)
             .groupBy("dst")
             .agg(F.sum("hub").alias("__raw"))
         )
-        auth = v.join(
-            raw_a, v.id == F.col("dst"), "left_outer"
-        ).select("id", F.coalesce("__raw", F.lit(0.0)).alias("__raw"))
-        ta = auth.agg(F.sum("__raw").alias("__tot"))
+        ta = raw_a.agg(
+            F.coalesce(F.sum("__raw"), F.lit(0.0)).alias("__tot")
+        )
         auth = _truncate(
-            auth.crossJoin(F.broadcast(ta)).select(
-                "id", (F.col("__raw") / F.col("__tot")).alias("auth")
+            v.join(raw_a, v.id == F.col("dst"), "left_outer")
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "id",
+                (
+                    F.coalesce("__raw", F.lit(0.0)) / F.col("__tot")
+                ).alias("auth"),
             )
         )
-        raw_h = (
+        raw_h = _truncate(
             auth.join(edges, auth.id == edges.dst)
             .groupBy("src")
             .agg(F.sum("auth").alias("__raw"))
         )
-        hub = v.join(
-            raw_h, v.id == F.col("src"), "left_outer"
-        ).select("id", F.coalesce("__raw", F.lit(0.0)).alias("__raw"))
-        th = hub.agg(F.sum("__raw").alias("__tot"))
+        th = raw_h.agg(
+            F.coalesce(F.sum("__raw"), F.lit(0.0)).alias("__tot")
+        )
         hub = _truncate(
-            hub.crossJoin(F.broadcast(th)).select(
-                "id", (F.col("__raw") / F.col("__tot")).alias("hub")
+            v.join(raw_h, v.id == F.col("src"), "left_outer")
+            .crossJoin(F.broadcast(th))
+            .select(
+                "id",
+                (
+                    F.coalesce("__raw", F.lit(0.0)) / F.col("__tot")
+                ).alias("hub"),
             )
         )
     return hub.join(auth, ["id"])

@@ -717,6 +717,14 @@ def minhash_calibration(
     4.1s -> 5.6s at sf0.1. At index scale the pruned shape wins on
     volume; minhash_incremental_candidates is the operator that
     already embodies it.)"""
+    # r14 note: an eager localCheckpoint of est (to stop the band
+    # self-join executing under both the verify subtree and the final
+    # join) was MEASURED and REVERTED — isolated median 4.33s -> 5.02s
+    # at sf0.1: the checkpoint serializes a branch Spark otherwise
+    # runs concurrently, the same trade the r9 candidate-prune
+    # rejection below documents. The double execution overlaps in
+    # wall time; the persisted `long` relation already bounds the
+    # expensive signature work to one pass.
     est = minhash_lsh_candidates(
         df,
         id_col,

@@ -837,6 +837,12 @@ def knn_probe(
         if query_emb is None
         else _normalize(query_emb, id_col, vec_col)
     )
+    # r14 (guide §5): qe feeds _score_pairs on EVERY hop; as a lazy
+    # plan its vectors-scan + semi-join re-executed hops+1 times (7x
+    # at the bench's hops=6). One eager localCheckpoint bounds it to
+    # a single read — qe is |queries| rows, never corpus-sized.
+    if checkpoint:
+        qe = qe.localCheckpoint()
     f0 = queries.select("a").crossJoin(ent).where(
         F.col("a") != F.col("b")
     )
@@ -875,6 +881,15 @@ def knn_probe(
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
+        # r14 (guide §5, §1 measured): pairs feeds BOTH the candidate
+        # partition-value collect inside _pruned_vectors and the
+        # scoring join below — as a lazy plan, the hop expansion
+        # (pruned adjacency scan + frontier join + distinct) executed
+        # TWICE per hop. One eager localCheckpoint halves the per-hop
+        # adjacency I/O; pairs is bounded by beam x |queries| x
+        # max_entries rows of (bigint, bigint).
+        if checkpoint:
+            pairs = pairs.localCheckpoint()
         cand = _pruned_vectors(
             spark, path, n_parts, pairs.select("b"), "b"
         )

@@ -449,7 +449,14 @@ def role_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB). Pairs canonicalize on role NAME (portable — vertex ids
     are engine-internal). Exact integers until the one jaccard
     division."""
-    ur = _user_role_names(spark, sf_dir)
+    # r14 (guide §3.3/§5): ur feeds THREE subtrees (both sides of the
+    # co-membership self-join and the size table) and Catalyst does
+    # not reuse a subtree across aliases — the stitched plan carried
+    # 270 Exchanges (plans/r14/g_role_redundancy_before.txt) and
+    # planning itself dominated. One eager localCheckpoint truncates
+    # the lineage; ur is the distinct (email, role) relation, bounded
+    # by users x roles.
+    ur = _user_role_names(spark, sf_dir).localCheckpoint()
     sizes = ur.groupBy("role").agg(F.count("*").alias("__n"))
     a = ur.alias("a")
     b = ur.alias("b")
@@ -1385,6 +1392,12 @@ def community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_k = keys.select(F.col("k").alias("id"))
     lbl = label_propagation(v_k, e_k, rounds=3)
 
+    # r14 (guide §3.3/§5): ue feeds FOUR subtrees (m scalar, both
+    # label joins' probe, and the degree union's two branches); each
+    # lazy copy carried the full e_k 2-join subtree, stitching a
+    # 322-Exchange plan (plans/r14/g_community_quality_before.txt)
+    # whose planning time dominated. One eager localCheckpoint of the
+    # deduped undirected edge set truncates all of them.
     ue = (
         e_k.filter(F.col("src") != F.col("dst"))
         .select(
@@ -1392,6 +1405,7 @@ def community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("y"),
         )
         .dropDuplicates()
+        .localCheckpoint()
     )
     m_row = ue.agg(F.count("*").cast("bigint").alias("__m"))
 

@@ -4081,9 +4081,14 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the 3-row census."""
     dd.release_scratch()
     docs = load_table(spark, sf_dir, "documents")
+    # r14 (guide §5): pairs feeds BOTH the closure (which materializes
+    # its own copy inside semantic_dedup_members) and the leakage
+    # audit join below — as a lazy plan the whole shingle/self-join
+    # Jaccard pipeline executed twice per run. One eager
+    # localCheckpoint here is read by both consumers.
     pairs = dd.ngram_jaccard_pairs(
         docs, n=SHINGLE_N, threshold=JACCARD_TAU, max_df=MAX_DF
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     members = dd.semantic_dedup_members(pairs).select(
         "id", "cluster_rep"
     )
