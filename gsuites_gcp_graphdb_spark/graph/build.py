@@ -201,25 +201,33 @@ def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_name").alias("src_key"), F.col("n_name").alias("dst_key"))
 
     # user -in-> role: IAM binding (main.go:566-581 analog).
-    # Scale path: PROJECT the fact table to the two join keys, then
-    # distinct, BEFORE the join — the map-side combine sees 16-byte
-    # pairs instead of full rows (a full-row dropDuplicates would make
-    # every column a grouping key and defeat column pruning entirely);
-    # a second distinct after the custkey projection collapses the
-    # orders fan-in.
-    order_part = (
-        lineitem.select("l_orderkey", "l_partkey")
+    # Scale path (guide §2.3, aggregate before you shuffle): resolve
+    # partkey -> brand FIRST, because brand is the low-cardinality
+    # attribute the edge actually keys on — the (orderkey, brand)
+    # distinct collapses the fact table toward |orders| x |brands|
+    # before anything else shuffles, and every later exchange carries
+    # the narrow brand string instead of a partkey that is about to be
+    # discarded. (The previous spelling deduped (l_orderkey,
+    # l_partkey) — a near-unique pair in this fixture, so that full
+    # shuffle removed almost nothing — and only collapsed to brand
+    # level in the final edge distinct.) The final distinct (c_name,
+    # p_brand) set is identical: dedup order does not change a
+    # distinct projection.
+    order_brand = (
+        lineitem.join(
+            part.select("p_partkey", "p_brand"),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
         .dropDuplicates()
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .select("o_custkey", "l_partkey")
+        .select("o_custkey", "p_brand")
         .dropDuplicates()
     )
-    user_role = (
-        order_part.join(customer, order_part.o_custkey == customer.c_custkey)
-        .join(part, order_part.l_partkey == part.p_partkey)
-        .select(
-            F.col("c_name").alias("src_key"), F.col("p_brand").alias("dst_key")
-        )
+    user_role = order_brand.join(
+        customer, order_brand.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_name").alias("src_key"), F.col("p_brand").alias("dst_key")
     )
 
     # role -in-> project: role bound on resource (main.go:539-560 analog).

@@ -103,6 +103,48 @@ def shingle_sets(
     ).select("id", "set_size", shingle.alias("shingle"))
 
 
+def _dfcut_posts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_shingles: bool,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared df-cut prologue of the n-gram operators: the persisted
+    posting relation with stop-shingles removed and set sizes
+    recomputed over the kept universe.
+
+    The raw posting relation is persisted BEFORE the df computation
+    (guide §5): ``heavy`` (the document-frequency aggregate) and the
+    kept postings both derive from it, so the corpus is scanned,
+    split, and exploded ONCE — previously the heavy subtree re-ran
+    the whole shingling pass as the anti-join's broadcast side
+    (visible as the second `Scan parquet -> ... -> Exchange (12)`
+    branch in plans/r14/ns_dedup_ngram_jaccard_before.txt)."""
+    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
+    if max_df is None:
+        return _scratch_persist(posts)
+    posts = _scratch_persist(posts)
+    # One map-combinable groupBy finds the (few) ubiquitous shingles;
+    # the anti-join against that small set broadcasts.
+    heavy = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    kept = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
+    kept = kept.withColumn(
+        "set_size",
+        F.count("*").over(Window.partitionBy("id")).cast("bigint"),
+    )
+    # The kept relation still feeds both sides of the candidate
+    # self-join (no exchange reuse across aliases), so it is persisted
+    # too; both scratch entries release together.
+    return _scratch_persist(kept)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -129,26 +171,9 @@ def ngram_jaccard_pairs(
     (set sizes recomputed over kept shingles), keeping the operator
     deterministic and oracle-mirrorable.
     """
-    # Persist the posting relation: it feeds BOTH sides of the
-    # self-join and Catalyst does not reuse the exchange across the
-    # a/b aliases (verified via executedPlan) — without this the
-    # corpus is scanned and shingled twice.
-    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
-    if max_df is not None:
-        # One map-combinable groupBy finds the (few) ubiquitous
-        # shingles; the anti-join against that small set broadcasts.
-        heavy = (
-            posts.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
-        )
-        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
-        posts = posts.withColumn(
-            "set_size",
-            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
-        )
-    posts = _scratch_persist(posts)
+    # Persisted posting relation (shared df-cut prologue: one
+    # shingling pass feeds the df aggregate AND both self-join sides).
+    posts = _dfcut_posts(df, id_col, text_col, n, hash_shingles, max_df)
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -221,20 +246,7 @@ def ngram_jaccard_pairs_prefix(
     Verification joins the (distinct) candidate pairs back to the
     full posting lists keyed on (id, shingle) — cost is candidates ×
     set size, not postings², which is the whole point at 100 TB."""
-    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
-    if max_df is not None:
-        heavy = (
-            posts.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
-        )
-        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
-        posts = posts.withColumn(
-            "set_size",
-            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
-        )
-    posts = _scratch_persist(posts)
+    posts = _dfcut_posts(df, id_col, text_col, n, hash_shingles, max_df)
     dfreq = posts.groupBy("shingle").agg(F.count("*").alias("__gdf"))
     ranked = posts.join(dfreq, ["shingle"]).withColumn(
         "__rk",
@@ -327,20 +339,7 @@ def ngram_containment_pairs(
     stop-shingle quadratic guard (set sizes recomputed over the kept
     universe so the ratio stays a true containment of the reduced
     sets)."""
-    posts = shingle_sets(df, id_col, text_col, n, hash_shingles)
-    if max_df is not None:
-        heavy = (
-            posts.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
-        )
-        posts = posts.join(F.broadcast(heavy), ["shingle"], "left_anti")
-        posts = posts.withColumn(
-            "set_size",
-            F.count("*").over(Window.partitionBy("id")).cast("bigint"),
-        )
-    posts = _scratch_persist(posts)
+    posts = _dfcut_posts(df, id_col, text_col, n, hash_shingles, max_df)
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (

@@ -322,7 +322,13 @@ def principals_with_access_g(g: Graph) -> DataFrame:
     roles = g.vertices.filter(F.col("label") == "role").select(
         F.col("id").alias("role_id"), F.col("name").alias("role")
     )
-    role_on_p = role_edge.join(roles, ["role_id"])
+    # Roles bound to ONE project — bounded by the role universe, never
+    # the edge set, so broadcast explicitly (guide §3.1): the planner's
+    # post-join size estimate picks SortMergeJoin here, which shuffles
+    # AND sorts the full O(E) edge relation against this tiny side
+    # (measured in plans/r14/g_principals_with_access_before.txt:
+    # Exchange+Sort over e at nodes 80-81).
+    role_on_p = F.broadcast(role_edge.join(roles, ["role_id"]))
     # user -in-> role
     user_edge = e.join(
         role_on_p, e.dst == role_on_p.role_id
@@ -358,7 +364,9 @@ def who_can_access_min_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     roles = g.vertices.filter(F.col("label") == "role").select(
         F.col("id").alias("role_id"), F.col("name").alias("role")
     )
-    role_on_b = role_edge.join(roles, ["role_id"])
+    # Roles bound to ONE bucket — same bounded-side broadcast as the
+    # flagship (guide §3.1): avoids an O(E) shuffle+sort SortMergeJoin.
+    role_on_b = F.broadcast(role_edge.join(roles, ["role_id"]))
     # user -in-> role (permission->role edges drop out at the user join)
     user_edge = e.join(role_on_b, e.dst == role_on_b.role_id).select(
         F.col("src").alias("user_id"), "role", "bucket"
