@@ -743,6 +743,15 @@ def winnow_fingerprints(
     winnowed stream is ~2/(w+1) of the k-gram stream), one join back.
     Hashes compared as md5 hex strings — identical lexicographic
     order in DuckDB."""
+    # r14 optimization note: two rewrites were MEASURED here and both
+    # LOST at sf0.1, so the original shape stands. (1) _scratch_persist
+    # of fps (it feeds the share census and the join-back): 1.6 -> 2.8 s
+    # median — the persist serializes branches Spark runs concurrently,
+    # the minhash_calibration trade. (2) replacing the join-back with
+    # unique-count arithmetic (n_shared_fp = n_fingerprints - fps
+    # unique to the doc) plus a size()-based n_kgrams: still ~2.8 s —
+    # the extra aggregate/join stages cost more than the saved
+    # fp-keyed shuffle at this scale.
     grams = _winnow_grams(df, id_col, text_col, k)
     fps = _winnow_fp_relation(grams, id_col, w)
     share = fps.groupBy("fp").agg(
@@ -794,6 +803,14 @@ def source_overlap_matrix(
     fps = _winnow_fp_relation(
         _winnow_grams(df, id_col, text_col, k), id_col, w
     )
+    # (source, fp) feeds THREE consumers (the per-source census and
+    # both sides of the fp self-join) — deliberately left UNpersisted:
+    # an r14 _scratch_persist here was measured at sf0.1 and LOST
+    # (1.78/1.82 -> 1.91/2.00 s paired medians) because the persist
+    # serializes branches Spark runs concurrently on an underloaded
+    # scheduler; the three stitched re-executions overlap in wall
+    # time. (At full cluster utilization the persist wins on total
+    # work — revisit if this operator ever dominates a saturated run.)
     sf = (
         fps.join(
             df.select(F.col(id_col), F.col(source_col).alias("__src")),

@@ -1846,20 +1846,40 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    posts = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(shingles(F.lower(F.col("text")), 8)).alias("sh"),
-    ).dropDuplicates()
-    dfreq = posts.groupBy("sh").agg(F.count("*").alias("__df"))
-    per_doc = (
-        posts.join(dfreq, ["sh"])
+    # posts feeds the per-doc census AND the df aggregate below —
+    # deliberately left UNpersisted: an r14 _scratch_persist was
+    # measured at sf0.1 and LOST (the persist serializes branches
+    # Spark runs concurrently; same trade as minhash_calibration's
+    # r9/r14 notes).
+    posts = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles(F.lower(F.col("text")), 8)).alias("sh"),
+        ).dropDuplicates()
+    )
+    # n_shared = n_shingles - (shingles unique to the doc): a shingle
+    # with document-frequency 1 names its sole owner, so the unique
+    # counts come out of the SAME groupBy that computes the df census
+    # and the former join-back of the full posting relation onto the
+    # df table (a second posting-volume shuffle, r14 guide §2.4)
+    # drops out. posts is distinct (id, sh), so max(id) is the sole
+    # owner exactly when the count is 1.
+    n_per_doc = posts.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    uniq = (
+        posts.groupBy("sh")
+        .agg(F.count("*").alias("__df"), F.max("id").alias("id"))
+        .filter(F.col("__df") == 1)
         .groupBy("id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.sum((F.col("__df") > 1).cast("long"))
-            .cast("bigint")
-            .alias("n_shared"),
-        )
+        .agg(F.count("*").alias("__n_uniq"))
+    )
+    per_doc = n_per_doc.join(uniq, ["id"], "left").select(
+        "id",
+        "n_shingles",
+        (F.col("n_shingles") - F.coalesce(F.col("__n_uniq"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_shared"),
     )
     scored = per_doc.select(
         F.col("id").cast("bigint").alias("doc_id"),
