@@ -166,12 +166,16 @@ def _score_pairs(
     )
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
+def _topk(
+    scored: DataFrame, k: int, extra: tuple = ()
+) -> DataFrame:
+    """Per-query (s DESC, b ASC) cut; `extra` names bookkeeping
+    columns to carry through (the beam loops' frontier bit)."""
     w = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("b").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= F.lit(k))
-        .select("a", "b", "s", "rk")
+        .select("a", "b", "s", *extra, "rk")
     )
 
 
@@ -372,22 +376,45 @@ def beam_search(
     nbrs = graph.select(
         F.col("a").alias("v"), F.col("b").alias("nb")
     )
+    # r14 (guide §2.3): frontier (delta) expansion — the same exact
+    # properties knn_probe's loop documents (scores are pure in
+    # (a, b) so beam scores are reusable; the (s DESC, b ASC) cutoff
+    # is monotone so a candidate cut once can never re-enter —
+    # which also makes beam exits permanent, so the not-yet-expanded
+    # members are exactly the rows that ENTERED the beam last hop:
+    # a provenance bit carried through _topk, no anti-join, no
+    # accumulator). Per hop: expand only the frontier, score only
+    # pairs not already in the beam. No early-exit probe here
+    # (unlike knn_probe there is no per-hop collect to piggyback on,
+    # and an extra driver action per hop costs more than it saves —
+    # the empty-frontier hop is already near-free).
+    # Result identical (oracle-pinned census queries +
+    # test_beam_search_* / probe-equality tests).
+    g = g.withColumn("__new", F.lit(True))
     for _ in range(hops):
-        hopp = (
-            g.select("a", F.col("b").alias("v"))
-            .join(nbrs, ["v"])
-            .select("a", F.col("nb").alias("b"))
+        newv = g.where(F.col("__new")).select(
+            "a", F.col("b").alias("v")
         )
-        pairs = (
-            g.select("a", "b")
-            .union(hopp)
+        new_pairs = (
+            newv.join(nbrs, ["v"])
+            .select("a", F.col("nb").alias("b"))
             .where(F.col("a") != F.col("b"))
             .distinct()
+            .join(g.select("a", "b"), ["a", "b"], "left_anti")
         )
-        g = _topk(_score_pairs(pairs, qe, e, arrow=arrow), beam)
+        g = _topk(
+            g.select(
+                "a", "b", "s", F.lit(False).alias("__new")
+            ).unionByName(
+                _score_pairs(new_pairs, qe, e, arrow=arrow)
+                .withColumn("__new", F.lit(True))
+            ),
+            beam,
+            extra=("__new",),
+        )
         if checkpoint:
             g = g.localCheckpoint()
-    return g
+    return g.select("a", "b", "s", "rk")
 
 
 def insert_batch(
@@ -856,47 +883,82 @@ def knn_probe(
     links = _read_links(spark, path)
     if links is not None:
         adj = adj.unionByName(links.select("a", "b", "pa"))
+    # r14 (guide §2.3): frontier (delta) expansion with fixpoint
+    # early-exit. Three exact properties of the beam update
+    # g' = topk(g ∪ score(expand(g))) under the deterministic
+    # (s DESC, b ASC) cut:
+    #   1. scores are a pure function of (a, b), so a beam member's
+    #      stored `s` can be reused — only NEVER-SEEN pairs need the
+    #      vector fetch + scoring join;
+    #   2. the beam's k-th key never worsens round over round, so a
+    #      candidate once cut can never re-enter — which also means
+    #      beam exits are permanent, so the set of beam members not
+    #      yet expanded is exactly the rows that ENTERED the beam on
+    #      the previous hop. The frontier is therefore a provenance
+    #      BIT carried through _topk (rows from scored_new are new,
+    #      carried rows are not) — no anti-join, no accumulator;
+    #   3. if the frontier is empty, g' = g exactly, for this and
+    #      every later hop.
+    # Per hop this cuts the adjacency read to the NEW beam members'
+    # partitions, the vector fetch + scoring to NEW candidate pairs,
+    # and ends the loop at beam fixpoint instead of running all
+    # `hops` rounds. Result identical (probe == beam_search pinned by
+    # test_knn_probe_equals_beam_search and the ns_knn_probe census).
+    g = g.withColumn("__new", F.lit(True))
     for _ in range(hops):
+        newv = g.where(F.col("__new")).select(
+            "a", F.col("b").alias("v")
+        )
+        # the per-hop partition-value collect (bounded by n_parts)
+        # doubles as the FREE fixpoint probe: an empty frontier
+        # hashes into no partitions — no extra driver action needed
         parts = sorted(
             r.p
-            for r in g.select(
-                F.pmod(F.xxhash64(F.col("b")), F.lit(n_parts)).alias(
+            for r in newv.select(
+                F.pmod(F.xxhash64(F.col("v")), F.lit(n_parts)).alias(
                     "p"
                 )
             )
             .distinct()
             .collect()
         )
+        if not parts:
+            break
         nbrs = adj.where(F.col("pa").isin(parts)).select(
             F.col("a").alias("v"), F.col("b").alias("nb")
         )
-        hopp = (
-            g.select("a", F.col("b").alias("v"))
-            .join(nbrs, ["v"])
+        # new candidate pairs only: expansion of the frontier, minus
+        # pairs already in the beam (their scores are reused below)
+        new_pairs = (
+            newv.join(nbrs, ["v"])
             .select("a", F.col("nb").alias("b"))
-        )
-        pairs = (
-            g.select("a", "b")
-            .union(hopp)
             .where(F.col("a") != F.col("b"))
             .distinct()
+            .join(g.select("a", "b"), ["a", "b"], "left_anti")
         )
-        # r14 (guide §5, §1 measured): pairs feeds BOTH the candidate
-        # partition-value collect inside _pruned_vectors and the
-        # scoring join below — as a lazy plan, the hop expansion
-        # (pruned adjacency scan + frontier join + distinct) executed
-        # TWICE per hop. One eager localCheckpoint halves the per-hop
-        # adjacency I/O; pairs is bounded by beam x |queries| x
-        # max_entries rows of (bigint, bigint).
+        # new_pairs feeds BOTH the candidate partition-value collect
+        # inside _pruned_vectors and the scoring join (guide §5, §1
+        # measured in wave 1: without the checkpoint the hop
+        # expansion executes twice); bounded by
+        # frontier x max_entries rows of (bigint, bigint).
         if checkpoint:
-            pairs = pairs.localCheckpoint()
+            new_pairs = new_pairs.localCheckpoint()
         cand = _pruned_vectors(
-            spark, path, n_parts, pairs.select("b"), "b"
+            spark, path, n_parts, new_pairs.select("b"), "b"
         )
-        g = _topk(_score_pairs(pairs, qe, cand, arrow=arrow), beam)
+        g = _topk(
+            g.select(
+                "a", "b", "s", F.lit(False).alias("__new")
+            ).unionByName(
+                _score_pairs(new_pairs, qe, cand, arrow=arrow)
+                .withColumn("__new", F.lit(True))
+            ),
+            beam,
+            extra=("__new",),
+        )
         if checkpoint:
             g = g.localCheckpoint()
-    return g
+    return g.select("a", "b", "s", "rk")
 
 
 def knn_refresh(
