@@ -23,8 +23,6 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import (
     band_hashes,
-    minhash_signature_md5,
-    minhash_signature_xxhash,
     shingles,
 )
 
@@ -371,6 +369,46 @@ def ngram_containment_pairs(
     )
 
 
+def _minhash_sig(
+    sh: DataFrame, num_hashes: int, use_md5: bool
+) -> DataFrame:
+    """(id, sh array<string>) -> (id, mh_0..mh_{k-1}): the MinHash
+    signature as an explode + k codegen'd min-aggregates instead of
+    k interpreted array_min(transform(...)) HOFs (guide §4 applied
+    to the JVM's own interpreter: HigherOrderFunctions are
+    CodegenFallback, so the seeded md5/xxhash per shingle per
+    component ran outside whole-stage codegen — the dominant compute
+    of every MinHash operator). Bit-identical to the HOF spelling
+    (functions/textfns.py minhash_signature_md5/_xxhash, kept as the
+    documented column-expression form): min over the same seeded
+    multiset, string min = lexicographic = array_min's ordering; a
+    null/empty shingle array explode_outer's to one null element
+    whose seeded hash is null (md5 via concat null-propagation,
+    xxhash via the explicit isNotNull guard — xxhash64 itself never
+    returns null), and min over only-nulls is null, matching
+    array_min(transform(null|[])). The groupBy shuffles one row per
+    doc (partial agg collapses each doc's shingles map-side)."""
+    ex = sh.select("id", F.explode_outer("sh").alias("__s"))
+    if use_md5:
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.col("__s"), F.lit(f"|{j}")))
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("__s").isNotNull(),
+                    F.xxhash64(F.col("__s"), F.lit(j)),
+                )
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    return ex.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -399,11 +437,12 @@ def minhash_lsh_candidates(
     dedup is unchanged because est_matches is functionally determined
     by the pair."""
     rows = num_hashes // bands
-    sig_fn = minhash_signature_md5 if use_md5 else minhash_signature_xxhash
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
-    sig = sh.select("id", *sig_fn(F.col("sh"), num_hashes))
+    # r14: codegen'd signature (see _minhash_sig) instead of the
+    # interpreted HOF column expressions — identical values
+    sig = _minhash_sig(sh, num_hashes, use_md5)
     sig_cols = [f"mh_{j}" for j in range(num_hashes)]
     carry = sig_cols if with_agreement else []
     banded = sig.select(
@@ -512,34 +551,51 @@ def minhash_dedup_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document as a single per-row array fold —
-    tokens never explode, so the operator is shuffle-FREE (a narrow
-    map over the corpus; at 100 TB it pipelines with the scan).
-    Per-bit +/-1 votes accumulate in an int array via
-    aggregate/zip_with; the sign vector packs into one BIGINT.
+    """64-bit SimHash per document: per-bit +/-1 votes over the token
+    stream (explode + 64 map-side-combinable SUMs — the shuffle
+    carries one 64-long row per doc), the sign vector packed into
+    one BIGINT.
 
     Returns (id, simhash bigint)."""
-    votes_expr = f"""
-      aggregate(
-        split({text_col}, ' '),
-        array_repeat(0L, 64),
-        (acc, t) -> zip_with(
-          acc,
-          transform(sequence(0, 63),
-            i -> CASE WHEN ((xxhash64(t) >> i) & 1) = 1
-                 THEN 1L ELSE -1L END),
-          (a, b) -> a + b))"""
-    pack_expr = """
-      aggregate(transform(sequence(0, 62),
-          i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
-        0L, (a, b) -> a + b)
-      + CASE WHEN votes[63] > 0 THEN -9223372036854775808 ELSE 0L END"""
-    return (
-        df.select(
-            F.col(id_col).alias("id"), F.expr(votes_expr).alias("votes")
-        )
-        .select("id", F.expr(pack_expr).alias("simhash"))
+    # r14 spelling (guide §4 applied to the JVM interpreter): the
+    # previous single-row aggregate/zip_with/transform fold ran 64
+    # interpreted lambda evaluations per TOKEN (HigherOrderFunctions
+    # are CodegenFallback); now tokens explode and the 64 votes are
+    # codegen'd SUM aggregates (partial agg collapses each doc's
+    # tokens map-side, so the exchange carries one 64-long row per
+    # doc). Values bit-identical: same xxhash64 per token, same vote
+    # arithmetic, same pack. A null text (null token array)
+    # explode_outer's to one null token whose guarded hash is null
+    # -> every vote -1 -> every bit 0 -> simhash 0, exactly the old
+    # fold's output on a null array (null votes -> all-zero pack).
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("__t"),
+    ).select(
+        "id",
+        F.expr(
+            "CASE WHEN __t IS NULL THEN NULL ELSE xxhash64(__t) END"
+        ).alias("__h"),
     )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ((__h >> {i}) & 1) = 1"
+                    " THEN 1L ELSE -1L END"
+                )
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    pack_expr = (
+        " + ".join(
+            f"CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END"
+            for i in range(63)
+        )
+        + " + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0L END"
+    )
+    return votes.select("id", F.expr(pack_expr).alias("simhash"))
 
 
 def simhash_candidates(
@@ -795,13 +851,13 @@ def minhash_incremental_candidates(
     reports them). Ids must be disjoint across the two inputs.
     """
     rows = num_hashes // bands
-    sig_fn = minhash_signature_md5 if use_md5 else minhash_signature_xxhash
 
     def _banded(df: DataFrame, is_new: bool) -> DataFrame:
         sh = df.select(
             F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
         )
-        sig = sh.select("id", *sig_fn(F.col("sh"), num_hashes))
+        # r14: codegen'd signature (see _minhash_sig) — identical values
+        sig = _minhash_sig(sh, num_hashes, use_md5)
         banded = sig.select(
             "id",
             *band_hashes(
@@ -885,18 +941,43 @@ def substring_dup_stats(
     win = shingles(F.col(text_col), k, distinct=False)
     wins = df.select(F.col(id_col), F.explode(win).alias("w"))
     hcol = F.xxhash64("w") if fast else F.md5("w")
-    # The window stream feeds BOTH the count table and the join-back
-    # probe; Catalyst does not reuse a subtree across those two uses,
+    # The window stream feeds BOTH the count census and the per-doc
+    # total; Catalyst does not reuse a subtree across those two uses,
     # so without the persist the corpus explodes + hashes twice
     # (DESIGN.md #9 — persist only proven re-use).
     wins = _scratch_persist(wins.select(id_col, hcol.alias("h")))
-    cnt = wins.groupBy("h").agg(F.count("*").alias("__cnt"))
+    # r14 (guide §2.4, the ns_text_ngram_novelty rewrite applied
+    # here): the old shape joined the count table back onto the FULL
+    # window stream (a second posting-volume shuffle) to label each
+    # occurrence dup/unique. But a window with corpus-wide count 1
+    # has exactly ONE occurrence, whose owner the census itself can
+    # name (max(id) over a 1-row group), so
+    #   n_dup_windows(id) = n_windows(id) − |{h : cnt(h)=1, owner=id}|
+    # — the join-back drops out; what remains is two aggregates of
+    # the persisted window stream and a doc-keyed join of two small
+    # frames. (Unlike the winnowing variant of this trick — measured
+    # and rejected in wave 3 — the persist here predates the change
+    # on both sides, so no concurrent branch gets serialized.)
+    census = wins.groupBy("h").agg(
+        F.count("*").alias("__cnt"), F.max(id_col).alias("__owner")
+    )
+    uniq = (
+        census.filter(F.col("__cnt") == 1)
+        .groupBy(F.col("__owner").alias(id_col))
+        .agg(F.count("*").cast("bigint").alias("__uniq"))
+    )
+    tot = wins.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_windows")
+    )
     return (
-        wins.join(cnt, ["h"])
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("bigint").alias("n_windows"),
-            F.sum((F.col("__cnt") > 1).cast("int"))
+        tot.join(uniq, [id_col], "left_outer")
+        .select(
+            id_col,
+            "n_windows",
+            (
+                F.col("n_windows")
+                - F.coalesce(F.col("__uniq"), F.lit(0))
+            )
             .cast("bigint")
             .alias("n_dup_windows"),
         )

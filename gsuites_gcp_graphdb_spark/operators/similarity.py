@@ -570,13 +570,22 @@ def embedding_near_duplicates(
     vb = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
+    # r14 (guide §4.4): the threshold filter references the
+    # UDF-computed column, and Catalyst pushes a COPY of the filter
+    # (with its own ArrowEvalPython) below the projection — the plan
+    # carried TWO ArrowEvalPython nodes evaluating the same einsum,
+    # so every candidate pair paid the exact-cosine kernel twice.
+    # asNondeterministic forbids the duplication (values unchanged —
+    # the kernel is deterministic; only the plan shape moves:
+    # ArrowEvalPython 2 -> 1).
+    exact_cos = _pair_cosine_udf().asNondeterministic()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            _pair_cosine_udf()(
+            exact_cos(
                 F.col("__va").cast("array<double>"),
                 F.col("__vb").cast("array<double>"),
             ).alias("__exact"),
