@@ -959,7 +959,16 @@ def _bpe_loop(
     )
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
-        paired = state.withColumn("nxt", F.lead("tok").over(wspec))
+        # r14 (guide §5): paired feeds the best-pair aggregate AND the
+        # merge rebuild, and the two run SEQUENTIALLY (the 1-row
+        # first() is a driver barrier), so without this the
+        # lead()-window (shuffle by w + sort) executed twice per
+        # round. No concurrency is lost by materializing — unlike the
+        # calibration/winnowing persists this round rejected, there is
+        # no parallel branch to serialize.
+        paired = state.withColumn(
+            "nxt", F.lead("tok").over(wspec)
+        ).localCheckpoint(eager=True)
         best = (
             paired.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
