@@ -68,9 +68,15 @@ def exact_duplicates(
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep the min-id representative of each exact-duplicate group."""
+    """Keep the min-id representative of each exact-duplicate group.
+
+    The group key is unhex(md5(text)) — 16-byte binary instead of the
+    32-char hex string (guide §2.3 narrower types): unhex is a
+    bijection on md5 output, so grouping is identical, and the key is
+    internal (the result is a semi-join on id), so nothing downstream
+    sees the type."""
     w = df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__k")
+        F.col(id_col), F.unhex(F.md5(F.col(text_col))).alias("__k")
     )
     keep = w.groupBy("__k").agg(F.min(id_col).alias(id_col))
     return df.join(keep, [id_col], "left_semi")
@@ -448,6 +454,12 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "id", *carry, *band_hashes(sig_cols, bands, rows, use_md5)
     )
+    # r14 (guide §2.3 narrower types): the join key `h` never leaves
+    # this operator, so the md5 hex string is unhex'd to 16-byte
+    # binary (a bijection on md5 output — the candidate set is
+    # bit-identical) and the xxhash path keeps its native bigint
+    # instead of casting to string. Halves (md5) or fifth-s (xxhash)
+    # the band self-join's shuffled/persisted key bytes.
     long = (
         banded.select(
             "id",
@@ -457,7 +469,11 @@ def minhash_lsh_candidates(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.col(f"band_{b}").cast("string").alias("h"),
+                            (
+                                F.unhex(F.col(f"band_{b}"))
+                                if use_md5
+                                else F.col(f"band_{b}")
+                            ).alias("h"),
                         )
                         for b in range(bands)
                     ]
@@ -864,6 +880,9 @@ def minhash_incremental_candidates(
                 [f"mh_{j}" for j in range(num_hashes)], bands, rows, use_md5
             ),
         )
+        # r14 (guide §2.3): internal join key narrowed — see the same
+        # rewrite in minhash_lsh_candidates (unhex is a bijection on
+        # md5 output, so the match set is identical).
         return banded.select(
             "id",
             F.lit(is_new).alias("is_new"),
@@ -872,7 +891,11 @@ def minhash_incremental_candidates(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.col(f"band_{b}").cast("string").alias("h"),
+                            (
+                                F.unhex(F.col(f"band_{b}"))
+                                if use_md5
+                                else F.col(f"band_{b}")
+                            ).alias("h"),
                         )
                         for b in range(bands)
                     ]
@@ -940,7 +963,12 @@ def substring_dup_stats(
     """
     win = shingles(F.col(text_col), k, distinct=False)
     wins = df.select(F.col(id_col), F.explode(win).alias("w"))
-    hcol = F.xxhash64("w") if fast else F.md5("w")
+    # r14 (guide §2.3): the window hash is internal (only grouped and
+    # counted; the output is per-doc stats), so the md5 path carries
+    # unhex(md5(w)) — the 16-byte binary the docstring promises rather
+    # than the 32-char hex string. Bijective, so the census counts and
+    # unique-owner sets are identical.
+    hcol = F.xxhash64("w") if fast else F.unhex(F.md5("w"))
     # The window stream feeds BOTH the count census and the per-doc
     # total; Catalyst does not reuse a subtree across those two uses,
     # so without the persist the corpus explodes + hashes twice

@@ -685,13 +685,22 @@ def chunk_documents(
 def _winnow_grams(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(id, pos, h): md5 of every positional k-token shingle."""
+    """(id, pos, h): unhex(md5) of every positional k-token shingle.
+
+    r14 (guide §2.3 narrower types): the hash is internal to the
+    winnowing operators (their outputs are per-doc / per-source
+    counts), so it is carried as 16-byte binary instead of the
+    32-char hex string. unhex is a bijection on md5 output AND
+    order-isomorphic for fixed-length lowercase hex (hex chars are
+    ASCII-ascending, so string order == unsigned byte order), hence
+    the running-min fingerprint SELECTION — not just equality — is
+    identical to the hex spelling the DuckDB oracle uses."""
     return df.select(
         F.col(id_col),
         F.posexplode(
             shingles(F.col(text_col), k, distinct=False)
         ).alias("pos", "g"),
-    ).select(id_col, "pos", F.md5("g").alias("h"))
+    ).select(id_col, "pos", F.unhex(F.md5("g")).alias("h"))
 
 
 def _winnow_fp_relation(
@@ -741,8 +750,9 @@ def winnow_fingerprints(
     running-min window (doc-scoped partitions — no global sort, no
     hot keys), distinct + hash-agg on the fingerprint value (the
     winnowed stream is ~2/(w+1) of the k-gram stream), one join back.
-    Hashes compared as md5 hex strings — identical lexicographic
-    order in DuckDB."""
+    Hashes are unhex(md5) 16-byte binaries whose unsigned-byte order
+    equals the hex strings' lexicographic order — so the winnowing
+    minima match DuckDB's hex-string spelling exactly."""
     # r14 optimization note: two rewrites were MEASURED here and both
     # LOST at sf0.1, so the original shape stands. (1) _scratch_persist
     # of fps (it feeds the share census and the join-back): 1.6 -> 2.8 s

@@ -9,7 +9,13 @@ corpus that includes the edge cases the rewrite had to preserve
 - simhash64 (explode + 64 codegen'd SUM votes) vs the single-row
   aggregate/zip_with fold it replaced;
 - substring_dup_stats (unique-count arithmetic) vs the count-table
-  join-back it replaced.
+  join-back it replaced (its `old` reference also spells the window
+  hash as the md5 HEX STRING the operator used before the r14
+  narrow-key change — so it pins that too);
+- the narrowed internal hash keys (unhex(md5) binary / native bigint
+  instead of hex/stringified keys) in minhash_lsh_candidates,
+  minhash_incremental_candidates, dedup_exact and the winnowing
+  family vs the string-keyed spellings they replaced.
 """
 
 from __future__ import annotations
@@ -130,3 +136,172 @@ def test_substring_dup_stats_matches_joinback_spelling(corpus, fast):
     assert new == old
     # the two exact-dup docs are 100% duplicated text
     assert new[1][2] == 1.0 and new[2][2] == 1.0
+
+
+def _lsh_candidates_string_keyed(df, n, num_hashes, bands, use_md5):
+    """The pre-r14 band self-join spelling: h cast to string."""
+    rows = num_hashes // bands
+    from gsuites_gcp_graphdb_spark.functions.textfns import band_hashes
+
+    sh = df.select(
+        F.col("doc_id").alias("id"), shingles(F.col("text"), n).alias("sh")
+    )
+    sig = dd._minhash_sig(sh, num_hashes, use_md5)
+    banded = sig.select(
+        "id",
+        *band_hashes(
+            [f"mh_{j}" for j in range(num_hashes)], bands, rows, use_md5
+        ),
+    )
+    long = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").cast("string").alias("h"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+@pytest.mark.parametrize("use_md5", [True, False])
+def test_lsh_candidates_match_string_keyed_spelling(corpus, use_md5):
+    """The narrowed band key (unhex(md5) binary / native bigint) is a
+    bijection of the string key, so the candidate SET is identical."""
+    old = {
+        (r["id_a"], r["id_b"])
+        for r in _lsh_candidates_string_keyed(
+            corpus, 3, 12, 6, use_md5
+        ).collect()
+    }
+    new = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(
+            corpus, use_md5=use_md5
+        ).collect()
+    }
+    assert new == old
+    assert (1, 2) in new  # the exact-dup pair must be a candidate
+
+
+@pytest.mark.parametrize("use_md5", [True, False])
+def test_incremental_candidates_narrow_key(corpus, use_md5):
+    """Incremental (corpus x batch) matches the full-LSH pair set
+    restricted to pairs with exactly one batch member — both sides now
+    use the narrowed band key, so this also guards the corpus/batch
+    key types agreeing (a corpus-vs-batch type mismatch would silently
+    empty the join)."""
+    batch = corpus.where(F.col("doc_id") % 2 == 0)
+    old_corpus = corpus.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (r["new_id"], r["match_id"])
+        for r in dd.minhash_incremental_candidates(
+            old_corpus, batch, use_md5=use_md5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(
+            corpus, use_md5=use_md5
+        ).collect()
+    }
+    # a full-LSH pair (a<b) surfaces incrementally as:
+    #   b in batch            -> (new_id=b, match_id=a)  (a earlier)
+    #   a in batch, b corpus  -> (new_id=a, match_id=b)  (corpus side
+    #                            matches regardless of id order)
+    want = {(b, a) for (a, b) in full if b % 2 == 0} | {
+        (a, b) for (a, b) in full if a % 2 == 0 and b % 2 == 1
+    }
+    assert all(n % 2 == 0 for n, _ in got)
+    assert got == want
+
+
+def test_dedup_exact_matches_string_keyed_spelling(corpus):
+    w = corpus.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("__k")
+    )
+    keep = w.groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+    old = {
+        r["doc_id"]
+        for r in corpus.join(keep, ["doc_id"], "left_semi").collect()
+    }
+    new = {r["doc_id"] for r in dd.dedup_exact(corpus).collect()}
+    assert new == old
+    assert 2 not in new and 1 in new  # min-id rep of the exact-dup pair
+
+
+def test_winnow_fingerprints_match_hex_spelling(corpus):
+    """unhex(md5) is order-isomorphic to the hex string (fixed-length
+    lowercase hex: string order == unsigned byte order), so the
+    winnowing running-MIN selects the same fingerprints."""
+    from pyspark.sql import Window
+
+    from gsuites_gcp_graphdb_spark.operators import text as tx
+
+    docs = corpus.where(F.col("text").isNotNull())
+    k, w = 5, 4
+    grams = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            shingles(F.col("text"), k, distinct=False)
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    dw = Window.partitionBy("doc_id")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    fps_hex = (
+        grams.withColumn("__n", F.count("*").over(dw))
+        .withColumn("fp", F.min("h").over(run))
+        .filter(F.col("pos") <= F.col("__n") - w)
+        .select("doc_id", "fp")
+        .dropDuplicates()
+    )
+    share = fps_hex.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("__nd")
+    )
+    per_doc = (
+        fps_hex.join(share, ["fp"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fingerprints"),
+            F.sum((F.col("__nd") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    kg = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kgrams")
+    )
+    old = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["n_shared_fp"])
+        for r in kg.join(per_doc, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            F.coalesce("n_shared_fp", F.lit(0)).alias("n_shared_fp"),
+        )
+        .collect()
+    }
+    new = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["n_shared_fp"])
+        for r in tx.winnow_fingerprints(docs).collect()
+    }
+    assert new == old
+    assert new[1] == new[2]  # exact dups fingerprint identically
