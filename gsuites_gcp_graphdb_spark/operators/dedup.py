@@ -793,9 +793,14 @@ def minhash_calibration(
     # join) was MEASURED and REVERTED — isolated median 4.33s -> 5.02s
     # at sf0.1: the checkpoint serializes a branch Spark otherwise
     # runs concurrently, the same trade the r9 candidate-prune
-    # rejection below documents. The double execution overlaps in
-    # wall time; the persisted `long` relation already bounds the
-    # expensive signature work to one pass.
+    # rejection below documents. The r14 wave-7 fix removes the double
+    # execution WITHOUT a persist: est_matches is functionally
+    # determined by (id_a, id_b), so it rides THROUGH the posting join
+    # as an extra grouping column and the final join-back of est onto
+    # its own derivative drops out — est has exactly one consumer, the
+    # band self-join plans once, and no concurrent branch is
+    # serialized (the posting scan still overlaps the band join inside
+    # the single query).
     est = minhash_lsh_candidates(
         df,
         id_col,
@@ -806,27 +811,27 @@ def minhash_calibration(
         use_md5,
         with_agreement=True,
     )
-    cand = est.select("id_a", "id_b")
     posts = _scratch_persist(shingle_sets(df, id_col, text_col, n))
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
-        cand.join(a, cand.id_a == F.col("a.id"))
+        est.join(a, est.id_a == F.col("a.id"))
         .join(
             b,
-            (cand.id_b == F.col("b.id"))
+            (est.id_b == F.col("b.id"))
             & (F.col("a.shingle") == F.col("b.shingle")),
         )
         .groupBy(
             "id_a",
             "id_b",
+            "est_matches",
             F.col("a.set_size").alias("size_a"),
             F.col("b.set_size").alias("size_b"),
         )
         .agg(F.count("*").cast("bigint").alias("inter"))
     )
     k = float(num_hashes)
-    out = est.join(inter, ["id_a", "id_b"]).select(
+    out = inter.select(
         "id_a",
         "id_b",
         "est_matches",

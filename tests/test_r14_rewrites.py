@@ -305,3 +305,68 @@ def test_winnow_fingerprints_match_hex_spelling(corpus):
     }
     assert new == old
     assert new[1] == new[2]  # exact dups fingerprint identically
+
+
+def test_minhash_calibration_matches_joinback_spelling(corpus):
+    """Wave-7: minhash_calibration carries est_matches THROUGH the
+    posting join (one consumer of the band self-join) instead of
+    joining est back onto its own derivative. est_matches is
+    functionally determined by (id_a, id_b), so grouping on it is a
+    no-op and the output must be row-identical to the old join-back
+    spelling, inlined here."""
+    n, k, bands = 3, 12, 6
+    est = dd.minhash_lsh_candidates(
+        corpus, n=n, num_hashes=k, bands=bands, use_md5=True,
+        with_agreement=True,
+    )
+    from gsuites_gcp_graphdb_spark.operators.dedup import shingle_sets
+
+    cand = est.select("id_a", "id_b")
+    posts = shingle_sets(corpus, "doc_id", "text", n)
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.id"))
+        .join(
+            b,
+            (cand.id_b == F.col("b.id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    old_out = (
+        est.join(inter, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_matches",
+            F.round(F.col("est_matches") / F.lit(float(k)), 6).alias(
+                "est_jaccard"
+            ),
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn(
+            "cal_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6),
+        )
+    )
+    old = {tuple(r) for r in old_out.collect()}
+    new = {
+        tuple(r)
+        for r in dd.minhash_calibration(
+            corpus, n=n, num_hashes=k, bands=bands, use_md5=True
+        ).collect()
+    }
+    assert new == old
+    assert new  # the exact-dup pair (1,2) guarantees a candidate
+    assert any(r[0] == 1 and r[1] == 2 and r[2] == 12 for r in new)
