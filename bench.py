@@ -342,18 +342,17 @@ def fast_registry(spark, sf_dir: str) -> dict:
     }
 
 
-def anchor_probes(spark) -> dict[str, float]:
-    """Code-frozen box-speed anchors (r9 VERDICT item 2): three pure
-    synthetic Spark workloads with ZERO dependence on repo code —
-    shuffle+hash-agg, big-by-big SMJ, and a codegen expression scan.
-    Do not edit the shapes or sizes; that is the point of them. They
-    measure the box+JVM alone, so ``common66_norm = common66 /
-    anchor_total`` cancels environment drift that moves engine and
-    anchors proportionally — the r9 common66 spread ([96.3, 112.9]s
-    across same-code runs) forced a code-frozen-commit bisect to
-    attribute; the normalized metric makes round-over-round claims
-    arithmetic instead. 4 reps each, median of the last 3 (rep 1
-    absorbs codegen/JIT warmup for the probe's own plan)."""
+def cpu_probe_sample(spark) -> dict[str, float]:
+    """One positional sample of the three code-frozen CPU probes
+    (shapes unchanged since r9 — do not edit them). 4 reps each,
+    median of the last 3 (rep 1 absorbs codegen/JIT warmup for the
+    probe's own plan). r15 (VERDICT r14 item 5): the suite now takes
+    one sample at the start, one mid-suite and one at the end — the
+    same positional-sampling fix anchor_io got in r14 — because the
+    r13→r14 normalized metrics inverted purely on a 38% single-sample
+    anchor swing. Each probe's reported value is the median of its
+    three positional samples; anchor_total keeps its frozen
+    definition (sum of the three CPU probe values)."""
     probes = {
         "anchor_shuffle": lambda: spark.range(20_000_000)
         .groupBy((F.col("id") % 200_000).alias("k"))
@@ -372,17 +371,6 @@ def anchor_probes(spark) -> dict[str, float]:
         .select(F.xxhash64("id").alias("h"))
         .agg(F.sum(F.pmod(F.col("h"), F.lit(1000))))
         .collect(),
-        # r13 (VERDICT r12 item 1): the three probes above are
-        # CPU/shuffle-only and proved BLIND to the dimension that
-        # moved in r12 (suite +20% raw, anchors flat — the regressed
-        # set was checkpoint/write/staging-heavy). anchor_io measures
-        # the DISK path the suite actually exercises: a fixed-size
-        # parquet write + full read-back + a localCheckpoint
-        # round-trip, zero repo-code dependence. Reported separately:
-        # anchor_total (the frozen common66_norm denominator) stays
-        # CPU-only for round-over-round comparability; the new
-        # common66_norm_io divides by (anchor_total + anchor_io).
-        "anchor_io": lambda: _io_probe(spark),
     }
     out = {}
     for name, action in probes.items():
@@ -392,6 +380,38 @@ def anchor_probes(spark) -> dict[str, float]:
             action()
             reps.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(reps[1:]), 3)
+    return out
+
+
+def anchor_probes(spark) -> dict[str, float]:
+    """Code-frozen box-speed anchors (r9 VERDICT item 2): three pure
+    synthetic Spark workloads with ZERO dependence on repo code —
+    shuffle+hash-agg, big-by-big SMJ, and a codegen expression scan —
+    plus the r13 disk probe. They measure the box+JVM alone, so
+    ``common66_norm = common66 / anchor_total`` cancels environment
+    drift that moves engine and anchors proportionally — the r9
+    common66 spread ([96.3, 112.9]s across same-code runs) forced a
+    code-frozen-commit bisect to attribute; the normalized metric
+    makes round-over-round claims arithmetic instead.
+
+    r13 (VERDICT r12 item 1): the three CPU probes are CPU/shuffle-
+    only and proved BLIND to the dimension that moved in r12 (suite
+    +20% raw, anchors flat — the regressed set was checkpoint/write/
+    staging-heavy). anchor_io measures the DISK path the suite
+    actually exercises: a fixed-size parquet write + full read-back +
+    a localCheckpoint round-trip, zero repo-code dependence. Reported
+    separately: anchor_total (the frozen common66_norm denominator)
+    stays CPU-only for round-over-round comparability; the
+    common66_norm_io variant divides by (anchor_total + anchor_io)."""
+    out = cpu_probe_sample(spark)
+    t0 = time.perf_counter()
+    _io_probe(spark)
+    reps = [time.perf_counter() - t0]
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _io_probe(spark)
+        reps.append(time.perf_counter() - t0)
+    out["anchor_io"] = round(statistics.median(reps[1:]), 3)
     return out
 
 
@@ -439,6 +459,7 @@ def main() -> None:
     preflight()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -460,11 +481,11 @@ def main() -> None:
     # whose disk drifts WITHIN a run. The probe now also fires
     # mid-suite (after the headline loop) and at the end; anchor_io
     # becomes the median of the three positional samples, with the
-    # samples themselves reported in BENCH_DETAIL.
+    # samples themselves reported in BENCH_DETAIL. r15 (VERDICT r14
+    # item 5): the three CPU probes get the same treatment; each
+    # probe's value (and hence anchor_total) is the median of its
+    # start/mid/end samples.
     anchor_io_start = anchors.get("anchor_io", 0.0)
-    anchor_total = round(
-        sum(v for k, v in anchors.items() if k != "anchor_io"), 3
-    )
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -520,10 +541,11 @@ def main() -> None:
         fn = CATALOG[name].fn
         median_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
-    # mid-suite IO sample (r14, untimed entry — disk drift probe)
+    # mid-suite IO + CPU samples (r14/r15, untimed — drift probes)
     t0 = time.perf_counter()
     _io_probe(spark)
     anchor_io_mid = round(time.perf_counter() - t0, 3)
+    cpu_mid = cpu_probe_sample(spark)
 
     # Scale-path variants (xxhash64 instead of portable md5/strings;
     # SemDeDup banded-LSH production path; IVF raw ANN). Shared with
@@ -584,14 +606,22 @@ def main() -> None:
     shutil.rmtree(knn_dir, ignore_errors=True)
     dd.release_scratch()
 
-    # end-of-suite IO sample (r14): median-of-3 positional samples is
-    # the denominated anchor_io; the spread is the drift receipt.
+    # end-of-suite IO + CPU samples (r14/r15): median-of-3 positional
+    # samples is the denominated value per probe; the samples are the
+    # drift receipt.
     t0 = time.perf_counter()
     _io_probe(spark)
     anchor_io_end = round(time.perf_counter() - t0, 3)
     io_samples = [anchor_io_start, anchor_io_mid, anchor_io_end]
     anchor_io = round(statistics.median(io_samples), 3)
     anchors["anchor_io"] = anchor_io
+    cpu_end = cpu_probe_sample(spark)
+    cpu_samples = {
+        k: [anchors[k], cpu_mid[k], cpu_end[k]] for k in cpu_mid
+    }
+    for k, s in cpu_samples.items():
+        anchors[k] = round(statistics.median(s), 3)
+    anchor_total = round(sum(anchors[k] for k in cpu_samples), 3)
 
     total = round(sum(timings.values()), 3)
     missing66 = [n for n in COMMON66 if n not in timings]
@@ -617,7 +647,9 @@ def main() -> None:
         "common66_norm_io": common66_norm_io,
         "anchors": anchors,
         "anchor_io_samples": io_samples,
+        "anchor_cpu_samples": cpu_samples,
         "anchor_total": anchor_total,
+        "cpus": cpus,
         "common66_missing": missing66,
         "unit": "sec",
         "queries": timings,
@@ -627,6 +659,20 @@ def main() -> None:
     }
     detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # r15 (VERDICT r14 item 1): ALSO write the detail keyed by core
+    # count so a 32-core run and the driver's follow-up 8-core run
+    # survive side by side — BENCH_DETAIL.json alone gets overwritten
+    # by whichever run happens last, which destroyed r14's per-query
+    # round-over-round comparability. Additions-only: the plain
+    # BENCH_DETAIL.json and the stdout contract are unchanged.
+    with open(
+        os.path.join(
+            os.path.dirname(__file__), f"BENCH_DETAIL_c{cpus}.json"
+        ),
+        "w",
+    ) as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
     # The FINAL stdout line is the driver contract. Include the

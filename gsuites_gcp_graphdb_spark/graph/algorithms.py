@@ -1216,13 +1216,20 @@ def personalized_pagerank(
     n_s = s.count()
     if n_s == 0:
         raise ValueError("personalized_pagerank needs >= 1 source")
-    ind = _truncate(
-        v.join(
-            s.select("id", F.lit(1.0 / n_s).alias("__ind")),
-            ["id"],
-            "left_outer",
-        ).select("id", F.coalesce("__ind", F.lit(0.0)).alias("__ind"))
-    )
+    # r15 (guide §2.4, the hits sparse-loop idiom): the teleport
+    # vector is nonzero ONLY on the sources, so rank is nonzero only
+    # on the source's access cone — yet the old loop joined the full
+    # O(V) vertex relation every round to carry exact-0.0 rows whose
+    # every downstream use is a +0.0 no-op (contributions, dangling
+    # sum). The loop now runs SPARSE (rank rows bounded by the
+    # reached set) and densifies ONCE at the end: iterations O(V)
+    # left-outer joins -> 1. Per-vertex arithmetic is unchanged (an
+    # absent row densifies to exact 0.0 = what the dense loop
+    # computed); the only residual difference is double-SUM reduction
+    # order, absorbed by the 6-decimal rounding the public query
+    # applies. Pinned by the g_ppr_access oracle and
+    # test_r15_rewrites.test_ppr_sparse_loop_matches_dense_spelling.
+    src_term = _truncate(s.select("id", F.lit(1.0 / n_s).alias("__ind")))
     edges = g.edges.select("src", "dst")
     outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
     edges_d = _truncate(
@@ -1235,7 +1242,7 @@ def personalized_pagerank(
             "left_anti",
         )
     )
-    ranks = _truncate(ind.select("id", F.col("__ind").alias("rank")))
+    ranks = _truncate(src_term.select("id", F.col("__ind").alias("rank")))
     for _ in range(iterations):
         contribs = (
             ranks.join(edges_d, ranks.id == edges_d.src)
@@ -1250,21 +1257,27 @@ def personalized_pagerank(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         ranks = _truncate(
-            ind.join(contribs, ["id"], "left_outer")
+            src_term.join(contribs, ["id"], "full_outer")
             .crossJoin(F.broadcast(d_row))
             .select(
                 "id",
                 (
-                    F.lit(1.0 - damping) * F.col("__ind")
+                    F.lit(1.0 - damping)
+                    * F.coalesce("__ind", F.lit(0.0))
                     + F.lit(damping)
                     * (
                         F.coalesce("in_sum", F.lit(0.0))
-                        + F.col("__dangling") * F.col("__ind")
+                        + F.col("__dangling")
+                        * F.coalesce("__ind", F.lit(0.0))
                     )
                 ).alias("rank"),
             )
         )
-    return ranks
+    # densify once: unreachable vertices are exact 0.0, preserving the
+    # function's dense (id, rank)-for-every-vertex contract
+    return v.join(ranks, ["id"], "left_outer").select(
+        "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
+    )
 
 
 def k_core(
@@ -1563,7 +1576,6 @@ def hits(
     edges = _truncate(edges.select("src", "dst"))
 
     hub = _truncate(v.select("id", F.lit(1.0).alias("hub")))
-    auth = v.select("id", F.lit(1.0).alias("auth"))
     # r14 (guide §2.4/§5): each half-round's un-normalized scores
     # feed BOTH the normalizing total and the normalized frame; as a
     # lazy plan the O(E) message join+agg executed twice per
@@ -1571,6 +1583,27 @@ def hits(
     # frame). Materializing raw_a/raw_h (bounded by |V| rows) bounds
     # the E-join to one execution; the total sums the identical term
     # multiset (the dropped left-outer zeros are exact +0.0 no-ops).
+    #
+    # r15 (guide §2.4): the loop runs SPARSE — a vertex absent from
+    # raw_a/raw_h has score exactly 0.0, and a 0.0 score contributes
+    # exactly +0.0 to every downstream sum (all terms non-negative,
+    # so no -0.0 edge case), so the per-half-round O(V) left-outer
+    # densify joins are pure no-ops for the recursion and run ONCE at
+    # the end instead of once per half-round: 2 x iterations O(V)
+    # joins -> 2 total. Per-vertex values: an absent row densifies to
+    # coalesce(null,0)/tot = 0.0, exactly what the dense loop
+    # computed, and the totals sum the same multiset minus exact
+    # zeros (a +0.0 term is an IEEE no-op on non-negative sums). The
+    # only residual difference is double-SUM reduction order (the
+    # partition layout changed) — 1-ulp wiggle of the same class the
+    # dense spelling already had across partitionings, absorbed by
+    # the 6-decimal rounding the public query applies. Pinned by the
+    # g_hits_top oracle (hash match at sf0.001/0.01/0.1) and
+    # test_r15_rewrites.test_hits_sparse_loop_matches_dense_spelling.
+    if iterations <= 0:
+        return hub.join(v.select("id", F.lit(1.0).alias("auth")), ["id"])
+    raw_a = None
+    ta = None
     for _ in range(iterations):
         raw_a = _truncate(
             hub.join(edges, hub.id == edges.src)
@@ -1580,15 +1613,9 @@ def hits(
         ta = raw_a.agg(
             F.coalesce(F.sum("__raw"), F.lit(0.0)).alias("__tot")
         )
-        auth = _truncate(
-            v.join(raw_a, v.id == F.col("dst"), "left_outer")
-            .crossJoin(F.broadcast(ta))
-            .select(
-                "id",
-                (
-                    F.coalesce("__raw", F.lit(0.0)) / F.col("__tot")
-                ).alias("auth"),
-            )
+        auth = raw_a.crossJoin(F.broadcast(ta)).select(
+            F.col("dst").alias("id"),
+            (F.col("__raw") / F.col("__tot")).alias("auth"),
         )
         raw_h = _truncate(
             auth.join(edges, auth.id == edges.dst)
@@ -1598,17 +1625,31 @@ def hits(
         th = raw_h.agg(
             F.coalesce(F.sum("__raw"), F.lit(0.0)).alias("__tot")
         )
-        hub = _truncate(
-            v.join(raw_h, v.id == F.col("src"), "left_outer")
-            .crossJoin(F.broadcast(th))
-            .select(
-                "id",
-                (
-                    F.coalesce("__raw", F.lit(0.0)) / F.col("__tot")
-                ).alias("hub"),
-            )
+        hub = raw_h.crossJoin(F.broadcast(th)).select(
+            F.col("src").alias("id"),
+            (F.col("__raw") / F.col("__tot")).alias("hub"),
         )
-    return hub.join(auth, ["id"])
+    # densify once: every vertex appears in the output, absent scores
+    # are exact 0.0 (identical to the old per-round left-outer form)
+    auth_d = (
+        v.join(raw_a, v.id == F.col("dst"), "left_outer")
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "id",
+            (
+                F.coalesce("__raw", F.lit(0.0)) / F.col("__tot")
+            ).alias("auth"),
+        )
+    )
+    hub_d = (
+        v.join(
+            hub.select(F.col("id").alias("__hid"), "hub"),
+            v.id == F.col("__hid"),
+            "left_outer",
+        )
+        .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+    )
+    return hub_d.join(auth_d, ["id"])
 
 
 def random_walks(

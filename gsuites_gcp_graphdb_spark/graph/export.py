@@ -300,15 +300,28 @@ def save_bucketed(
         import shutil
 
         shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
-    g.vertices.write.mode("overwrite").bucketBy(buckets, "id").sortBy(
-        "id"
-    ).saveAsTable(f"{table_prefix}_vertices")
-    g.edges.write.mode("overwrite").bucketBy(buckets, "src").sortBy(
-        "src"
-    ).saveAsTable(f"{table_prefix}_edges")
-    g.edges.write.mode("overwrite").bucketBy(buckets, "dst").sortBy(
-        "dst"
-    ).saveAsTable(f"{table_prefix}_edges_by_dst")
+    # The three table writes are independent sinks over the (cached)
+    # graph, so they run CONCURRENTLY (guide §2.6 — overlap
+    # independent jobs): each write's bucket shuffle+sort leaves long
+    # single-sink tails that the other writes back-fill. The catalog
+    # registrations are serialized by Spark's thread-safe in-memory
+    # catalog; the written tables are byte-identical to the
+    # sequential spelling.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(df, col, suffix):
+        df.write.mode("overwrite").bucketBy(buckets, col).sortBy(
+            col
+        ).saveAsTable(f"{table_prefix}_{suffix}")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_write, g.vertices, "id", "vertices"),
+            pool.submit(_write, g.edges, "src", "edges"),
+            pool.submit(_write, g.edges, "dst", "edges_by_dst"),
+        ]
+        for f in futs:
+            f.result()
 
 
 def load_bucketed(

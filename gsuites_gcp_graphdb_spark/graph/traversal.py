@@ -455,8 +455,19 @@ class Graph:
         return Graph(v, e)
 
     def counts(self) -> tuple[int, int]:
-        """tinkergraph[vertices:N edges:M]-style check (README.md:372)."""
-        return self.vertices.count(), self.edges.count()
+        """tinkergraph[vertices:N edges:M]-style check (README.md:372).
+
+        The two counts are independent jobs, so they run CONCURRENTLY
+        (guide §2.6 — overlap independent jobs): on a freshly cached
+        graph this is the call that fills both caches, and the vertex
+        fill otherwise idles the cluster while the (bigger) edge fill
+        waits its turn. Results are unchanged — two scalar counts."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fv = pool.submit(self.vertices.count)
+            fe = pool.submit(self.edges.count)
+            return fv.result(), fe.result()
 
     def cache(self) -> "Graph":
         self.vertices = self.vertices.cache()

@@ -151,9 +151,12 @@ def _score_pairs(
         return joined.select(
             "a",
             "b",
+            # no JVM-side cast to array<double> (r15, guide §4.1):
+            # the kernel upcasts to float64 internally (exact
+            # widening), so the cast only doubled the Arrow transfer
+            # bytes for float32 corpora
             _pair_cosine_udf()(
-                F.col("__va").cast("array<double>"),
-                F.col("__vb").cast("array<double>"),
+                F.col("__va"), F.col("__vb")
             ).alias("s"),
         )
     return joined.select(
@@ -667,8 +670,19 @@ def knn_save(
         g = g.withColumn("s", F.lit(None).cast("double"))
     if "rk" not in g.columns:
         g = g.withColumn("rk", F.lit(None).cast("int"))
+    # a/b are pinned to bigint AT WRITE (r15): probes hash the keys
+    # with type-sensitive xxhash64 assuming bigint (the documented
+    # index contract), so an int-keyed caller graph would otherwise
+    # prune to wrong partitions; the pin also makes the saved layout
+    # a fixed schema the readers can declare instead of re-inferring
+    # from footers on every serve (guide §6 — per-serve metadata I/O).
     (
-        g.select("a", "b", "s", "rk")
+        g.select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.col("s").cast("double").alias("s"),
+            F.col("rk").cast("int").alias("rk"),
+        )
         .withColumn(
             "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
         )
@@ -681,7 +695,11 @@ def knn_save(
         else graph.select("a", "b").limit(0)
     )
     (
-        links.withColumn(
+        links.select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+        )
+        .withColumn(
             "pa", F.pmod(F.xxhash64(F.col("a")), F.lit(n_parts))
         )
         .write.partitionBy("pa")
@@ -729,7 +747,12 @@ def knn_load(spark, path: str) -> dict[str, DataFrame]:
 
 
 def _pruned_vectors(
-    spark, path: str, n_parts: int, ids: DataFrame, col: str
+    spark,
+    path: str,
+    n_parts: int,
+    ids: DataFrame,
+    col: str,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Partition-pruned vector fetch: collect the DISTINCT partition
     values the id set hashes into (bounded by n_parts — the IVF
@@ -739,7 +762,14 @@ def _pruned_vectors(
     The id column is cast to bigint BEFORE hashing: xxhash64 is
     type-sensitive in Spark (hash of int 5 != hash of bigint 5) and
     the index is written with bigint keys, so an int-typed caller id
-    would compute wrong partition values and silently fetch nothing."""
+    would compute wrong partition values and silently fetch nothing.
+
+    ``vectors`` (r15, guide §6): a pre-built read of ``path/vectors``.
+    Loop callers (knn_probe's hop loop) pass it so the file listing +
+    footer schema inference happen ONCE per serve instead of once per
+    hop — per-hop metadata RPCs against an object store are pure
+    fixed cost. The per-hop partition filter is still applied here and
+    still prunes the scan (pushdown happens at action time)."""
     ids = ids.select(F.col(col).cast("bigint").alias(col))
     parts = sorted(
         r.p
@@ -749,9 +779,10 @@ def _pruned_vectors(
         .distinct()
         .collect()
     )
+    if vectors is None:
+        vectors = spark.read.parquet(f"{path}/vectors")
     return (
-        spark.read.parquet(f"{path}/vectors")
-        .where(F.col("pv").isin(parts))
+        vectors.where(F.col("pv").isin(parts))
         .join(
             ids.select(F.col(col).alias("id")).distinct(),
             ["id"],
@@ -785,6 +816,19 @@ def _drop_emptied_partitions(
     return len(emptied)
 
 
+# The knn_save on-disk layout (fixed by the writer above — a/b pinned
+# to bigint at write). Declaring these schemas at read skips a file
+# listing + footer schema inference PER READ — knn_probe builds these
+# reads once per serve, and at production scale each inference is a
+# round of object-store metadata RPCs (guide §6). vectors/ is NOT
+# here: its vec element type follows the caller's embedding type, so
+# that one read keeps inference (once per serve).
+_ADJ_SCHEMA = "a bigint, b bigint, s double, rk int, pa int"
+_LINKS_SCHEMA = "a bigint, b bigint, pa int"
+_ENTRIES_SCHEMA = "id bigint, __h bigint"
+_META_SCHEMA = "n_parts int, max_entries int"
+
+
 def _read_links(spark, path: str) -> DataFrame | None:
     """Read a saved index's ``links/`` relation, tolerating ONLY the
     two legitimate absent-links layouts — a pre-links index (the
@@ -804,7 +848,7 @@ def _read_links(spark, path: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{path}/links")
+        return spark.read.schema(_LINKS_SCHEMA).parquet(f"{path}/links")
     except AnalysisException:
         _log.info("knn index links/ at %s holds no data files; "
                   "serving from adjacency only", path)
@@ -842,7 +886,11 @@ def knn_probe(
     distributed. `queries` holds one column `a` of corpus-member
     ids; `query_emb` supplies external query vectors (then `a` need
     not exist in the index)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = (
+        spark.read.schema(_META_SCHEMA)
+        .parquet(f"{path}/meta")
+        .collect()[0]
+    )
     n_parts = meta.n_parts
     if n_entries > meta.max_entries:
         raise ValueError(
@@ -854,31 +902,49 @@ def knn_probe(
     # prune to the wrong partitions and silently return empty
     queries = queries.select(F.col("a").cast("bigint").alias("a"))
     ent = (
-        spark.read.parquet(f"{path}/entries")
+        spark.read.schema(_ENTRIES_SCHEMA)
+        .parquet(f"{path}/entries")
         .orderBy("__h", "id")
         .limit(n_entries)
         .select(F.col("id").alias("b"))
     )
+    # one vectors read per serve, shared by every per-hop pruned
+    # fetch (r15, guide §6 — see _pruned_vectors)
+    vec_base = spark.read.parquet(f"{path}/vectors")
     qe = (
-        _pruned_vectors(spark, path, n_parts, queries, "a")
+        _pruned_vectors(spark, path, n_parts, queries, "a", vec_base)
         if query_emb is None
         else _normalize(query_emb, id_col, vec_col)
     )
     # r14 (guide §5): qe feeds _score_pairs on EVERY hop; as a lazy
     # plan its vectors-scan + semi-join re-executed hops+1 times (7x
-    # at the bench's hops=6). One eager localCheckpoint bounds it to
-    # a single read — qe is |queries| rows, never corpus-sized.
+    # at the bench's hops=6). One localCheckpoint bounds it to a
+    # single read — qe is |queries| rows, never corpus-sized.
+    # r15 (guide §5/§6, VERDICT r14 item 1): every checkpoint in this
+    # function is LAZY (eager=False). An eager localCheckpoint is a
+    # full driver barrier (one extra Spark job per call); lazy marking
+    # truncates the plan identically but defers materialization to the
+    # NEXT action — and in this loop the next action is always the
+    # partition-value collect that needs the data anyway, so the
+    # checkpoint job fuses into it. Per hop: 4 driver jobs -> 2
+    # (frontier-parts collect materializes last hop's g; candidate-
+    # parts collect materializes new_pairs). Results are identical —
+    # a checkpoint is semantically transparent either way.
     if checkpoint:
-        qe = qe.localCheckpoint()
+        qe = qe.localCheckpoint(eager=False)
     f0 = queries.select("a").crossJoin(ent).where(
         F.col("a") != F.col("b")
     )
-    cand = _pruned_vectors(spark, path, n_parts, f0.select("b"), "b")
+    cand = _pruned_vectors(
+        spark, path, n_parts, f0.select("b"), "b", vec_base
+    )
     g = _topk(_score_pairs(f0, qe, cand, arrow=arrow), beam)
     if checkpoint:
-        g = g.localCheckpoint()
-    adj = spark.read.parquet(f"{path}/adjacency").select(
-        "a", "b", "pa"
+        g = g.localCheckpoint(eager=False)
+    adj = (
+        spark.read.schema(_ADJ_SCHEMA)
+        .parquet(f"{path}/adjacency")
+        .select("a", "b", "pa")
     )
     links = _read_links(spark, path)
     if links is not None:
@@ -940,11 +1006,13 @@ def knn_probe(
         # inside _pruned_vectors and the scoring join (guide §5, §1
         # measured in wave 1: without the checkpoint the hop
         # expansion executes twice); bounded by
-        # frontier x max_entries rows of (bigint, bigint).
+        # frontier x max_entries rows of (bigint, bigint). Lazy: the
+        # candidate-parts collect inside _pruned_vectors materializes
+        # it (r15 — no separate checkpoint job).
         if checkpoint:
-            new_pairs = new_pairs.localCheckpoint()
+            new_pairs = new_pairs.localCheckpoint(eager=False)
         cand = _pruned_vectors(
-            spark, path, n_parts, new_pairs.select("b"), "b"
+            spark, path, n_parts, new_pairs.select("b"), "b", vec_base
         )
         g = _topk(
             g.select(
@@ -956,8 +1024,11 @@ def knn_probe(
             beam,
             extra=("__new",),
         )
+        # lazy: next hop's frontier-parts collect materializes it; on
+        # the final hop the caller's own action does (r15 — the eager
+        # final-hop checkpoint job had no consumer of its eagerness)
         if checkpoint:
-            g = g.localCheckpoint()
+            g = g.localCheckpoint(eager=False)
     return g.select("a", "b", "s", "rk")
 
 

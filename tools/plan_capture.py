@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-OUT_DIR = "/root/repo/plans/r14"
+OUT_DIR = os.environ.get("PLAN_OUT_DIR", "/root/repo/plans/r15")
 
 PRESETS = {
     # the suite entries this round targets, by r13 BENCH_DETAIL cost
