@@ -262,13 +262,28 @@ def read_graphson(spark: SparkSession, path: str) -> Graph:
 def save(g: Graph, path: str) -> None:
     """Parquet snapshot, scale layout: vertices partitioned by label
     (partition pruning for hasLabel), edges repartitioned by src
-    (expansion joins read co-located data)."""
-    g.vertices.write.mode("overwrite").partitionBy("label").parquet(
-        f"{path}/vertices"
-    )
-    g.edges.repartition("src").write.mode("overwrite").parquet(
-        f"{path}/edges"
-    )
+    (expansion joins read co-located data).
+
+    The two sinks are independent and run CONCURRENTLY (guide §2.6,
+    the save_bucketed discipline): the edge write's repartition
+    shuffle back-fills the vertex write's small-file tail. Files are
+    byte-identical to the sequential spelling — distinct output dirs,
+    no shared state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _wv():
+        g.vertices.write.mode("overwrite").partitionBy("label").parquet(
+            f"{path}/vertices"
+        )
+
+    def _we():
+        g.edges.repartition("src").write.mode("overwrite").parquet(
+            f"{path}/edges"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_wv), pool.submit(_we)]:
+            f.result()
 
 
 def save_bucketed(

@@ -2234,6 +2234,14 @@ def _stream_ingest_e2e(
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # r15 measured-and-rejected (guide §1): the build_edges brand-first
+    # derivation (early distincts on (l_orderkey, p_brand) then
+    # (o_custkey, p_brand) before attaching c_name) was tried here and
+    # LOST the paired A/B — the two extra distinct shuffles cost more
+    # than the narrower exchange bytes save at every measurable scale
+    # (isolated noop medians old 1.63s / brand-first 1.79s / one-early-
+    # distinct 1.62s; full-entry drift_probe old 7.54 vs 8.79). The
+    # single wide distinct stays.
     bindings = (
         customer.join(
             orders, customer.c_custkey == orders.o_custkey
@@ -2257,8 +2265,12 @@ def _stream_ingest_e2e(
         # idempotent set union); the default stays 2 so the bench
         # entry keeps exercising the base+delta accumulation path.
         bindings.repartition(4).write.parquet(src, mode="overwrite")
+        # literal schema (r15, guide §6): the bindings layout is this
+        # function's own write two lines up, so re-listing the dir and
+        # reading a footer just to recover "member string, dst_key
+        # string" was a per-rep metadata round-trip for a constant.
         stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
+            spark.readStream.schema("member string, dst_key string")
             .option("maxFilesPerTrigger", _mfpt)
             .parquet(src)
         )

@@ -246,16 +246,26 @@ def _merge_parts_into_store(
     # an Observation rides the checkpoint's own materialization and
     # yields the delta row counts for free (4 jobs/batch -> 2).
     obs_v, obs_e = Observation(), Observation()
-    delta_v = (
-        vertex_delta(g.vertices, vertices)
-        .observe(obs_v, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+    # r15 (guide §2.6 — overlap independent jobs): the two delta
+    # materializations are independent (vertices vs edges over
+    # disjoint relations), but each eager localCheckpoint is a driver
+    # barrier, so running them sequentially idled the box through two
+    # back-to-back single-job tails per micro-batch. A 2-thread pool
+    # overlaps them; the checkpointed rows and both Observation
+    # counters are identical to the sequential spelling (each
+    # observation rides its own checkpoint's materialization).
+    lazy_v = vertex_delta(g.vertices, vertices).observe(
+        obs_v, F.count(F.lit(1)).alias("n")
     )
-    delta_e = (
-        edge_delta(g.edges, edges)
-        .observe(obs_e, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+    lazy_e = edge_delta(g.edges, edges).observe(
+        obs_e, F.count(F.lit(1)).alias("n")
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(lazy_v.localCheckpoint)
+        fe = pool.submit(lazy_e.localCheckpoint)
+        delta_v, delta_e = fv.result(), fe.result()
     if m is not None and obs_v.get["n"] == 0 and obs_e.get["n"] == 0:
         return g  # replay / pure-duplicate batch: state already right
     merged = Graph(
