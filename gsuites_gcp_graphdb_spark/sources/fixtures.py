@@ -53,14 +53,48 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# r15 (guide §6 — per-read metadata I/O): every `spark.read.parquet`
+# re-infers the schema from file footers (~65 ms of driver time per
+# call on this box), and every query path builds its plan fresh, so a
+# bench rep pays that per table per rep. The SCHEMA is metadata fully
+# determined by the fixture files, so it is inferred ONCE per file
+# state and memoized, keyed by the file's (mtime_ns, size) signature —
+# a regenerated fixture changes the signature and re-infers, exactly
+# the graph_store_prefix staleness discipline. This caches no data and
+# no results: every read still scans the parquet itself (same class as
+# the declared knn_save index schemas and Spark's own session
+# FileStatusCache for listings).
+_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+
+def _path_sig(path: str) -> tuple:
+    if os.path.isdir(path):
+        return tuple(
+            (fn, s.st_mtime_ns, s.st_size)
+            for fn in sorted(os.listdir(path))
+            for s in (os.stat(os.path.join(path, fn)),)
+        )
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # nanosAsLong is a no-op for micros-encoded fixtures but keeps
-        # the nanos-encoded generation readable at all.
+        # the nanos-encoded generation readable at all. Set BEFORE any
+        # read (including the one-time inference) so a nanos-encoded
+        # ts infers as long; normalize_events_ts dispatches on the
+        # scanned type either way, cached or inferred.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return normalize_events_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    sig = _path_sig(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        df = spark.read.schema(hit[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = (sig, df.schema)
+    return normalize_events_ts(df) if name == "events" else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -221,3 +221,35 @@ def test_hits_sparse_loop_matches_dense_spelling(spark):
         # ...and within reduction-order noise on the raw doubles
         assert abs(nh - oh) <= 1e-12 + 1e-9 * abs(oh)
         assert abs(na - oa) <= 1e-12 + 1e-9 * abs(oa)
+
+
+def test_schema_cache_matches_inference_and_invalidates(spark, tmp_path):
+    """r15 guide-§6 rewrite: load_table memoizes the INFERRED schema
+    per fixture file signature. Pins (a) the cached-schema read is
+    schema-identical to a fresh inference for every fixture table,
+    (b) a changed file signature re-infers instead of serving the
+    stale schema."""
+    import shutil
+
+    from gsuites_gcp_graphdb_spark.sources import fixtures as fx
+
+    for t in fx.TABLES:
+        cached = fx.load_table(spark, SF, t)  # fills or hits the cache
+        fresh = spark.read.parquet(f"{SF}/{t}.parquet")
+        if t == "events":
+            fresh = fx.normalize_events_ts(fresh)
+        assert cached.schema == fresh.schema, t
+        assert f"{SF}/{t}.parquet" in fx._SCHEMA_CACHE
+
+    # invalidation: copy a table, load (seeds cache), rewrite the file
+    # with a DIFFERENT schema — the next load must see the new schema
+    d = tmp_path / "fixdir"
+    d.mkdir()
+    shutil.copy(f"{SF}/region.parquet", d / "region.parquet")
+    first = fx.load_table(spark, str(d), "region")
+    assert first.schema.fieldNames() == ["r_regionkey", "r_name"]
+    spark.range(3).selectExpr(
+        "cast(id as int) as r_regionkey", "'x' as extra"
+    ).toPandas().to_parquet(str(d / "region.parquet"))
+    second = fx.load_table(spark, str(d), "region")
+    assert second.schema.fieldNames() == ["r_regionkey", "extra"]
